@@ -1,0 +1,146 @@
+"""Arrow-batched pandas UDFs wrapping the pure-Python extraction library.
+
+Two deliberate projections (mirrors the reference's prefetch fast path,
+``crawl4ai/async_webcrawler.py:742-761``):
+
+- ``udf_extract_links`` — the cheap frontier-expansion path: anchors only.
+- ``udf_full_extract`` — the full path: links + markdown struct + head
+  meta, decoding/parsing each page once per batch.
+
+Keeping them separate lets Catalyst prune the expensive full extraction off
+links-only waves (column pruning reaches the parquet scan: a wave that only
+selects links never materializes markdown).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from crawl4ai_spark.extraction.links import extract_links
+from crawl4ai_spark.extraction.markdown import generate_markdown_result
+from crawl4ai_spark.extraction.meta import extract_head_meta
+
+LINK_STRUCT = StructType(
+    [StructField("href", StringType()), StructField("text", StringType())]
+)
+LINKS_SCHEMA = StructType(
+    [
+        StructField("internal", ArrayType(LINK_STRUCT)),
+        StructField("external", ArrayType(LINK_STRUCT)),
+    ]
+)
+MARKDOWN_SCHEMA = StructType(
+    [
+        StructField("raw_markdown", StringType()),
+        StructField("markdown_with_citations", StringType()),
+        StructField("references_markdown", StringType()),
+    ]
+)
+HEAD_SCHEMA = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("keywords", StringType()),
+        StructField("author", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+FULL_SCHEMA = StructType(
+    [
+        StructField("links", LINKS_SCHEMA),
+        StructField("markdown", MARKDOWN_SCHEMA),
+        StructField("head", HEAD_SCHEMA),
+    ]
+)
+
+
+def _decode(html) -> str:
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return str(html)
+
+
+def _links_tuple(html: str, url: str) -> tuple:
+    links = extract_links(html, url or "")
+    return (
+        [(d["href"], d["text"]) for d in links["internal"]],
+        [(d["href"], d["text"]) for d in links["external"]],
+    )
+
+
+@pandas_udf(LINKS_SCHEMA)
+def udf_extract_links(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    internal, external = [], []
+    for h, u in zip(html, url):
+        i, e = _links_tuple(_decode(h), u)
+        internal.append(i)
+        external.append(e)
+    return pd.DataFrame({"internal": internal, "external": external})
+
+
+@pandas_udf(MARKDOWN_SCHEMA)
+def udf_markdown(html: pd.Series) -> pd.DataFrame:
+    rows = [generate_markdown_result(_decode(h)) for h in html]
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(HEAD_SCHEMA)
+def udf_head_meta(html: pd.Series) -> pd.DataFrame:
+    rows = []
+    for h in html:
+        meta = extract_head_meta(_decode(h))
+        rows.append(
+            {
+                "title": meta["title"],
+                "description": meta["description"],
+                "keywords": meta["keywords"],
+                "author": meta["author"],
+                "lang": meta["lang"],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(FULL_SCHEMA)
+def udf_full_extract(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """Full extraction: one decode per page, links + markdown + head."""
+    out = []
+    for h, u in zip(html, url):
+        doc = _decode(h)
+        meta = extract_head_meta(doc)
+        out.append(
+            {
+                "links": _links_tuple(doc, u),
+                "markdown": generate_markdown_result(doc),
+                "head": {
+                    "title": meta["title"],
+                    "description": meta["description"],
+                    "keywords": meta["keywords"],
+                    "author": meta["author"],
+                    "lang": meta["lang"],
+                },
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def lang_col(html_col: Column) -> Column:
+    """Native (JVM regex) `<html lang>` extraction — no Python involved.
+
+    Matches ``extraction.meta.extract_lang`` on well-formed documents; the
+    wave pipeline uses this fast path and falls back to the UDF only when
+    byte-parity with the head parser is required.
+    """
+    head = F.substring(html_col.cast("string"), 1, 2048)
+    return F.regexp_extract(head, r"(?i)<html[^>]*\blang=[\"']?([A-Za-z-]+)", 1)
