@@ -1,0 +1,365 @@
+"""The batch-iterated crawl loop — one Spark job per BFS wave.
+
+Semantics ported from the reference's level-synchronous deep crawl
+(``crawl4ai/deep_crawling/bfs_strategy.py:207-301`` batch BFS,
+``:133-205`` link discovery with visited-set dedup, score threshold,
+max_depth and max-pages capacity trim), re-expressed as the SURVEY.md §3.3
+flagship loop:
+
+    while pending:
+        wave    = politeness_rank(pending)          # window per host
+        gated   = robots(wave)                      # broadcast join + UDF
+        fetched = gated ⋈ pages on url              # the "fetch"
+        res     = extract(fetched)                  # Arrow UDFs
+        links   = explode → canonical → first-wins  # discovery
+        fresh   = links ▷ seen                      # bloom + exact anti-join
+        commit(results, frontier_delta, bloom, host_state, metrics, lineage)
+
+Intra-wave order is pinned by the deterministic total key
+(score desc, depth asc, url asc) — the reference's intra-level order is
+completion-order-dependent, so parity is defined on per-wave URL *sets*
+plus this documented total order (SURVEY.md §4 item 5).
+
+Scale posture: exactly 3 shuffles per wave on the links-only path —
+(1) repartition(host) feeding the politeness window and every host-grouped
+agg, (2) the discovery dedup/anti-join keyed on url_fp, (3) the bloom
+shard build. The pages join is a join on url (co-partitioned with the
+frontier's bucketing at cluster scale; AQE handles the local case).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions.fingerprint import url_fingerprint
+from crawl4ai_spark.functions.urlnorm import host_col
+from crawl4ai_spark.extraction.udfs import udf_extract_links, udf_full_extract, lang_col
+from crawl4ai_spark.operators.bloom import bloom_prefilter, build_bloom_shards
+from crawl4ai_spark.operators.politeness import (
+    rank_by_host_budget,
+    update_host_state,
+    wave_order,
+)
+from crawl4ai_spark.operators.robots import attach_robots_verdict
+from crawl4ai_spark.frontier.store import WaveStore
+
+VALID_URL_RE = r"^https?://[^/]*\.[^/]*"
+
+FRONTIER_COLS = ["url", "url_fp", "host", "depth", "score", "parent_url", "enqueue_wave"]
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 3
+    max_pages: int | None = None
+    max_waves: int = 1000
+    score_threshold: float | None = None
+    default_budget: int = 1_000_000
+    include_external: bool = True
+    links_only: bool = True
+    use_bloom: bool = True
+    n_bloom_shards: int = 16
+    bloom_fpp: float = 0.01
+    user_agent: str = "*"
+    extra: dict = field(default_factory=dict)
+
+
+def _prepare_seeds(seeds: DataFrame) -> DataFrame:
+    """Normalize a seeds(url[, priority]) frame into frontier schema."""
+    df = seeds
+    if "priority" not in df.columns:
+        df = df.withColumn("priority", F.lit(1.0))
+    df = (
+        df.select(
+            F.col("url"),
+            url_fingerprint("url").alias("url_fp"),
+            host_col(F.col("url")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.col("priority").cast("double").alias("score"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(0).alias("enqueue_wave"),
+        )
+        .where(F.col("url").rlike(VALID_URL_RE))
+    )
+    first = Window.partitionBy("url_fp").orderBy("url")
+    return df.withColumn("_rn", F.row_number().over(first)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def _extract_wave(fetchable: DataFrame, links_only: bool) -> DataFrame:
+    """Run extraction UDFs over fetched pages (html is non-null here)."""
+    if links_only:
+        return fetchable.withColumn("links", udf_extract_links("html", "url")).withColumn(
+            "extract", F.lit(None)
+        )
+    return fetchable.withColumn("extract", udf_full_extract("html", "url")).withColumn(
+        "links", F.col("extract.links")
+    )
+
+
+def _result_rows(wave_df: DataFrame, wave: int, links_only: bool) -> DataFrame:
+    """Assemble the results-table rows for one wave (stable schema)."""
+    if links_only:
+        extract_cols = [
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("raw_markdown"),
+            F.lit(None).cast("string").alias("markdown_with_citations"),
+            F.lit(None).cast("string").alias("references_markdown"),
+        ]
+    else:
+        extract_cols = [
+            F.col("extract.head.title").alias("title"),
+            F.col("extract.markdown.raw_markdown").alias("raw_markdown"),
+            F.col("extract.markdown.markdown_with_citations").alias("markdown_with_citations"),
+            F.col("extract.markdown.references_markdown").alias("references_markdown"),
+        ]
+    return wave_df.select(
+        "url",
+        "url_fp",
+        "host",
+        "depth",
+        "score",
+        "parent_url",
+        F.lit(wave).alias("wave"),
+        F.col("status"),
+        F.when(F.col("status") == "fetched", lang_col(F.col("html"))).alias("lang"),
+        F.coalesce(F.size("links.internal"), F.lit(0)).alias("n_internal_links"),
+        F.coalesce(F.size("links.external"), F.lit(0)).alias("n_external_links"),
+        *extract_cols,
+    )
+
+
+def _discover(
+    extracted: DataFrame, wave: int, config: CrawlConfig
+) -> DataFrame:
+    """Explode links of fetched pages into frontier-candidate rows with
+    first-wins dedup inside the wave (order: parent score-order, then link
+    position — the deterministic analog of the reference's
+    discovery-insertion order)."""
+    sides = [F.col("links.internal")]
+    if config.include_external:
+        sides.append(F.col("links.external"))
+    all_links = F.concat(*sides) if len(sides) > 1 else sides[0]
+    cand = (
+        extracted.select(
+            F.col("url").alias("parent_url"),
+            F.col("depth").alias("parent_depth"),
+            F.col("score").alias("parent_score"),
+            F.posexplode(all_links).alias("pos", "link"),
+        )
+        .select(
+            F.col("link.href").alias("url"),
+            F.col("parent_url"),
+            (F.col("parent_depth") + 1).alias("depth"),
+            F.col("parent_score"),
+            F.col("pos"),
+        )
+        .where(F.col("url").rlike(VALID_URL_RE))
+        .where(F.col("depth") <= config.max_depth)
+    )
+    cand = cand.withColumn("url_fp", url_fingerprint("url")).withColumn(
+        "host", host_col(F.col("url"))
+    )
+    # default scorer: inherit BFS priority 1.0 (best-first plugs in here)
+    cand = cand.withColumn("score", F.lit(1.0))
+    if config.score_threshold is not None:
+        cand = cand.where(F.col("score") >= config.score_threshold)
+    first = Window.partitionBy("url_fp").orderBy(
+        F.asc("depth"), F.desc("parent_score"), F.asc("parent_url"), F.asc("pos")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(first))
+        .where(F.col("_rn") == 1)
+        .select(
+            "url",
+            "url_fp",
+            "host",
+            "depth",
+            "score",
+            "parent_url",
+            F.lit(wave + 1).alias("enqueue_wave"),
+        )
+    )
+
+
+def _anti_join_seen(
+    fresh: DataFrame, seen_keys: DataFrame | None, shards: DataFrame | None, config: CrawlConfig
+) -> DataFrame:
+    """Drop already-enqueued URLs: bloom pre-filter (cuts shuffle volume)
+    backed by the exact anti-join (correctness)."""
+    if seen_keys is None:
+        return fresh
+    if config.use_bloom and shards is not None:
+        tagged = bloom_prefilter(fresh, shards, config.n_bloom_shards)
+        definite_new = tagged.where(~F.col("maybe_seen")).drop("maybe_seen", "shard_id")
+        maybe = tagged.where(F.col("maybe_seen")).drop("maybe_seen", "shard_id")
+        survivors = maybe.join(seen_keys, "url_fp", "left_anti")
+        return definite_new.unionByName(survivors)
+    return fresh.join(seen_keys, "url_fp", "left_anti")
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    store_dir: str,
+    config: CrawlConfig | None = None,
+    robots: DataFrame | None = None,
+    host_budgets: DataFrame | None = None,
+) -> dict:
+    """Run (or resume) a crawl to completion. Returns a summary dict."""
+    config = config or CrawlConfig()
+    store = WaveStore(spark, store_dir)
+    pages_slim = pages.select("url", "html")
+
+    last = store.last_wave()
+    if last is None:
+        seeds_frontier = _prepare_seeds(seeds)
+        frontier_all = seeds_frontier
+        attempted_keys = None
+        host_state = None
+        shards = None
+        wave = 0
+        total_attempted = 0
+        seed_delta = seeds_frontier  # committed with wave 0
+    else:
+        frontier_all = store.read_table("frontier_delta")
+        results_all = store.read_table("results")
+        attempted_keys = results_all.select("url_fp") if results_all is not None else None
+        host_state = store.read_latest("host_state")
+        shards = store.read_table("seen_bloom") if config.use_bloom else None
+        wave = last + 1
+        total_attempted = results_all.count() if results_all is not None else 0
+        seed_delta = None
+
+    summary = {"waves": [], "resumed_from": last}
+
+    while wave < config.max_waves:
+        t0 = time.time()
+        pending = frontier_all.select(*FRONTIER_COLS)
+        if attempted_keys is not None:
+            pending = pending.join(attempted_keys, "url_fp", "left_anti")
+
+        remaining = None
+        if config.max_pages is not None:
+            remaining = config.max_pages - total_attempted
+            if remaining <= 0:
+                break
+
+        ranked = rank_by_host_budget(
+            pending,
+            host_budgets,
+            config.default_budget,
+            host_state=host_state,
+            global_limit=remaining,
+        )
+        wave_sel = ranked.where(F.col("selected")).drop("selected")
+        wave_sel = attach_robots_verdict(wave_sel, robots, config.user_agent)
+        fetched = wave_sel.join(pages_slim, "url", "left").withColumn(
+            "status",
+            F.when(~F.col("robots_allowed"), F.lit("robots_denied"))
+            .when(F.col("html").isNull(), F.lit("missing"))
+            .otherwise(F.lit("fetched")),
+        )
+        extracted = _extract_wave(
+            fetched.where(F.col("status") == "fetched"), config.links_only
+        ).persist()
+        extra = [] if config.links_only else ["extract"]
+        non_fetched = (
+            fetched.where(F.col("status") != "fetched")
+            .withColumn("links", F.lit(None).cast(extracted.schema["links"].dataType))
+        )
+        if not config.links_only:
+            non_fetched = non_fetched.withColumn(
+                "extract", F.lit(None).cast(extracted.schema["extract"].dataType)
+            )
+        result_cols = [
+            "url", "url_fp", "host", "depth", "score", "parent_url", "status", "html", "links",
+        ] + extra
+        results = _result_rows(extracted.select(*result_cols), wave, config.links_only).unionByName(
+            _result_rows(non_fetched.select(*result_cols), wave, config.links_only)
+        )
+
+        fresh = _discover(extracted, wave, config)
+        fresh = _anti_join_seen(fresh, frontier_all.select("url_fp"), shards, config)
+
+        if config.max_pages is not None:
+            cap = Window.orderBy(*wave_order())
+            fresh = (
+                fresh.withColumn("_rn", F.row_number().over(cap))
+                .where(F.col("_rn") <= max(config.max_pages - total_attempted, 0))
+                .drop("_rn")
+            )
+        fresh = fresh.persist()
+
+        frontier_delta = fresh if seed_delta is None else seed_delta.unionByName(fresh)
+
+        n_selected = results.count()
+        n_fresh = fresh.count()
+        if n_selected == 0:
+            extracted.unpersist()
+            fresh.unpersist()
+            break
+
+        outcomes = (
+            fetched.groupBy("host")
+            .agg(
+                F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("n_ok"),
+                # no live 429s in a table-backed fetch; column kept so the
+                # backoff state machine is exercised end-to-end
+                F.sum(F.lit(0)).alias("n_throttled"),
+            )
+        )
+        new_host_state = update_host_state(host_state, outcomes)
+
+        lineage = (
+            results.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("rows_out"))
+            .withColumn("wave", F.lit(wave))
+            .withColumn("table", F.lit("results"))
+        )
+        metrics = spark.createDataFrame(
+            [
+                {
+                    "wave": wave,
+                    "n_attempted": n_selected,
+                    "n_new_frontier": n_fresh,
+                    "wall_sec": time.time() - t0,
+                }
+            ]
+        )
+
+        tables = {
+            "results": results,
+            "frontier_delta": frontier_delta,
+            "host_state": new_host_state,
+            "metrics": metrics,
+            "lineage": lineage,
+        }
+        if config.use_bloom:
+            tables["seen_bloom"] = build_bloom_shards(
+                frontier_delta, config.n_bloom_shards, config.bloom_fpp
+            )
+        marker = store.write_wave(wave, tables, meta={"config": str(config)})
+        summary["waves"].append(marker["counts"] | {"wave": wave})
+
+        extracted.unpersist()
+        fresh.unpersist()
+
+        # reload state from committed storage (cheap: metadata-only plans)
+        frontier_all = store.read_table("frontier_delta")
+        results_all = store.read_table("results")
+        attempted_keys = results_all.select("url_fp")
+        host_state = store.read_latest("host_state")
+        shards = store.read_table("seen_bloom") if config.use_bloom else None
+        total_attempted += n_selected
+        wave += 1
+        seed_delta = None
+
+    summary["total_attempted"] = total_attempted
+    summary["final_wave"] = wave - 1
+    return summary

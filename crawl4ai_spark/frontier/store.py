@@ -1,0 +1,120 @@
+"""WaveStore — atomic per-wave checkpoints of the crawl state.
+
+The reference checkpoints BFS state as an in-memory dict snapshot
+(``crawl4ai/deep_crawling/bfs_strategy.py:275-299`` resume_state /
+export); the north rule upgrades that to "every frontier iteration
+checkpoints frontier, seen-filter shards, and per-partition lineage +
+metrics so a killed job resumes exactly".
+
+Design — append-only tables + commit markers (an Iceberg-shaped protocol
+over plain parquet, since no Iceberg runtime ships in this sandbox; on a
+real cluster each ``write`` becomes ``writeTo(...).append()`` and the
+marker becomes the Iceberg snapshot commit):
+
+    store/
+      tables/<name>/wave=K/  ← parquet dir (Spark _SUCCESS inside)
+      _commits/wave-K.json   ← atomic marker (tmp + rename), written only
+                               after every table of wave K is on disk
+
+Tables are **append-only deltas** keyed by wave:
+  results        one row per attempted URL (fetched / robots-denied / missing)
+  frontier_delta URLs first discovered at wave K (unique by url_fp globally)
+  seen_bloom     bloom shard generation built from wave K's frontier_delta
+  host_state     full (small) politeness-state snapshot as of wave K
+  metrics        one row per wave: stage counts + wall time
+  lineage        per-partition row counts for results + discoveries
+
+Recovery invariant: a reader only ever sees waves with commit markers;
+a crashed wave K leaves orphan parquet dirs that the re-run of wave K
+overwrites (mode=overwrite keyed by wave id ⇒ idempotent exactly-once).
+
+Derived state (no in-place updates anywhere):
+  seen(K)    = union of frontier_delta[0..K] keys
+  pending(K) = seen(K) − results[0..K].url_fp
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+COMMIT_DIR = "_commits"
+TABLES_DIR = "tables"
+
+
+class WaveStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, COMMIT_DIR), exist_ok=True)
+
+    # ── commit protocol ──────────────────────────────────────────────
+
+    def _table_path(self, name: str, wave: int) -> str:
+        return os.path.join(self.root, TABLES_DIR, name, f"wave={wave}")
+
+    def _marker_path(self, wave: int) -> str:
+        return os.path.join(self.root, COMMIT_DIR, f"wave-{wave}.json")
+
+    def write_wave(self, wave: int, tables: dict[str, DataFrame], meta: dict | None = None) -> dict:
+        """Write all tables of one wave, then atomically commit the marker."""
+        counts: dict[str, int] = {}
+        for name, df in tables.items():
+            path = self._table_path(name, wave)
+            df.write.mode("overwrite").parquet(path)
+            counts[name] = self.spark.read.parquet(path).count()
+        marker = {
+            "wave": wave,
+            "tables": sorted(tables),
+            "counts": counts,
+            "meta": meta or {},
+            "committed_at": time.time(),
+        }
+        tmp = self._marker_path(wave) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(marker, fh)
+        os.replace(tmp, self._marker_path(wave))  # atomic commit point
+        return marker
+
+    def committed_waves(self) -> list[int]:
+        out = []
+        commit_dir = os.path.join(self.root, COMMIT_DIR)
+        for name in os.listdir(commit_dir):
+            if name.startswith("wave-") and name.endswith(".json"):
+                out.append(int(name[len("wave-"):-len(".json")]))
+        return sorted(out)
+
+    def last_wave(self) -> int | None:
+        waves = self.committed_waves()
+        return waves[-1] if waves else None
+
+    def marker(self, wave: int) -> dict:
+        with open(self._marker_path(wave)) as fh:
+            return json.load(fh)
+
+    # ── readers (committed waves only) ───────────────────────────────
+
+    def read_table(self, name: str, waves: list[int] | None = None) -> DataFrame | None:
+        """Union of a table's committed wave deltas (None → all committed)."""
+        if waves is None:
+            waves = self.committed_waves()
+        paths = [
+            self._table_path(name, w)
+            for w in waves
+            if name in self.marker(w)["tables"] and self.marker(w)["counts"].get(name, 0) > 0
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return None
+        return self.spark.read.option("basePath", os.path.join(self.root, TABLES_DIR, name)).parquet(*paths)
+
+    def read_latest(self, name: str) -> DataFrame | None:
+        """Latest committed snapshot of a snapshot-style table (host_state)."""
+        for wave in reversed(self.committed_waves()):
+            m = self.marker(wave)
+            if name in m["tables"] and m["counts"].get(name, 0) > 0:
+                return self.spark.read.parquet(self._table_path(name, wave))
+        return None

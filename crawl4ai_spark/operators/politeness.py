@@ -1,0 +1,123 @@
+"""Per-host politeness — budgeted wave selection + backoff state machine.
+
+The reference enforces politeness with wall-clock sleeps per domain
+(``crawl4ai/async_dispatcher.py:28-85`` RateLimiter) — per-domain delay,
+exponential backoff ×2 on 429/503 capped at 60 s, ×0.75 decay on success,
+give-up after max_retries. In a batch-iterated frontier, wall-clock delay
+becomes a **per-wave request budget**: at most ``budget(host)`` URLs per
+host per wave, enforced by a grouped window rank; hosts in backoff get
+budget 0 for ``cooldown_waves`` waves. The equivalence contract (SURVEY.md
+§7): under budget b, the multiset of (host, wave#) fetch assignments
+matches the reference's (host, ⌊t/Δ⌋) schedule.
+
+Scale notes (100 TB / 10^10 URLs):
+- The window partitions by ``host``. We ``repartition(host)`` first, so the
+  window itself adds no second shuffle and every later groupBy(host) in the
+  wave reuses the same hash partitioning.
+- Hot hosts (frontier skew) are bounded by construction: rank ≤ budget cuts
+  each host's contribution to at most ``budget`` rows *before* any further
+  join, so a 10^8-row host cannot bloat a wave. AQE skew-join handles the
+  residual skew of the rank input.
+- ``host_budgets`` is a small dimension → broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def wave_order():
+    """Deterministic total wave-selection order (score desc, depth, url)."""
+    return [F.desc("score"), F.asc("depth"), F.asc("url")]
+
+
+def rank_by_host_budget(
+    pending: DataFrame,
+    host_budgets: DataFrame | None,
+    default_budget: int = 100,
+    host_state: DataFrame | None = None,
+    global_limit: int | None = None,
+) -> DataFrame:
+    """Select this wave's fetch set: top-``budget(host)`` rows per host by
+    (score desc, depth, url), then an optional deterministic global cap.
+
+    Returns ``pending`` with a ``selected`` boolean; unselected rows simply
+    stay in the frontier for the next wave (no state mutation).
+    """
+    df = pending.repartition(F.col("host"))
+    if host_budgets is not None:
+        df = df.join(F.broadcast(host_budgets.select("host", "budget")), "host", "left")
+        df = df.withColumn("budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
+    else:
+        df = df.withColumn("budget", F.lit(default_budget))
+    if host_state is not None:
+        cooldown = host_state.select("host", "cooldown_waves")
+        df = df.join(F.broadcast(cooldown), "host", "left")
+        df = df.withColumn(
+            "budget",
+            F.when(F.coalesce(F.col("cooldown_waves"), F.lit(0)) > 0, F.lit(0)).otherwise(
+                F.col("budget")
+            ),
+        ).drop("cooldown_waves")
+
+    host_window = Window.partitionBy("host").orderBy(*wave_order())
+    df = df.withColumn("host_rank", F.row_number().over(host_window))
+    df = df.withColumn("selected", F.col("host_rank") <= F.col("budget"))
+
+    if global_limit is not None:
+        # Deterministic global cap (max_pages semantics,
+        # bfs_strategy.py:189-196): keep the top-scored remainder.
+        global_window = Window.orderBy(*wave_order())
+        df = df.withColumn(
+            "selected",
+            F.col("selected")
+            & (F.row_number().over(global_window.partitionBy(F.col("selected"))) <= global_limit),
+        )
+    return df.drop("budget", "host_rank")
+
+
+def update_host_state(
+    host_state: DataFrame | None,
+    wave_outcomes: DataFrame,
+    base_delay: float = 0.25,
+    max_delay: float = 60.0,
+    max_retries: int = 3,
+    wave_seconds: float = 1.0,
+) -> DataFrame:
+    """Port of the RateLimiter backoff state machine to per-wave columns.
+
+    ``wave_outcomes``: one row per (host) with ``n_ok`` and ``n_throttled``
+    (429/503-equivalent outcomes). Transition per wave:
+
+    - any throttled → delay ×2 (capped), fail_count+1,
+      cooldown_waves = ceil(delay / wave_seconds)
+    - else           → delay ×0.75 floored at base, fail_count unchanged,
+      cooldown 0 (jitter deliberately excluded — parity is on state
+      transitions, not randomness; SURVEY.md §7 watch list)
+    - fail_count > max_retries → host retired (cooldown = -1 sentinel)
+    """
+    spark = wave_outcomes.sparkSession
+    if host_state is None:
+        host_state = spark.createDataFrame(
+            [],
+            "host string, current_delay double, fail_count int, cooldown_waves int",
+        )
+    merged = host_state.join(wave_outcomes, "host", "full")
+    throttled = F.coalesce(F.col("n_throttled"), F.lit(0)) > 0
+    delay = F.coalesce(F.col("current_delay"), F.lit(base_delay))
+    fails = F.coalesce(F.col("fail_count"), F.lit(0))
+    new_delay = F.when(throttled, F.least(delay * 2.0, F.lit(max_delay))).otherwise(
+        F.greatest(delay * 0.75, F.lit(base_delay))
+    )
+    new_fails = F.when(throttled, fails + 1).otherwise(fails)
+    cooldown = F.when(new_fails > max_retries, F.lit(-1)).otherwise(
+        F.when(throttled, F.ceil(new_delay / F.lit(wave_seconds)).cast("int")).otherwise(
+            F.greatest(F.coalesce(F.col("cooldown_waves"), F.lit(0)) - 1, F.lit(0))
+        )
+    )
+    return merged.select(
+        "host",
+        new_delay.alias("current_delay"),
+        new_fails.alias("fail_count"),
+        cooldown.alias("cooldown_waves"),
+    )

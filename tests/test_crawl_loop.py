@@ -1,0 +1,149 @@
+"""Spark wave loop ≡ single-process reference crawler, plus resume and
+checkpoint invariants."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.frontier.bfs import CrawlConfig, run_crawl
+from crawl4ai_spark.frontier.store import WaveStore
+
+from tests.reference_crawler import reference_crawl
+
+
+def _inputs(spark, site_dir):
+    pages = spark.read.parquet(os.path.join(site_dir, "pages.parquet"))
+    seeds = spark.read.parquet(os.path.join(site_dir, "seeds.parquet"))
+    robots = spark.read.parquet(os.path.join(site_dir, "robots.parquet"))
+    budgets = spark.read.parquet(os.path.join(site_dir, "host_budgets.parquet"))
+    return pages, seeds, robots, budgets
+
+
+def _reference(site, budgets=None, robots=True, **kw):
+    pages_by_url = {p["url"]: p["html"] for p in site["pages"]}
+    seeds = [s["url"] for s in site["seeds"]]
+    robots_rules = {r["host"]: r["rules_text"] for r in site["robots"]} if robots else None
+    return reference_crawl(pages_by_url, seeds, budgets=budgets, robots_rules=robots_rules, **kw)
+
+
+def _spark_waves(spark, store_dir):
+    store = WaveStore(spark, store_dir)
+    results = store.read_table("results")
+    out = []
+    for wave in store.committed_waves():
+        rows = results.where(F.col("wave") == wave).select("url", "status").collect()
+        out.append(
+            {
+                "attempted": {r.url for r in rows},
+                "denied": {r.url for r in rows if r.status == "robots_denied"},
+                "fetched": {r.url for r in rows if r.status == "fetched"},
+            }
+        )
+    return [w for w in out if w["attempted"]]
+
+
+@pytest.mark.parametrize("use_bloom", [True, False])
+def test_bfs_matches_reference_with_budgets_and_robots(
+    spark, site, site_dir, tmp_path, use_bloom
+):
+    pages, seeds, robots, budgets = _inputs(spark, site_dir)
+    store_dir = str(tmp_path / f"store_bloom_{use_bloom}")
+    config = CrawlConfig(max_depth=3, links_only=True, use_bloom=use_bloom, n_bloom_shards=4)
+    summary = run_crawl(spark, pages, seeds, store_dir, config, robots=robots, host_budgets=budgets)
+
+    budget_map = {r["host"]: r["budget"] for r in site["host_budgets"]}
+    ref = _reference(site, budgets=budget_map, max_depth=3)
+
+    got_waves = _spark_waves(spark, store_dir)
+    assert len(got_waves) == len(ref["waves"]), (
+        f"wave count mismatch: spark={len(got_waves)} ref={len(ref['waves'])}"
+    )
+    for i, (got, want) in enumerate(zip(got_waves, ref["waves"])):
+        assert got["attempted"] == want["attempted"], f"wave {i} attempted set differs"
+        assert got["denied"] == want["denied"], f"wave {i} denied set differs"
+        assert got["fetched"] == want["fetched"], f"wave {i} fetched set differs"
+    assert summary["total_attempted"] == len(ref["attempted"])
+
+
+def test_bfs_depths_match_link_graph_oracle(spark, site, site_dir, tmp_path):
+    """Unlimited budget, no robots → pure BFS; depths must equal the
+    generator's link-graph oracle."""
+    pages, seeds, _, _ = _inputs(spark, site_dir)
+    store_dir = str(tmp_path / "store_pure")
+    config = CrawlConfig(max_depth=3, links_only=True, use_bloom=False)
+    run_crawl(spark, pages, seeds, store_dir, config)
+
+    store = WaveStore(spark, store_dir)
+    got = {
+        r.url: r.depth
+        for r in store.read_table("results").select("url", "depth").collect()
+    }
+    want = {r["url"]: r["depth"] for r in site["link_graph"]}
+    assert got == want
+
+
+def test_no_url_attempted_twice(spark, site_dir, tmp_path):
+    pages, seeds, robots, budgets = _inputs(spark, site_dir)
+    store_dir = str(tmp_path / "store_once")
+    run_crawl(
+        spark, pages, seeds, store_dir,
+        CrawlConfig(max_depth=3, links_only=True, n_bloom_shards=4),
+        robots=robots, host_budgets=budgets,
+    )
+    store = WaveStore(spark, store_dir)
+    results = store.read_table("results")
+    dups = results.groupBy("url").count().where(F.col("count") > 1).count()
+    assert dups == 0
+
+
+def test_resume_exactly_continues(spark, site, site_dir, tmp_path):
+    """Kill after 2 waves (max_waves), rerun → identical final state to an
+    uninterrupted crawl, no duplicate attempts."""
+    pages, seeds, robots, budgets = _inputs(spark, site_dir)
+    store_dir = str(tmp_path / "store_resume")
+    config_partial = CrawlConfig(max_depth=3, links_only=True, max_waves=2, n_bloom_shards=4)
+    run_crawl(spark, pages, seeds, store_dir, config_partial, robots=robots, host_budgets=budgets)
+    store = WaveStore(spark, store_dir)
+    assert store.last_wave() == 1  # stopped early
+
+    config_full = CrawlConfig(max_depth=3, links_only=True, n_bloom_shards=4)
+    summary = run_crawl(spark, pages, seeds, store_dir, config_full, robots=robots, host_budgets=budgets)
+    assert summary["resumed_from"] == 1
+
+    budget_map = {r["host"]: r["budget"] for r in site["host_budgets"]}
+    ref = _reference(site, budgets=budget_map, max_depth=3)
+    results = store.read_table("results")
+    assert {r.url for r in results.select("url").collect()} == ref["attempted"]
+    dups = results.groupBy("url").count().where(F.col("count") > 1).count()
+    assert dups == 0
+    # per-wave sets still match the reference across the kill/resume boundary
+    got_waves = _spark_waves(spark, store_dir)
+    for i, (got, want) in enumerate(zip(got_waves, ref["waves"])):
+        assert got["attempted"] == want["attempted"], f"wave {i} differs across resume"
+
+
+def test_max_pages_budget(spark, site, site_dir, tmp_path):
+    pages, seeds, _, _ = _inputs(spark, site_dir)
+    store_dir = str(tmp_path / "store_cap")
+    config = CrawlConfig(max_depth=3, links_only=True, max_pages=10, use_bloom=False)
+    summary = run_crawl(spark, pages, seeds, store_dir, config)
+    assert summary["total_attempted"] <= 10
+    ref = _reference(site, robots=False, max_pages=10, max_depth=3)
+    store = WaveStore(spark, store_dir)
+    got = {r.url for r in store.read_table("results").select("url").collect()}
+    assert got == ref["attempted"]
+
+
+def test_full_extraction_mode_writes_markdown(spark, site, site_dir, tmp_path):
+    pages, seeds, _, _ = _inputs(spark, site_dir)
+    store_dir = str(tmp_path / "store_full")
+    config = CrawlConfig(max_depth=1, links_only=False, use_bloom=False)
+    run_crawl(spark, pages, seeds, store_dir, config)
+    store = WaveStore(spark, store_dir)
+    results = store.read_table("results").where(F.col("status") == "fetched")
+    golden = {p["url"]: p["text"] for p in site["pages"]}
+    for row in results.select("url", "raw_markdown", "title", "lang").collect():
+        assert row.raw_markdown == golden[row.url], f"markdown mismatch for {row.url}"
+        assert row.title
+        assert row.lang
