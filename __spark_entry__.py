@@ -1,38 +1,385 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship crawl-analytics pipeline on sf0.001.
+``queries()`` / ``oracle_sql()`` — operator inventory from SURVEY.md §2 +
+the training-data-pipeline operators (dedup / similarity / text
+analysis), each checked against DuckDB at sf0.01 by the driver.
+
+Column-name contract: every computed column is aliased identically in the
+Spark plan and the oracle SQL (the driver hash-compares sorted columns).
+Float-summing columns are rounded on BOTH sides to absorb summation-order
+differences between engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# Flagship
+# ──────────────────────────────────────────────────────────────────────────
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Synthesize an HTML page per document (deterministic), run the full
+    extraction UDF (links/markdown/head), and aggregate a per-language
+    crawl-quality summary — the engine's extraction + analytics stack in
+    one plan."""
+    from crawl4ai_spark.extraction.udfs import udf_full_extract, lang_col
+    from crawl4ai_spark.operators.textstats import quality_score_col, token_count_col
+
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    pages = docs.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.concat(
+            F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>doc '),
+            F.col("doc_id").cast("string"), F.lit("</title></head><body><h1>doc "),
+            F.col("doc_id").cast("string"), F.lit("</h1><p>"), F.col("text"),
+            F.lit("</p></body></html>"),
+        ).cast("binary").alias("html"),
+        F.col("text"),
+    )
+    extracted = pages.select(
+        "doc_id", "lang", "text",
+        udf_full_extract("html", F.concat(F.lit("http://corpus.test/doc/"), F.col("doc_id"))).alias("ex"),
+        lang_col(F.col("html")).alias("lang_extracted"),
+    )
+    return (
+        extracted.withColumn("md_len", F.length("ex.markdown.raw_markdown"))
+        .withColumn("quality", quality_score_col(F.col("text")))
+        .withColumn("n_tokens", token_count_col(F.col("text")))
+        .withColumn("lang_ok", (F.col("lang") == F.col("lang_extracted")).cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("md_len"), 4).alias("avg_markdown_len"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.sum("lang_ok").alias("n_lang_roundtrip_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# queries() — each with a matching oracle_sql() entry unless noted
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rk")
+    )
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def _q_politeness_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host budget rank analog (SURVEY §2.4) on the events table."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("user_id", "event_id", F.round("value", 2).alias("value"), "rk")
+    )
+
+
+def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.operators.dedup import exact_duplicate_groups
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicate_groups(docs).select(
+        "content_md5", "n_dups", F.element_at("doc_ids", 1).alias("min_doc_id")
+    )
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.operators.textstats import token_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("text_chars"),
+    )
+
+
+def _q_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.operators.textstats import quality_score_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score_col(F.col("text")).alias("quality"))
+
+
+def _q_term_df_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.operators.textstats import term_frequencies
+
+    docs = _read(spark, sf_dir, "documents")
+    return term_frequencies(docs).orderBy(F.desc("df"), F.asc("term")).limit(20)
+
+
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup pairs, exact-verified. Rows-only driver check
+    (MinHash banding is not SQL-expressible); pytest asserts recall vs the
+    exact operator."""
+    from crawl4ai_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=3, k=64, bands=16, threshold=0.1)
+
+
+def _q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (rows-only driver check)."""
+    from crawl4ai_spark.operators.dedup import simhash_candidate_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, max_hamming=3)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.operators.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb, list(query), k=10, round_to=4)
+
+
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.operators.similarity import cosine_pairs_above
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_pairs_above(emb, threshold=0.35, round_to=4)
+
+
+def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; pytest checks recall
+    against brute force)."""
+    from crawl4ai_spark.operators.similarity import ann_topk_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann_topk_lsh(emb, list(query), k=10, n_planes=10, probe_hamming=2)
+
+
+def _q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-panel language-ID over documents (rows-only: heuristic
+    internals mirrored in pytest, not SQL)."""
+    from crawl4ai_spark.operators.textstats import langid_best
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid_best(F.col("text")).alias("lang_pred"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": _q_pricing_summary,
+        "topk_orders_per_customer": _q_topk_orders_per_customer,
+        "customers_without_orders": _q_customers_without_orders,
+        "first_event_per_user": _q_first_event_per_user,
+        "events_hourly": _q_events_hourly,
+        "politeness_rank_events": _q_politeness_rank_events,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "token_stats": _q_token_stats,
+        "lang_dist": _q_lang_dist,
+        "quality_scores": _q_quality_scores,
+        "term_df_top20": _q_term_df_top20,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_candidates": _q_simhash_candidates,
+        "cosine_topk": _q_cosine_topk,
+        "cosine_pairs": _q_cosine_pairs,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "langid_heuristic": _q_langid_heuristic,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB-mirrored token cleaning (must equal textstats.clean_terms_col).
+_CLEAN_TOKS = (
+    "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', '', 'g')), '\\s+'), t -> length(t) > 2)"
+)
+_NTOK = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                  FROM orders)
+            WHERE rk <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "first_event_per_user": """
+            SELECT user_id, event_id, event_type, ts
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS rk FROM events)
+            WHERE rk = 1
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "politeness_rank_events": """
+            SELECT user_id, event_id, round(value, 2) AS value, rk
+            FROM (SELECT user_id, event_id, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY value DESC, event_id) AS rk FROM events)
+            WHERE rk <= 2
+        """,
+        "exact_dup_groups": """
+            SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "token_stats": f"""
+            SELECT doc_id, {_NTOK} AS n_tokens, length(text) AS text_chars FROM documents
+        """,
+        "lang_dist": """
+            SELECT lang, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   round(  least(({_NTOK}) / 100.0, 1.0) * 0.4
+                         + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+                               THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
+                               ELSE 0.0 END) * 10.0) * 0.3
+                         + greatest(0.0, 1.0 - abs((CASE WHEN ({_NTOK}) > 0
+                               THEN length(text) * 1.0 / ({_NTOK}) ELSE 0.0 END) - 5.0) / 5.0) * 0.3
+                   , 6) AS quality
+            FROM documents
+        """,
+        "term_df_top20": f"""
+            WITH toks AS (SELECT doc_id, unnest({_CLEAN_TOKS}) AS term FROM documents)
+            SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+            FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 20
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH toks AS (SELECT doc_id, {_CLEAN_TOKS} AS w FROM documents),
+            grams AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) >= 3
+                         THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                         ELSE [] END)) AS shingle
+                FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(n_inter * 1.0 / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE n_inter * 1.0 / (sa.set_size + sb.set_size - n_inter) >= 0.1
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4) AS cosine_sim
+            FROM embeddings, q
+            ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4) DESC, vec_id
+            LIMIT 10
+        """,
+        "cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
+        """,
+        # minhash_lsh_pairs / simhash_candidates / ann_topk_lsh /
+        # langid_heuristic: intentionally no oracle (hash-permutation /
+        # LSH internals are not SQL-expressible) → rows-only driver check;
+        # pytest asserts recall vs the exact operators instead.
+    }

@@ -1,0 +1,151 @@
+"""Dedup / similarity / textstats operator tests at sf0.001, including
+recall of the approximate (scale) paths against the exact baselines."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF, "documents.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet")).cache()
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    from crawl4ai_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, k=64, bands=16, threshold=0.3).collect()
+    }
+    # exact-verified LSH pairs are a subset of exact pairs by construction
+    assert approx <= exact
+    # recall at jaccard>=0.3 with 16 bands of 4 rows: expect most pairs
+    if exact:
+        assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
+
+
+def test_minhash_deterministic(spark, docs):
+    from crawl4ai_spark.operators.dedup import minhash_signatures
+
+    s1 = minhash_signatures(docs.limit(20)).collect()
+    s2 = minhash_signatures(docs.limit(20)).collect()
+    assert {r.doc_id: tuple(r.signature) for r in s1} == {
+        r.doc_id: tuple(r.signature) for r in s2
+    }
+
+
+def test_simhash_close_docs_collide(spark):
+    """Banding guarantee (pigeonhole): any pair within hamming ≤ 3 of the
+    4×16-bit chunks shares a chunk and is surfaced; distant docs are not."""
+    from crawl4ai_spark.operators.dedup import simhash_candidate_pairs
+
+    base = "spark frontier crawl wave page link host budget robots queue score depth " * 20
+    rows = [
+        (1, base),
+        (2, base),  # identical → hamming 0, must collide
+        (3, "completely different words about cooking pasta tomatoes basil olive garlic"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_candidate_pairs(df, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # returned pairs always satisfy the hamming bound
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """Recall on clustered vectors (true neighbors at cosine ≈ 0.95+);
+    hyperplane LSH cannot (and should not) prune weakly-similar random
+    noise, so recall is specified on genuinely-near neighbors."""
+    import numpy as np
+
+    from crawl4ai_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((5, 32))
+    rows = []
+    vid = 0
+    for c in range(5):
+        for _ in range(40):
+            v = centers[c] + 0.15 * rng.standard_normal(32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = rows[0][1]
+    exact = [r.vec_id for r in cosine_topk(df, query, k=10).collect()]
+    approx = [r.vec_id for r in ann_topk_lsh(df, query, k=10, n_planes=10, probe_hamming=2).collect()]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.8, (exact, approx)
+    assert exact[0] == 0 and approx[0] == 0
+
+
+def test_cosine_topk_is_sorted_and_self_first(spark, emb):
+    from crawl4ai_spark.operators.similarity import cosine_topk
+
+    query = list(emb.where(F.col("vec_id") == 0).head().embedding)
+    rows = cosine_topk(emb, query, k=5).collect()
+    sims = [r.cosine_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert rows[0].vec_id == 0 and abs(rows[0].cosine_sim - 1.0) < 1e-6
+
+
+def test_exact_dedup_groups(spark):
+    from crawl4ai_spark.operators.dedup import dedup_keep_first, exact_duplicate_groups
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")],
+        "doc_id long, text string",
+    )
+    groups = exact_duplicate_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0].n_dups == 3 and groups[0].doc_ids == [1, 3, 4]
+    kept = sorted(r.doc_id for r in dedup_keep_first(df).collect())
+    assert kept == [1, 2, 5]
+
+
+def test_langid_best_deterministic_and_sane(spark):
+    from crawl4ai_spark.operators.textstats import langid_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog ran to the house with a ball"),
+            (2, "der hund und die katze ist nicht mit der maus"),
+            (3, "le chat et le chien est dans la maison pour une nuit"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in df.select("doc_id", langid_best(F.col("text")).alias("lang_pred")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_quality_score_bounds(spark, docs):
+    from crawl4ai_spark.operators.textstats import quality_score_col
+
+    stats = docs.select(quality_score_col(F.col("text")).alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).head()
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    # extraction round-trip holds for every synthesized page
+    for r in rows:
+        assert r.n_lang_roundtrip_ok == r.n_docs
