@@ -188,7 +188,7 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
 
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +198,7 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawl4ai_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, n=3, k=64, bands=16, threshold=0.1)
+    return minhash_lsh_pairs(docs, n=3, k=64, bands=16, threshold=0.3)
 
 
 def _q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,7 +363,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON id_a = sa.doc_id
             JOIN sizes sb ON id_b = sb.doc_id
-            WHERE n_inter * 1.0 / (sa.set_size + sb.set_size - n_inter) >= 0.1
+            WHERE n_inter * 1.0 / (sa.set_size + sb.set_size - n_inter) >= 0.3
         """,
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -4,15 +4,20 @@ Exact + near-duplicate detection over a ``documents(doc_id, text)`` table:
 
 - **exact**: hash-groupBy on content digest (one shuffle, map-side
   partial agg).
-- **n-gram Jaccard (exact)**: shingle explode → inverted-index self-join →
-  pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|). Quadratic only
-  within shingle buckets; the join key (shingle) is the pre-filter.
-- **MinHash + LSH (approximate)**: numpy-vectorized signatures (k
-  universal-hash permutations over shingle hashes), banded into buckets,
-  bucket-join for candidates, exact-Jaccard verification of candidates
-  only. The 100 TB path: candidate generation is linear in corpus size.
-- **SimHash**: 64-bit fingerprint + banding on 16-bit chunks for hamming-
-  distance candidate pairs.
+- **n-gram Jaccard (exact)**: prefix-filtered set-similarity join — global
+  shingle rarity order, index only each doc's prefix (|X| − ⌈t·|X|⌉ + 1
+  rarest shingles; any pair with Jaccard ≥ t must collide in the prefix),
+  then verify candidates with a native ``array_intersect``. The classic
+  SSJoin/PPJoin prefix bound (cf. PAPERS.md set-similarity-join line of
+  work) — candidate volume shrinks with the threshold instead of
+  exploding on hot shingles.
+- **MinHash + LSH (approximate)**: shingle hashes computed JVM-side with
+  ``xxhash64`` inside a higher-order ``transform`` (no Python in the
+  hashing hot path); a numpy pandas UDF reduces them to k-permutation
+  signatures; banded buckets → candidate pairs → exact verification of
+  candidates only. The 100 TB path: linear in corpus size.
+- **SimHash**: 64-bit fingerprint + 16-bit-chunk banding for hamming-
+  distance candidates (pigeonhole guarantee for distance ≤ 3).
 
 All pair outputs are canonicalized to ``id_a < id_b`` and deterministic.
 """
@@ -52,20 +57,75 @@ def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def shingles_col(text_col, n: int = 3):
-    """Word n-gram shingles as strings (distinct per doc)."""
+    """Word n-gram shingles as strings (distinct per doc).
+
+    NOTE (perf): Catalyst does not CSE across higher-order-function
+    lambdas, so ``slice(toks, ...)`` here would re-evaluate the whole
+    tokenization regex per shingle if ``toks`` is an expression. Only use
+    this on small inputs / when an array column is genuinely needed; the
+    shingle operators below use the explode+lead row pipeline instead.
+    """
     toks = clean_terms_col(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>")))
+
+
+def shingle_hash_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle:int64) — one row per distinct word-n-gram.
+
+    Single-pass tokenization (posexplode evaluates the regex pipeline
+    once per document), n-gram assembly via window ``lead`` over attribute
+    references, JVM-side xxhash64 — no Python, no expression blowup.
+    """
+    assert 2 <= n <= 5
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(clean_terms_col(F.col(text_col))).alias("pos", "tok"),
     )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array())
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = toks.select(
+        "doc_id", *[p.alias(f"t{i}") for i, p in enumerate(parts)]
+    ).where(F.col(f"t{n-1}").isNotNull())
+    return grams.select(
+        "doc_id",
+        F.xxhash64(F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)])).alias("shingle"),
+    ).distinct()
+
+
+def doc_shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, hashes array<long>, set_size) — aggregated from the row
+    pipeline (one tokenization pass, 8-byte shuffle keys)."""
+    return (
+        shingle_hash_rows(docs, id_col, text_col, n)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("hashes"))
+        .withColumn("set_size", F.size("hashes"))
+        .where(F.col("set_size") > 0)
     )
 
 
-def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
+def _verify_pairs(candidates: DataFrame, base: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard of candidate (id_a, id_b) pairs via array_intersect
+    over hashed shingle sets (native, no shingle-level shuffle)."""
+    a = base.select(
+        F.col("doc_id").alias("id_a"), F.col("hashes").alias("sh_a"), F.col("set_size").alias("size_a")
+    )
+    b = base.select(
+        F.col("doc_id").alias("id_b"), F.col("hashes").alias("sh_b"), F.col("set_size").alias("size_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -75,15 +135,59 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs ≥ threshold.
 
-    Inverted-index join: only documents sharing ≥1 shingle are compared —
-    the classic exact set-similarity-join baseline (cf. PAPERS.md
-    distributed set-similarity-join line of work).
+    Two physical strategies, auto-selected by threshold:
+
+    - **prefix path** (t ≥ 0.25): index only each doc's |X|−⌈t|X|⌉+1
+      globally-rarest shingles (SSJoin prefix bound — a pair with J ≥ t
+      must collide in the prefix), then exact-verify candidates with a
+      native array_intersect. Candidate volume shrinks as t grows.
+    - **count path** (low t): full inverted-index self-join + pair-count
+      aggregation — the prefix bound filters almost nothing below ~0.25,
+      so the straight hash-join/hash-agg plan is cheaper.
     """
-    sh = shingle_table(docs, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    sh = shingle_hash_rows(docs, id_col, text_col, n)
+    base = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("hashes"))
+        .withColumn("set_size", F.size("hashes"))
+    )
+    if prefix_filter is None:
+        prefix_filter = threshold >= 0.25
+    if prefix_filter:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("gfreq"))
+        index = (
+            sh.join(freq, "shingle")
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy(F.asc("gfreq"), F.asc("shingle"))
+                ),
+            )
+            .join(base.select("doc_id", "set_size"), "doc_id")
+            .where(
+                F.col("rk")
+                <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+            )
+            .select("doc_id", "shingle")
+        )
+        a = index.alias("a")
+        b = index.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+        return _verify_pairs(candidates, base, threshold)
+    # count path: aggregate intersection sizes directly from the join
+    sizes = base.select("doc_id", "set_size")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -91,19 +195,16 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+    return (
+        inter.join(sizes.selectExpr("doc_id as id_a", "set_size as size_a"), "id_a")
+        .join(sizes.selectExpr("doc_id as id_b", "set_size as size_b"), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6
-            ),
+            F.round(F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 # ── MinHash + LSH ────────────────────────────────────────────────────────
@@ -126,10 +227,12 @@ def minhash_signatures(
     k: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """(doc_id, signature array<long>[k]) via numpy universal hashing.
+    """(doc_id, signature array<long>[k]) minhash signatures.
 
-    Permutation i: h_i(x) = (a_i·x + b_i) mod (2^61−1); x = blake2b-64 of
-    the shingle — deterministic across runs and partitions.
+    Shingle → int64 happens JVM-side (``xxhash64`` inside a higher-order
+    ``transform`` — zero Python per shingle); the pandas UDF only reduces
+    the int64 arrays with vectorized universal hashing
+    h_i(x) = (a_i·x + b_i) mod (2^61−1).
     """
     a_params, b_params = _minhash_params(k, seed)
     schema = StructType(
@@ -137,30 +240,20 @@ def minhash_signatures(
     )
 
     def sig(pdf: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-
-        rows = []
-        for doc_id, sh_list in zip(pdf["doc_id"], pdf["shingles"]):
-            if sh_list is None or len(sh_list) == 0:
-                rows.append((doc_id, [0] * k))
+        out_ids, out_sigs = [], []
+        for doc_id, hashes in zip(pdf["doc_id"], pdf["hashes"]):
+            if hashes is None or len(hashes) == 0:
+                out_ids.append(doc_id)
+                out_sigs.append([0] * k)
                 continue
-            xs = np.fromiter(
-                (
-                    int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-                    for s in sh_list
-                ),
-                dtype=np.uint64,
-                count=len(sh_list),
-            )
-            # (a*x + b) mod p, vectorized over (k, n_shingles)
+            xs = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
             prod = (a_params[:, None] * xs[None, :] + b_params[:, None]) % _MERSENNE_P
-            rows.append((doc_id, prod.min(axis=1).astype(np.int64).tolist()))
-        return pd.DataFrame(rows, columns=["doc_id", "signature"])
+            out_ids.append(doc_id)
+            out_sigs.append(prod.min(axis=1).astype(np.int64).tolist())
+        return pd.DataFrame({"doc_id": out_ids, "signature": out_sigs})
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), n).alias("shingles")
-    )
-    return base.mapInPandas(lambda it: (sig(pdf) for pdf in it), schema)
+    hashed = doc_shingle_sets(docs, id_col, text_col, n).select("doc_id", "hashes")
+    return hashed.mapInPandas(lambda it: (sig(pdf) for pdf in it), schema)
 
 
 def minhash_lsh_pairs(
@@ -184,9 +277,13 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.hash(F.concat_ws("_", F.lit(b), *[
-                        F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)
-                    ]))
+                    F.hash(
+                        F.concat_ws(
+                            "_",
+                            F.lit(b),
+                            *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)],
+                        )
+                    )
                     for b in range(bands)
                 ]
             )
@@ -206,29 +303,8 @@ def minhash_lsh_pairs(
     )
     if not verify_exact:
         return candidates
-    sh = shingle_table(docs, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    # exact-verify candidates only: intersection via join on (pair, shingle)
-    inter = (
-        candidates.join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")
-        .join(
-            sh.selectExpr("doc_id as id_b", "shingle"),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    out = (
-        inter.join(sizes.selectExpr("doc_id as id_a", "set_size as size_a"), "id_a")
-        .join(sizes.selectExpr("doc_id as id_b", "set_size as size_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return out
+    base = doc_shingle_sets(docs, id_col, text_col, n)
+    return _verify_pairs(candidates, base, threshold)
 
 
 # ── SimHash ──────────────────────────────────────────────────────────────
@@ -246,7 +322,12 @@ def simhash_candidate_pairs(
         "doc_id",
         "simhash",
         F.posexplode(
-            F.array(*[F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
         ).alias("chunk_idx", "chunk"),
     )
     a = chunks.alias("a")
