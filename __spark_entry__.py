@@ -243,6 +243,83 @@ def _q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", langid_best(F.col("text")).alias("lang_pred"))
 
 
+
+
+def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.operators.bm25 import bm25_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["table", "scan", "join", "merge"])
+
+
+def _q_regex_digit_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.operators.regex_extract import regex_extract_matches
+
+    events = _read(spark, sf_dir, "events")
+    return regex_extract_matches(
+        events, patterns={"digits": r"\d+"}, id_col="event_id", text_col="props"
+    )
+
+
+def _q_fixed_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.operators.chunking import fixed_length_word_chunking
+
+    docs = _read(spark, sf_dir, "documents")
+    return fixed_length_word_chunking(docs, chunk_size=20)
+
+
+def _q_sliding_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.operators.chunking import sliding_window_chunking
+
+    docs = _read(spark, sf_dir, "documents")
+    return sliding_window_chunking(docs, window_size=30, step=15)
+
+
+def _event_url_col():
+    return F.concat(
+        F.lit("http://h"), F.col("user_id").cast("string"), F.lit(".test/"),
+        F.col("event_type"), F.lit("/"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("2021/")).otherwise(F.lit("")),
+        F.lit("e"), F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(".html"))
+        .when(F.col("event_id") % 7 == 0, F.lit(".pdf"))
+        .otherwise(F.lit("")),
+    )
+
+
+def _q_url_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scorer + filter compilers (SURVEY §2.10) over synthesized URLs."""
+    from crawl4ai_spark.operators.filters import (
+        TEXT_EXTENSIONS,
+        compile_content_type_filter,
+        compile_pattern_filter,
+    )
+    from crawl4ai_spark.operators.scorers import freshness_scorer, path_depth_scorer
+
+    events = _read(spark, sf_dir, "events")
+    url = _event_url_col()
+    base = events.select(F.col("event_id"), url.alias("url"))
+    return base.select(
+        "event_id",
+        "url",
+        F.round(path_depth_scorer(3, 1.0)(F.col("url")), 6).alias("depth_score"),
+        F.round(freshness_scorer(2026, 1.0)(F.col("url")), 6).alias("freshness_score"),
+        compile_content_type_filter(TEXT_EXTENSIONS)(F.col("url")).alias("ctype_ok"),
+        compile_pattern_filter(["*.html"])(F.col("url")).alias("is_html"),
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only: binary payload decode is stubbed
+    behind DecoderRegistry with a deterministic fake)."""
+    from crawl4ai_spark.operators.multimodal import extract_media_features, synth_media_table
+
+    media = synth_media_table(spark, 64)
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "sha256", "decode_ok"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -263,6 +340,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": _q_cosine_pairs,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "langid_heuristic": _q_langid_heuristic,
+        "bm25_scores": _q_bm25_scores,
+        "regex_digit_matches": _q_regex_digit_matches,
+        "fixed_chunking": _q_fixed_chunking,
+        "sliding_chunking": _q_sliding_chunking,
+        "url_scoring": _q_url_scoring,
+        "media_features": _q_media_features,
     }
 
 
@@ -378,8 +461,77 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
         """,
+        "bm25_scores": f"""
+            WITH toks AS (SELECT doc_id, unnest({_CLEAN_TOKS}) AS term FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                             (SELECT avg(dl) FROM dl) AS avgdl),
+            q AS (SELECT unnest(['table', 'scan', 'join', 'merge']) AS term),
+            tf AS (SELECT doc_id, t.term, count(*) AS tf
+                   FROM toks t JOIN q ON t.term = q.term GROUP BY doc_id, t.term),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+            SELECT doc_id,
+                   round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+            FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+            GROUP BY doc_id
+        """,
+        "regex_digit_matches": """
+            SELECT event_id, 'digits' AS label, unnest(regexp_extract_all(props, '(\\d+)', 1)) AS value
+            FROM events
+        """,
+        "fixed_chunking": f"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+            SELECT doc_id, u.chunk_index, u.chunk FROM (
+                SELECT doc_id, unnest([{{'chunk_index': i,
+                                        'chunk': array_to_string(w[i*20+1:i*20+20], ' ')}}
+                                       FOR i IN range(0, greatest(cast(ceil(len(w)/20.0) AS int), 1))]) AS u
+                FROM t)
+            WHERE trim(u.chunk) <> ''
+        """,
+        "sliding_chunking": """
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+            SELECT doc_id, u.chunk_index, u.chunk FROM (
+                SELECT doc_id, unnest([{'chunk_index': i,
+                                        'chunk': array_to_string(w[i*15+1:i*15+30], ' ')}
+                                       FOR i IN range(0, cast(floor(greatest(len(w)-30, 0)/15.0) AS int) + 1)]) AS u
+                FROM t)
+            WHERE trim(u.chunk) <> ''
+        """,
+        "url_scoring": """
+            WITH u AS (
+                SELECT event_id,
+                       'http://h' || user_id || '.test/' || event_type || '/'
+                       || CASE WHEN event_id % 4 = 0 THEN '2021/' ELSE '' END
+                       || 'e' || event_id
+                       || CASE WHEN event_id % 5 = 0 THEN '.html'
+                               WHEN event_id % 7 = 0 THEN '.pdf' ELSE '' END AS url
+                FROM events),
+            parsed AS (
+                SELECT event_id, url,
+                       len(list_filter(string_split(regexp_extract(url, '^https?://[^/]+(/.*)$', 1), '/'),
+                                       s -> s <> '')) AS depth,
+                       regexp_extract(url, '(?:/|[-_])((?:19|20)[0-9]{2})(?:/|[-_]|\\.|$)', 1) AS year_s,
+                       lower(regexp_extract(regexp_extract(url, '^https?://[^/]+(/.*)$', 1),
+                                            '\\.([A-Za-z0-9]{1,5})$', 1)) AS ext
+                FROM u)
+            SELECT event_id, url,
+                   round(CASE abs(depth - 3)
+                         WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                         WHEN 2 THEN 1.0/3.0 WHEN 3 THEN 0.25
+                         ELSE 1.0 / (1.0 + abs(depth - 3)) END, 6) AS depth_score,
+                   round(CASE WHEN year_s = '' THEN 0.5
+                         ELSE CASE 2026 - cast(year_s AS int)
+                              WHEN 0 THEN 1.0 WHEN 1 THEN 0.9 WHEN 2 THEN 0.8
+                              WHEN 3 THEN 0.7 WHEN 4 THEN 0.6 WHEN 5 THEN 0.5
+                              ELSE greatest(0.1, 1.0 - (2026 - cast(year_s AS int)) * 0.1) END
+                         END, 6) AS freshness_score,
+                   (ext = '' OR ext IN ('asp','aspx','htm','html','jsp','md','php','txt','xhtml')) AS ctype_ok,
+                   (url LIKE '%.html') AS is_html
+            FROM parsed
+        """,
         # minhash_lsh_pairs / simhash_candidates / ann_topk_lsh /
-        # langid_heuristic: intentionally no oracle (hash-permutation /
+        # langid_heuristic / media_features: intentionally no oracle (hash-permutation /
         # LSH internals are not SQL-expressible) → rows-only driver check;
         # pytest asserts recall vs the exact operators instead.
     }

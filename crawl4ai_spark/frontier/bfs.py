@@ -29,6 +29,7 @@ frontier's bucketing at cluster scale; AQE handles the local case).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -49,6 +50,15 @@ from crawl4ai_spark.frontier.store import WaveStore
 
 VALID_URL_RE = r"^https?://[^/]*\.[^/]*"
 
+_DEBUG_TIMING = bool(os.environ.get("SPARK_GRAFT_DEBUG_TIMING"))
+
+
+def _tick(label: str, t_prev: float) -> float:
+    now = time.time()
+    if _DEBUG_TIMING:
+        print(f"[wave-timing] {label}: {now - t_prev:.1f}s", flush=True)
+    return now
+
 FRONTIER_COLS = ["url", "url_fp", "host", "depth", "score", "parent_url", "enqueue_wave"]
 
 
@@ -65,6 +75,10 @@ class CrawlConfig:
     n_bloom_shards: int = 16
     bloom_fpp: float = 0.01
     user_agent: str = "*"
+    # best-first mode: a compiled scorer (url Column -> score Column), e.g.
+    # crawl4ai_spark.operators.scorers.composite_scorer(...); None = BFS
+    # (constant score 1.0, pure depth order)
+    scorer: object | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -85,22 +99,46 @@ def _prepare_seeds(seeds: DataFrame) -> DataFrame:
         )
         .where(F.col("url").rlike(VALID_URL_RE))
     )
-    first = Window.partitionBy("url_fp").orderBy("url")
-    return df.withColumn("_rn", F.row_number().over(first)).where(F.col("_rn") == 1).drop("_rn")
-
-
-def _extract_wave(fetchable: DataFrame, links_only: bool) -> DataFrame:
-    """Run extraction UDFs over fetched pages (html is non-null here)."""
-    if links_only:
-        return fetchable.withColumn("links", udf_extract_links("html", "url")).withColumn(
-            "extract", F.lit(None)
-        )
-    return fetchable.withColumn("extract", udf_full_extract("html", "url")).withColumn(
-        "links", F.col("extract.links")
+    # dedup by fingerprint via hash agg (all columns derive from url)
+    row = F.struct("url", "host", "depth", "score", "parent_url", "enqueue_wave")
+    return (
+        df.groupBy("url_fp")
+        .agg(F.min_by(row, F.col("url")).alias("r"))
+        .select("url_fp", "r.*")
+        .select(*FRONTIER_COLS)
     )
 
 
-def _result_rows(wave_df: DataFrame, wave: int, links_only: bool) -> DataFrame:
+def _wave_work(fetched: DataFrame, links_only: bool) -> DataFrame:
+    """ONE pass over the heavy ``html`` column → a narrow reusable frame.
+
+    Everything downstream (results assembly, discovery, host outcomes) runs
+    off this persisted narrow projection — the html bytes are decoded and
+    parsed exactly once per wave, and the cached frame carries no payload.
+    The extraction UDF tolerates the null html of non-fetched rows (returns
+    empty structs), which are then masked to NULL.
+    """
+    is_fetched = F.col("status") == "fetched"
+    html_in = F.when(is_fetched, F.col("html"))  # skip parsing denied/missing rows
+    if links_only:
+        df = fetched.withColumn("links_raw", udf_extract_links(html_in, F.col("url")))
+        extract_col = F.lit(None).cast("string").alias("extract")  # placeholder, pruned
+        df = df.withColumn("extract", extract_col)
+    else:
+        df = fetched.withColumn("extract_raw", udf_full_extract(html_in, F.col("url")))
+        df = df.withColumn("links_raw", F.col("extract_raw.links")).withColumn(
+            "extract", F.when(is_fetched, F.col("extract_raw"))
+        )
+    return df.select(
+        *FRONTIER_COLS,
+        "status",
+        F.when(is_fetched, lang_col(F.col("html"))).alias("lang"),
+        F.when(is_fetched, F.col("links_raw")).alias("links"),
+        "extract",
+    )
+
+
+def _result_rows(work: DataFrame, wave: int, links_only: bool) -> DataFrame:
     """Assemble the results-table rows for one wave (stable schema)."""
     if links_only:
         extract_cols = [
@@ -116,7 +154,7 @@ def _result_rows(wave_df: DataFrame, wave: int, links_only: bool) -> DataFrame:
             F.col("extract.markdown.markdown_with_citations").alias("markdown_with_citations"),
             F.col("extract.markdown.references_markdown").alias("references_markdown"),
         ]
-    return wave_df.select(
+    return work.select(
         "url",
         "url_fp",
         "host",
@@ -125,7 +163,7 @@ def _result_rows(wave_df: DataFrame, wave: int, links_only: bool) -> DataFrame:
         "parent_url",
         F.lit(wave).alias("wave"),
         F.col("status"),
-        F.when(F.col("status") == "fetched", lang_col(F.col("html"))).alias("lang"),
+        F.col("lang"),
         F.coalesce(F.size("links.internal"), F.lit(0)).alias("n_internal_links"),
         F.coalesce(F.size("links.external"), F.lit(0)).alias("n_external_links"),
         *extract_cols,
@@ -163,23 +201,32 @@ def _discover(
     cand = cand.withColumn("url_fp", url_fingerprint("url")).withColumn(
         "host", host_col(F.col("url"))
     )
-    # default scorer: inherit BFS priority 1.0 (best-first plugs in here)
-    cand = cand.withColumn("score", F.lit(1.0))
+    # BFS: constant score (pure depth order); best-first: compiled column
+    # scorer evaluated JVM-side on the discovered URL
+    if config.scorer is not None:
+        cand = cand.withColumn("score", config.scorer(F.col("url")))
+    else:
+        cand = cand.withColumn("score", F.lit(1.0))
     if config.score_threshold is not None:
         cand = cand.where(F.col("score") >= config.score_threshold)
-    first = Window.partitionBy("url_fp").orderBy(
-        F.asc("depth"), F.desc("parent_score"), F.asc("parent_url"), F.asc("pos")
+    # first-wins dedup as a hash aggregation (min_by with the lexicographic
+    # discovery-order key) — map-side partial agg, no sort-based window; on
+    # a 20M-link wave this is the difference between a hash shuffle and a
+    # full sort
+    order_key = F.struct(
+        F.col("depth"), (-F.col("parent_score")).alias("neg_ps"), F.col("parent_url"), F.col("pos")
     )
+    row = F.struct("url", "host", "depth", "score", "parent_url")
     return (
-        cand.withColumn("_rn", F.row_number().over(first))
-        .where(F.col("_rn") == 1)
+        cand.groupBy("url_fp")
+        .agg(F.min_by(row, order_key).alias("r"))
         .select(
-            "url",
+            F.col("r.url").alias("url"),
             "url_fp",
-            "host",
-            "depth",
-            "score",
-            "parent_url",
+            F.col("r.host").alias("host"),
+            F.col("r.depth").alias("depth"),
+            F.col("r.score").alias("score"),
+            F.col("r.parent_url").alias("parent_url"),
             F.lit(wave + 1).alias("enqueue_wave"),
         )
     )
@@ -217,7 +264,9 @@ def run_crawl(
 
     last = store.last_wave()
     if last is None:
-        seeds_frontier = _prepare_seeds(seeds)
+        # persisted: wave 0 reuses the seed frontier three times (politeness
+        # pending, seen anti-join, frontier_delta union)
+        seeds_frontier = _prepare_seeds(seeds).persist()
         frontier_all = seeds_frontier
         attempted_keys = None
         host_state = None
@@ -264,26 +313,19 @@ def run_crawl(
             .when(F.col("html").isNull(), F.lit("missing"))
             .otherwise(F.lit("fetched")),
         )
-        extracted = _extract_wave(
-            fetched.where(F.col("status") == "fetched"), config.links_only
-        ).persist()
-        extra = [] if config.links_only else ["extract"]
-        non_fetched = (
-            fetched.where(F.col("status") != "fetched")
-            .withColumn("links", F.lit(None).cast(extracted.schema["links"].dataType))
-        )
-        if not config.links_only:
-            non_fetched = non_fetched.withColumn(
-                "extract", F.lit(None).cast(extracted.schema["extract"].dataType)
-            )
-        result_cols = [
-            "url", "url_fp", "host", "depth", "score", "parent_url", "status", "html", "links",
-        ] + extra
-        results = _result_rows(extracted.select(*result_cols), wave, config.links_only).unionByName(
-            _result_rows(non_fetched.select(*result_cols), wave, config.links_only)
-        )
+        # one pass over html, then everything runs off this narrow cache
+        work = _wave_work(fetched, config.links_only).persist()
 
-        fresh = _discover(extracted, wave, config)
+        t_phase = time.time()
+        results = _result_rows(work, wave, config.links_only)
+        results_written = store.write_table("results", wave, results)
+        t_phase = _tick("extract+results_write", t_phase)
+        n_selected = store.pending_count(wave, "results")
+        if n_selected == 0:
+            work.unpersist()
+            break
+
+        fresh = _discover(work.where(F.col("status") == "fetched"), wave, config)
         fresh = _anti_join_seen(fresh, frontier_all.select("url_fp"), shards, config)
 
         if config.max_pages is not None:
@@ -293,19 +335,14 @@ def run_crawl(
                 .where(F.col("_rn") <= max(config.max_pages - total_attempted, 0))
                 .drop("_rn")
             )
-        fresh = fresh.persist()
 
         frontier_delta = fresh if seed_delta is None else seed_delta.unionByName(fresh)
-
-        n_selected = results.count()
-        n_fresh = fresh.count()
-        if n_selected == 0:
-            extracted.unpersist()
-            fresh.unpersist()
-            break
+        frontier_written = store.write_table("frontier_delta", wave, frontier_delta)
+        n_fresh = store.pending_count(wave, "frontier_delta")
+        t_phase = _tick("discover+frontier_write", t_phase)
 
         outcomes = (
-            fetched.groupBy("host")
+            work.groupBy("host")
             .agg(
                 F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("n_ok"),
                 # no live 429s in a table-backed fetch; column kept so the
@@ -313,15 +350,27 @@ def run_crawl(
                 F.sum(F.lit(0)).alias("n_throttled"),
             )
         )
-        new_host_state = update_host_state(host_state, outcomes)
+        store.write_table("host_state", wave, update_host_state(host_state, outcomes))
+        t_phase = _tick("host_state", t_phase)
 
+        # lineage/bloom derive from the already-written bytes, not a
+        # recomputation of the wave lineage
         lineage = (
-            results.withColumn("partition_id", F.spark_partition_id())
+            results_written.withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id")
             .agg(F.count("*").alias("rows_out"))
             .withColumn("wave", F.lit(wave))
             .withColumn("table", F.lit("results"))
         )
+        store.write_table("lineage", wave, lineage)
+        t_phase = _tick("lineage", t_phase)
+        if config.use_bloom:
+            store.write_table(
+                "seen_bloom",
+                wave,
+                build_bloom_shards(frontier_written, config.n_bloom_shards, config.bloom_fpp),
+            )
+            t_phase = _tick("bloom", t_phase)
         metrics = spark.createDataFrame(
             [
                 {
@@ -332,23 +381,13 @@ def run_crawl(
                 }
             ]
         )
-
-        tables = {
-            "results": results,
-            "frontier_delta": frontier_delta,
-            "host_state": new_host_state,
-            "metrics": metrics,
-            "lineage": lineage,
-        }
-        if config.use_bloom:
-            tables["seen_bloom"] = build_bloom_shards(
-                frontier_delta, config.n_bloom_shards, config.bloom_fpp
-            )
-        marker = store.write_wave(wave, tables, meta={"config": str(config)})
+        store.write_table("metrics", wave, metrics)
+        marker = store.commit(wave, meta={"config": str(config)})
         summary["waves"].append(marker["counts"] | {"wave": wave})
 
-        extracted.unpersist()
-        fresh.unpersist()
+        work.unpersist()
+        if seed_delta is not None:
+            seed_delta.unpersist()
 
         # reload state from committed storage (cheap: metadata-only plans)
         frontier_all = store.read_table("frontier_delta")

@@ -49,6 +49,7 @@ class WaveStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._pending: dict[int, dict[str, int]] = {}
         os.makedirs(os.path.join(root, COMMIT_DIR), exist_ok=True)
 
     # ── commit protocol ──────────────────────────────────────────────
@@ -59,16 +60,25 @@ class WaveStore:
     def _marker_path(self, wave: int) -> str:
         return os.path.join(self.root, COMMIT_DIR, f"wave-{wave}.json")
 
-    def write_wave(self, wave: int, tables: dict[str, DataFrame], meta: dict | None = None) -> dict:
-        """Write all tables of one wave, then atomically commit the marker."""
-        counts: dict[str, int] = {}
-        for name, df in tables.items():
-            path = self._table_path(name, wave)
-            df.write.mode("overwrite").parquet(path)
-            counts[name] = self.spark.read.parquet(path).count()
+    def write_table(self, name: str, wave: int, df: DataFrame) -> DataFrame:
+        """Write one table of an in-flight wave; returns a reader over the
+        written files (so later stages consume committed bytes instead of
+        recomputing the lineage). Not visible to readers until commit()."""
+        path = self._table_path(name, wave)
+        df.write.mode("overwrite").parquet(path)
+        written = self.spark.read.parquet(path)
+        self._pending.setdefault(wave, {})[name] = written.count()
+        return written
+
+    def pending_count(self, wave: int, name: str) -> int:
+        return self._pending.get(wave, {}).get(name, 0)
+
+    def commit(self, wave: int, meta: dict | None = None) -> dict:
+        """Atomically publish all tables written for this wave."""
+        counts = self._pending.pop(wave, {})
         marker = {
             "wave": wave,
-            "tables": sorted(tables),
+            "tables": sorted(counts),
             "counts": counts,
             "meta": meta or {},
             "committed_at": time.time(),
@@ -78,6 +88,12 @@ class WaveStore:
             json.dump(marker, fh)
         os.replace(tmp, self._marker_path(wave))  # atomic commit point
         return marker
+
+    def write_wave(self, wave: int, tables: dict[str, DataFrame], meta: dict | None = None) -> dict:
+        """Write all tables of one wave, then atomically commit the marker."""
+        for name, df in tables.items():
+            self.write_table(name, wave, df)
+        return self.commit(wave, meta)
 
     def committed_waves(self) -> list[int]:
         out = []

@@ -1,0 +1,153 @@
+"""Corpus-level BM25 + adaptive-crawl progress aggregates.
+
+Semantic contract: the reference's adaptive crawler statistics
+(``crawl4ai/adaptive_crawler.py``): coverage (:328-367 — per query term
+(df/N)·(1 + 0.5·log(1+tf)/log(1+max_tf)), averaged, √-curve capped at 1),
+consistency (:369-394 — mean pairwise Jaccard of document term sets),
+saturation (:396-411 — 1 − new_terms ratio), confidence combine
+(:309-326 — 0.4·coverage + 0.3·consistency + 0.3·saturation), and the
+seeder's BM25 relevance scoring (``async_url_seeder.py:752-784``).
+
+Everything is hash-aggregation + join column algebra — the reference's
+in-memory tf/df dicts ARE a groupBy, so this layer is where Spark is
+strictly better: partial aggregation, no driver state.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.textstats import clean_terms_col
+
+
+def doc_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term) distinct pairs + per-doc length table."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(clean_terms_col(F.col(text_col))).alias("term")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 score of every document against a bag of query terms.
+
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)); tf normalized by doc length.
+    Two shuffles total (term agg + per-doc sum), query terms broadcast.
+    """
+    spark = docs.sparkSession
+    terms = doc_terms(docs, id_col, text_col)
+    doc_len = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = docs.count()
+    avg_dl = doc_len.agg(F.avg("dl")).head()[0] or 1.0
+
+    qt = spark.createDataFrame([(t.lower(),) for t in query_terms], "term string")
+    tf = (
+        terms.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(doc_len, "doc_id")
+        .withColumn(
+            "term_score",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avg_dl)))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+
+
+def coverage_stats(
+    docs: DataFrame, query_terms: list[str], id_col: str = "doc_id", text_col: str = "text"
+) -> float:
+    """Adaptive-crawler coverage: per query term
+    (df/N)·(1 + 0.5·ln(1+tf)/ln(1+max_tf)), averaged over terms,
+    √-curve capped at 1.0."""
+    spark = docs.sparkSession
+    terms = doc_terms(docs, id_col, text_col)
+    n_docs = docs.count()
+    if n_docs == 0 or not query_terms:
+        return 0.0
+    qt = spark.createDataFrame([(t.lower(),) for t in query_terms], "term string")
+    stats = (
+        terms.join(F.broadcast(qt), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .collect()
+    )
+    by_term = {r.term: (r.tf, r.df) for r in stats}
+    max_tf = max((tf for tf, _ in by_term.values()), default=0)
+    total = 0.0
+    for term in {t.lower() for t in query_terms}:
+        tf, df = by_term.get(term, (0, 0))
+        if df == 0:
+            continue
+        boost = 1.0 + (0.5 * math.log(1 + tf) / math.log(1 + max_tf) if max_tf > 0 else 0.0)
+        total += (df / n_docs) * boost
+    avg = total / len({t.lower() for t in query_terms})
+    return min(math.sqrt(avg), 1.0)
+
+
+def consistency_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_pairs: int = 10_000,
+) -> float:
+    """Mean pairwise Jaccard of document term SETS. The reference is
+    O(n²) in the driver; we aggregate pair intersections relationally and
+    cap the pair count (sampled corpora) — documented deviation for scale."""
+    terms = doc_terms(docs, id_col, text_col).distinct()
+    sizes = terms.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = terms.alias("a")
+    b = terms.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("ni"))
+    )
+    pairs = (
+        inter.join(sizes.selectExpr("doc_id as id_a", "sz as sa"), "id_a")
+        .join(sizes.selectExpr("doc_id as id_b", "sz as sb"), "id_b")
+        .withColumn("j", F.col("ni") / (F.col("sa") + F.col("sb") - F.col("ni")))
+        .limit(max_pairs)
+    )
+    row = pairs.agg(F.avg("j").alias("avg_j"), F.count("*").alias("n")).head()
+    n_docs = docs.count()
+    total_pairs = n_docs * (n_docs - 1) // 2
+    if total_pairs == 0:
+        return 1.0
+    # pairs with zero intersection never appear in `inter` — weight them in
+    observed = row.n or 0
+    avg_observed = row.avg_j or 0.0
+    return float(avg_observed * observed / max(total_pairs, observed))
+
+
+def saturation_stat(new_terms_by_wave: list[int]) -> float:
+    """1 − recent_new_terms / initial_new_terms (driver-side scalar over
+    the per-wave metrics table)."""
+    if not new_terms_by_wave:
+        return 0.0
+    initial = new_terms_by_wave[0] or 1
+    recent = new_terms_by_wave[-1]
+    return max(0.0, 1.0 - recent / initial)
+
+
+def confidence(coverage: float, consistency: float, saturation: float) -> float:
+    """0.4·coverage + 0.3·consistency + 0.3·saturation."""
+    return 0.4 * coverage + 0.3 * consistency + 0.3 * saturation

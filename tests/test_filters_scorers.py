@@ -1,0 +1,205 @@
+"""Filter/scorer compilers, chunking, regex extraction, BM25, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _eval(spark, builder, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return {r.url: r.v for r in df.select("url", builder(F.col("url")).alias("v")).collect()}
+
+
+def test_pattern_filter_categories(spark):
+    from crawl4ai_spark.operators.filters import compile_pattern_filter
+
+    urls = [
+        "http://a.com/x/page.html",
+        "http://a.com/x/doc.pdf",
+        "http://sub.example.com/y",
+        "http://example.org/y",
+        "http://a.com/blog/2024/post",
+        "http://a.com/shop/item",
+    ]
+    assert _eval(spark, compile_pattern_filter(["*.html"]), urls)["http://a.com/x/page.html"]
+    assert not _eval(spark, compile_pattern_filter(["*.html"]), urls)["http://a.com/x/doc.pdf"]
+    dom = _eval(spark, compile_pattern_filter(["*.example.com"]), urls)
+    assert dom["http://sub.example.com/y"] and not dom["http://example.org/y"]
+    pre = _eval(spark, compile_pattern_filter(["http://a.com/blog/*"]), urls)
+    assert pre["http://a.com/blog/2024/post"] and not pre["http://a.com/shop/item"]
+    alt = _eval(spark, compile_pattern_filter(["http://a.com/{blog,shop}/**"]), urls)
+    assert alt["http://a.com/blog/2024/post"] and alt["http://a.com/shop/item"]
+    rev = _eval(spark, compile_pattern_filter(["*.pdf"], reverse=True), urls)
+    assert rev["http://a.com/x/page.html"] and not rev["http://a.com/x/doc.pdf"]
+
+
+def test_content_type_and_domain_filters(spark):
+    from crawl4ai_spark.operators.filters import (
+        TEXT_EXTENSIONS,
+        compile_content_type_filter,
+        compile_domain_filter,
+        filter_chain,
+    )
+
+    urls = ["http://a.com/p.html", "http://a.com/p.exe", "http://a.com/p", "http://bad.com/p.html"]
+    ct = _eval(spark, compile_content_type_filter(TEXT_EXTENSIONS), urls)
+    assert ct["http://a.com/p.html"] and ct["http://a.com/p"] and not ct["http://a.com/p.exe"]
+    dom = _eval(spark, compile_domain_filter(blocked=["bad.com"]), urls)
+    assert dom["http://a.com/p.html"] and not dom["http://bad.com/p.html"]
+    chain = _eval(
+        spark,
+        filter_chain(compile_content_type_filter(TEXT_EXTENSIONS), compile_domain_filter(blocked=["bad.com"])),
+        urls,
+    )
+    assert chain["http://a.com/p.html"] and not chain["http://bad.com/p.html"]
+
+
+def test_scorers(spark):
+    from crawl4ai_spark.operators.scorers import (
+        composite_scorer,
+        content_type_scorer,
+        domain_authority_scorer,
+        freshness_scorer,
+        keyword_relevance_scorer,
+        path_depth_scorer,
+    )
+
+    urls = ["http://a.com/docs/api/guide", "http://a.com/", "http://a.com/x/2025/post", "http://a.com/old/1999/x"]
+    depth = _eval(spark, path_depth_scorer(3), urls)
+    assert depth["http://a.com/docs/api/guide"] == 1.0
+    assert depth["http://a.com/"] == 0.25  # distance 3
+    fresh = _eval(spark, freshness_scorer(2026), urls)
+    assert fresh["http://a.com/x/2025/post"] == 0.9
+    assert fresh["http://a.com/"] == 0.5  # no year
+    assert abs(fresh["http://a.com/old/1999/x"] - 0.1) < 1e-9  # floor
+    kw = _eval(spark, keyword_relevance_scorer(["docs", "api"]), urls)
+    assert kw["http://a.com/docs/api/guide"] == 1.0 and kw["http://a.com/"] == 0.0
+    auth = _eval(spark, domain_authority_scorer({"a.com": 0.9}), urls)
+    assert auth["http://a.com/"] == 0.9
+    comp = _eval(
+        spark,
+        composite_scorer(path_depth_scorer(3, 0.5), keyword_relevance_scorer(["docs"], 0.5)),
+        urls,
+    )
+    assert abs(comp["http://a.com/docs/api/guide"] - (0.5 * 1.0 + 0.5 * 1.0)) < 1e-9
+    ct = _eval(spark, content_type_scorer({"html": 1.0, "pdf": 0.3}), ["http://a.com/x.pdf"])
+    assert ct["http://a.com/x.pdf"] == 0.3
+
+
+def test_chunking(spark):
+    from crawl4ai_spark.operators.chunking import (
+        fixed_length_word_chunking,
+        overlapping_window_chunking,
+        regex_chunking,
+        sliding_window_chunking,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    fixed = {(r.chunk_index, r.chunk) for r in fixed_length_word_chunking(df, 3).collect()}
+    assert fixed == {(0, "a b c"), (1, "d e f"), (2, "g")}
+    # reference semantics: windows lie fully inside the doc (partial tail
+    # dropped; short docs yield one whole-text chunk)
+    sliding = {(r.chunk_index, r.chunk) for r in sliding_window_chunking(df, 4, 2).collect()}
+    assert sliding == {(0, "a b c d"), (1, "c d e f")}
+    short = {(r.chunk_index, r.chunk) for r in sliding_window_chunking(
+        spark.createDataFrame([(2, "x y")], "doc_id long, text string"), 4, 2).collect()}
+    assert short == {(0, "x y")}
+    over = {(r.chunk_index, r.chunk) for r in overlapping_window_chunking(df, 4, 2).collect()}
+    assert over == sliding
+    para = spark.createDataFrame([(1, "p1 line\n\np2 line\n\n\n")], "doc_id long, text string")
+    chunks = [r.chunk for r in regex_chunking(para).orderBy("chunk_index").collect()]
+    assert chunks == ["p1 line", "p2 line"]
+
+
+def test_regex_extraction(spark):
+    from crawl4ai_spark.operators.regex_extract import regex_extract_matches
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com visit https://x.com/y on 2024-01-02 pay $5.99")],
+        "doc_id long, text string",
+    )
+    got = {(r.label, r.value) for r in regex_extract_matches(df).collect()}
+    assert ("email", "a@b.com") in got
+    assert ("url", "https://x.com/y") in got
+    assert ("date_iso", "2024-01-02") in got
+    assert ("currency", "$5.99") in got
+
+
+def test_bm25_ordering(spark):
+    from crawl4ai_spark.operators.bm25 import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "table scan join merge table scan"),
+            (2, "table and nothing else here today"),
+            (3, "completely unrelated words entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.bm25 for r in bm25_scores(df, ["table", "scan"]).collect()}
+    assert scores[1] > scores.get(2, 0.0)
+    assert 3 not in scores  # no query terms → no row
+
+
+def test_adaptive_stats(spark):
+    from crawl4ai_spark.operators.bm25 import confidence, coverage_stats, saturation_stat
+
+    df = spark.createDataFrame(
+        [(1, "table scan join"), (2, "table scan merge"), (3, "table window sort")],
+        "doc_id long, text string",
+    )
+    cov = coverage_stats(df, ["table", "scan"])
+    assert 0.5 < cov <= 1.0
+    assert saturation_stat([100, 10]) == 0.9
+    assert abs(confidence(1.0, 1.0, 1.0) - 1.0) < 1e-9
+
+
+def test_multimodal_plumbing(spark):
+    from crawl4ai_spark.operators.multimodal import (
+        DecoderRegistry,
+        extract_media_features,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, 30)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 30
+    assert all(r.decode_ok for r in feats)
+    assert all(len(r.features) == 16 and abs(sum(r.features) - 1.0) < 1e-3 for r in feats)
+    # deterministic across runs
+    feats2 = extract_media_features(media).collect()
+    assert {r.media_id: r.sha256 for r in feats} == {r.media_id: r.sha256 for r in feats2}
+    # unregistered kind → decode_ok False, stage survives
+    empty_reg = DecoderRegistry()
+    broken = extract_media_features(media, registry=empty_reg).collect()
+    assert all(not r.decode_ok for r in broken)
+
+
+def test_best_first_scorer_orders_frontier(spark, tmp_path):
+    """Best-first mode: a keyword scorer must pull matching URLs into
+    earlier waves than the BFS order would."""
+    from crawl4ai_spark.frontier.bfs import CrawlConfig, run_crawl
+    from crawl4ai_spark.frontier.store import WaveStore
+    from crawl4ai_spark.operators.scorers import keyword_relevance_scorer
+    from crawl4ai_spark.synth.pages import generate_site, write_site_parquet
+
+    import os
+
+    site = generate_site(n_hosts=1, cats=2, subs=1, prods=2)
+    d = tmp_path / "site"
+    write_site_parquet(site, str(d))
+    pages = spark.read.parquet(os.path.join(str(d), "pages.parquet"))
+    seeds = spark.read.parquet(os.path.join(str(d), "seeds.parquet"))
+
+    store_dir = str(tmp_path / "store_bff")
+    config = CrawlConfig(
+        max_depth=3,
+        links_only=True,
+        use_bloom=False,
+        default_budget=1,  # tight budget so ordering matters
+        scorer=keyword_relevance_scorer(["cat1"]),
+    )
+    run_crawl(spark, pages, seeds, store_dir, config)
+    results = WaveStore(spark, store_dir).read_table("results")
+    waves = {r.url: r.wave for r in results.collect()}
+    # cat1 subtree (scored 1.0) must be crawled before cat0 (scored 0.0)
+    assert waves["http://site0.com/cat1/"] < waves["http://site0.com/cat0/"]
