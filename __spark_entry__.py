@@ -320,6 +320,33 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction round-trip: render nation rows into per-region
+    HTML tables, extract them back with the table operator (SURVEY §2.5)."""
+    from crawl4ai_spark.extraction.tables import udf_extract_tables
+
+    nation = _read(spark, sf_dir, "nation")
+    row_html = F.concat(
+        F.lit("<tr><td>"), F.col("n_name"), F.lit("</td><td>"),
+        F.col("n_regionkey").cast("string"), F.lit("</td></tr>"),
+    )
+    per_region = nation.groupBy("n_regionkey").agg(
+        F.concat_ws("", F.sort_array(F.collect_list(row_html))).alias("body")
+    )
+    html = per_region.select(
+        F.concat(
+            F.lit("<table><thead><tr><th>name</th><th>region</th></tr></thead><tbody>"),
+            F.col("body"), F.lit("</tbody></table>"),
+        ).alias("html")
+    )
+    tables = html.select(F.explode(udf_extract_tables("html")).alias("t"))
+    return tables.select(F.explode("t.rows").alias("r")).select(
+        F.col("r")[0].alias("n_name"), F.col("r")[1].alias("n_regionkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -346,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_chunking": _q_sliding_chunking,
         "url_scoring": _q_url_scoring,
         "media_features": _q_media_features,
+        "table_extraction": _q_table_extraction,
     }
 
 
@@ -529,6 +557,9 @@ def oracle_sql() -> dict[str, str]:
                    (ext = '' OR ext IN ('asp','aspx','htm','html','jsp','md','php','txt','xhtml')) AS ctype_ok,
                    (url LIKE '%.html') AS is_html
             FROM parsed
+        """,
+        "table_extraction": """
+            SELECT n_name, cast(n_regionkey AS varchar) AS n_regionkey FROM nation
         """,
         # minhash_lsh_pairs / simhash_candidates / ann_topk_lsh /
         # langid_heuristic / media_features: intentionally no oracle (hash-permutation /

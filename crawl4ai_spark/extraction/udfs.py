@@ -144,3 +144,11 @@ def lang_col(html_col: Column) -> Column:
     """
     head = F.substring(html_col.cast("string"), 1, 2048)
     return F.regexp_extract(head, r"(?i)<html[^>]*\blang=[\"']?([A-Za-z-]+)", 1)
+
+
+@pandas_udf(StringType())
+def udf_fit_markdown(html: pd.Series) -> pd.Series:
+    """Pruned-content markdown (PruningContentFilter → fit_markdown)."""
+    from crawl4ai_spark.extraction.content_filter import fit_markdown
+
+    return pd.Series([fit_markdown(_decode(h)) if h is not None else "" for h in html])

@@ -41,6 +41,7 @@ from crawl4ai_spark.functions.urlnorm import host_col
 from crawl4ai_spark.extraction.udfs import udf_extract_links, udf_full_extract, lang_col
 from crawl4ai_spark.operators.bloom import bloom_prefilter, build_bloom_shards
 from crawl4ai_spark.operators.politeness import (
+    dfs_order,
     rank_by_host_budget,
     update_host_state,
     wave_order,
@@ -59,7 +60,7 @@ def _tick(label: str, t_prev: float) -> float:
         print(f"[wave-timing] {label}: {now - t_prev:.1f}s", flush=True)
     return now
 
-FRONTIER_COLS = ["url", "url_fp", "host", "depth", "score", "parent_url", "enqueue_wave"]
+FRONTIER_COLS = ["url", "url_fp", "host", "depth", "score", "parent_url", "enqueue_wave", "path_key"]
 
 
 @dataclass
@@ -75,6 +76,10 @@ class CrawlConfig:
     n_bloom_shards: int = 16
     bloom_fpp: float = 0.01
     user_agent: str = "*"
+    # traversal strategy: "bfs" (level order) or "dfs" (preorder via
+    # lexicographic path keys — exact DFS when the wave size is 1, a
+    # parallel-DFS approximation otherwise; SURVEY §2.3)
+    strategy: str = "bfs"
     # best-first mode: a compiled scorer (url Column -> score Column), e.g.
     # crawl4ai_spark.operators.scorers.composite_scorer(...); None = BFS
     # (constant score 1.0, pure depth order)
@@ -99,8 +104,11 @@ def _prepare_seeds(seeds: DataFrame) -> DataFrame:
         )
         .where(F.col("url").rlike(VALID_URL_RE))
     )
+    # DFS path key root: zero-padded rank of the seed in url order
+    seed_rank = F.row_number().over(Window.orderBy("url"))
+    df = df.withColumn("path_key", F.lpad(seed_rank.cast("string"), 6, "0"))
     # dedup by fingerprint via hash agg (all columns derive from url)
-    row = F.struct("url", "host", "depth", "score", "parent_url", "enqueue_wave")
+    row = F.struct("url", "host", "depth", "score", "parent_url", "enqueue_wave", "path_key")
     return (
         df.groupBy("url_fp")
         .agg(F.min_by(row, F.col("url")).alias("r"))
@@ -186,6 +194,7 @@ def _discover(
             F.col("url").alias("parent_url"),
             F.col("depth").alias("parent_depth"),
             F.col("score").alias("parent_score"),
+            F.col("path_key").alias("parent_path_key"),
             F.posexplode(all_links).alias("pos", "link"),
         )
         .select(
@@ -194,6 +203,7 @@ def _discover(
             (F.col("parent_depth") + 1).alias("depth"),
             F.col("parent_score"),
             F.col("pos"),
+            F.concat_ws(".", F.col("parent_path_key"), F.lpad(F.col("pos").cast("string"), 4, "0")).alias("path_key"),
         )
         .where(F.col("url").rlike(VALID_URL_RE))
         .where(F.col("depth") <= config.max_depth)
@@ -213,10 +223,14 @@ def _discover(
     # discovery-order key) — map-side partial agg, no sort-based window; on
     # a 20M-link wave this is the difference between a hash shuffle and a
     # full sort
-    order_key = F.struct(
-        F.col("depth"), (-F.col("parent_score")).alias("neg_ps"), F.col("parent_url"), F.col("pos")
-    )
-    row = F.struct("url", "host", "depth", "score", "parent_url")
+    if config.strategy == "dfs":
+        # DFS first-discovery = smallest preorder path
+        order_key = F.struct(F.col("path_key"))
+    else:
+        order_key = F.struct(
+            F.col("depth"), (-F.col("parent_score")).alias("neg_ps"), F.col("parent_url"), F.col("pos")
+        )
+    row = F.struct("url", "host", "depth", "score", "parent_url", "path_key")
     return (
         cand.groupBy("url_fp")
         .agg(F.min_by(row, order_key).alias("r"))
@@ -228,6 +242,7 @@ def _discover(
             F.col("r.score").alias("score"),
             F.col("r.parent_url").alias("parent_url"),
             F.lit(wave + 1).alias("enqueue_wave"),
+            F.col("r.path_key").alias("path_key"),
         )
     )
 
@@ -304,6 +319,7 @@ def run_crawl(
             config.default_budget,
             host_state=host_state,
             global_limit=remaining,
+            order=(dfs_order() if config.strategy == "dfs" else None),
         )
         wave_sel = ranked.where(F.col("selected")).drop("selected")
         wave_sel = attach_robots_verdict(wave_sel, robots, config.user_agent)

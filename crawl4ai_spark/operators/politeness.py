@@ -31,12 +31,19 @@ def wave_order():
     return [F.desc("score"), F.asc("depth"), F.asc("url")]
 
 
+def dfs_order():
+    """DFS preorder: lexicographic path-key (exact stack order when the
+    wave size is 1; reference semantics dfs_strategy.py:65-103)."""
+    return [F.asc("path_key"), F.asc("url")]
+
+
 def rank_by_host_budget(
     pending: DataFrame,
     host_budgets: DataFrame | None,
     default_budget: int = 100,
     host_state: DataFrame | None = None,
     global_limit: int | None = None,
+    order: list | None = None,
 ) -> DataFrame:
     """Select this wave's fetch set: top-``budget(host)`` rows per host by
     (score desc, depth, url), then an optional deterministic global cap.
@@ -60,14 +67,15 @@ def rank_by_host_budget(
             ),
         ).drop("cooldown_waves")
 
-    host_window = Window.partitionBy("host").orderBy(*wave_order())
+    order = order if order is not None else wave_order()
+    host_window = Window.partitionBy("host").orderBy(*order)
     df = df.withColumn("host_rank", F.row_number().over(host_window))
     df = df.withColumn("selected", F.col("host_rank") <= F.col("budget"))
 
     if global_limit is not None:
         # Deterministic global cap (max_pages semantics,
         # bfs_strategy.py:189-196): keep the top-scored remainder.
-        global_window = Window.orderBy(*wave_order())
+        global_window = Window.orderBy(*order)
         df = df.withColumn(
             "selected",
             F.col("selected")

@@ -147,3 +147,60 @@ def test_full_extraction_mode_writes_markdown(spark, site, site_dir, tmp_path):
         assert row.raw_markdown == golden[row.url], f"markdown mismatch for {row.url}"
         assert row.title
         assert row.lang
+
+
+def test_dfs_strategy_matches_reference_preorder(spark, tmp_path):
+    """DFS mode with wave size 1 must reproduce an explicit-stack DFS
+    (children pushed reversed → first link popped next) exactly, in
+    sequence, on a single-host site."""
+    from urllib.parse import urlparse
+
+    from crawl4ai_spark.frontier.bfs import CrawlConfig
+    from crawl4ai_spark.synth.pages import generate_site, write_site_parquet
+    from crawl4ai_spark.extraction.links import extract_links
+
+    site = generate_site(n_hosts=1, cats=2, subs=2, prods=2)
+    d = tmp_path / "site_dfs"
+    write_site_parquet(site, str(d))
+    pages_by_url = {p["url"]: p["html"] for p in site["pages"]}
+    seed = site["seeds"][0]["url"]
+
+    # reference: explicit stack, seen-at-push, children pushed reversed
+    def python_dfs(max_depth=3):
+        order = []
+        stack = [(seed, 0)]
+        seen = {seed}
+        while stack:
+            url, depth = stack.pop()
+            order.append(url)
+            if depth >= max_depth:
+                continue
+            html = pages_by_url.get(url)
+            if html is None:
+                continue
+            links = extract_links(html.decode(), url)
+            hrefs = [l["href"] for l in links["internal"] + links["external"]]
+            hrefs = [h for h in hrefs
+                     if urlparse(h).scheme in ("http", "https") and "." in urlparse(h).netloc]
+            fresh = [h for h in hrefs if h not in seen]
+            for h in fresh:
+                seen.add(h)
+            for h in reversed(fresh):
+                stack.append((h, depth + 1))
+        return order
+
+    pages = spark.read.parquet(str(d / "pages.parquet"))
+    seeds = spark.read.parquet(str(d / "seeds.parquet"))
+    store_dir = str(tmp_path / "store_dfs")
+    from crawl4ai_spark.frontier.bfs import run_crawl
+    from crawl4ai_spark.frontier.store import WaveStore
+
+    config = CrawlConfig(
+        max_depth=3, links_only=True, use_bloom=False,
+        strategy="dfs", default_budget=1, max_waves=200,
+    )
+    run_crawl(spark, pages, seeds, store_dir, config)
+    results = WaveStore(spark, store_dir).read_table("results")
+    got = [r.url for r in results.orderBy("wave").collect()]
+    want = python_dfs()
+    assert got == want, f"\nspark: {got[:8]}...\nref:   {want[:8]}..."

@@ -111,3 +111,41 @@ def test_corpus_link_graph_depths():
     assert depths["http://site0.com/cat0/sub1/prod1.html"] == 3
     # every generated page is reachable
     assert set(depths) == {p["url"] for p in site["pages"]}
+
+
+def test_table_extraction_scoring_and_data():
+    from crawl4ai_spark.extraction.tables import extract_tables
+
+    html = """
+    <table><caption>prices</caption>
+      <thead><tr><th>sku</th><th>price</th></tr></thead>
+      <tbody><tr><td>a</td><td>1</td></tr><tr><td>b</td><td>2</td></tr></tbody>
+    </table>
+    <table role="presentation"><tr><td><table><tr><td>nav</td></tr></table></td></tr></table>
+    """
+    tables = extract_tables(html)
+    data = [t for t in tables if t["is_data_table"]]
+    assert len(data) == 1
+    assert data[0]["headers"] == ["sku", "price"]
+    assert data[0]["rows"] == [["a", "1"], ["b", "2"]]
+    assert data[0]["caption"] == "prices"
+    layout = [t for t in tables if not t["is_data_table"]]
+    assert len(layout) >= 1  # presentation + nested tables score low
+
+
+def test_table_colspan_expansion_and_padding():
+    from crawl4ai_spark.extraction.tables import extract_tables
+
+    html = (
+        "<table><thead><tr><th>a</th><th>b</th><th>c</th></tr></thead>"
+        '<tbody><tr><td colspan="2">x</td><td>y</td></tr><tr><td>solo</td></tr></tbody></table>'
+    )
+    t = extract_tables(html)[0]
+    assert t["rows"] == [["x", "x", "y"], ["solo", "", ""]]
+
+
+def test_table_default_headers():
+    from crawl4ai_spark.extraction.tables import extract_tables
+
+    t = extract_tables("<table><tr><td>1</td><td>2</td></tr></table>")[0]
+    assert t["headers"] == ["Column 1", "Column 2"]
