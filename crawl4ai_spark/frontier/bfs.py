@@ -76,6 +76,10 @@ class CrawlConfig:
     n_bloom_shards: int = 16
     bloom_fpp: float = 0.01
     user_agent: str = "*"
+    # hot-host salting: shards the per-host politeness rank into this many
+    # salted partial top-ks before the exact rank (defuses 10^8-row hosts);
+    # None/1 = plain rank (fine until a single host dwarfs a partition)
+    salt_partitions: int | None = None
     # traversal strategy: "bfs" (level order) or "dfs" (preorder via
     # lexicographic path keys — exact DFS when the wave size is 1, a
     # parallel-DFS approximation otherwise; SURVEY §2.3)
@@ -320,6 +324,7 @@ def run_crawl(
             host_state=host_state,
             global_limit=remaining,
             order=(dfs_order() if config.strategy == "dfs" else None),
+            salt_partitions=config.salt_partitions,
         )
         wave_sel = ranked.where(F.col("selected")).drop("selected")
         wave_sel = attach_robots_verdict(wave_sel, robots, config.user_agent)

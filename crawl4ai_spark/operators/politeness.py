@@ -44,6 +44,7 @@ def rank_by_host_budget(
     host_state: DataFrame | None = None,
     global_limit: int | None = None,
     order: list | None = None,
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """Select this wave's fetch set: top-``budget(host)`` rows per host by
     (score desc, depth, url), then an optional deterministic global cap.
@@ -68,9 +69,30 @@ def rank_by_host_budget(
         ).drop("cooldown_waves")
 
     order = order if order is not None else wave_order()
-    host_window = Window.partitionBy("host").orderBy(*order)
-    df = df.withColumn("host_rank", F.row_number().over(host_window))
-    df = df.withColumn("selected", F.col("host_rank") <= F.col("budget"))
+    if salt_partitions and salt_partitions > 1:
+        # Hot-host defusal: two-phase top-k. Phase 1 ranks within
+        # (host, salt) shards — a 10^8-row host is processed by
+        # ``salt_partitions`` tasks instead of one — keeping at most
+        # ``budget`` rows per shard; phase 2 ranks the ≤ salt×budget
+        # survivors exactly. Identical selection to the unsalted rank
+        # (any true top-budget row is top-budget within its shard).
+        salt = F.pmod(F.col("url_fp"), F.lit(salt_partitions))
+        shard_window = Window.partitionBy("host", salt).orderBy(*order)
+        df = df.withColumn("_shard_rank", F.row_number().over(shard_window))
+        survivors = df.where(F.col("_shard_rank") <= F.col("budget"))
+        overflow = df.where(F.col("_shard_rank") > F.col("budget")).withColumn(
+            "selected", F.lit(False)
+        )
+        host_window = Window.partitionBy("host").orderBy(*order)
+        survivors = survivors.withColumn("host_rank", F.row_number().over(host_window))
+        survivors = survivors.withColumn("selected", F.col("host_rank") <= F.col("budget"))
+        df = survivors.drop("host_rank").unionByName(overflow)
+        df = df.drop("_shard_rank")
+    else:
+        host_window = Window.partitionBy("host").orderBy(*order)
+        df = df.withColumn("host_rank", F.row_number().over(host_window))
+        df = df.withColumn("selected", F.col("host_rank") <= F.col("budget"))
+        df = df.drop("host_rank")
 
     if global_limit is not None:
         # Deterministic global cap (max_pages semantics,
@@ -81,7 +103,7 @@ def rank_by_host_budget(
             F.col("selected")
             & (F.row_number().over(global_window.partitionBy(F.col("selected"))) <= global_limit),
         )
-    return df.drop("budget", "host_rank")
+    return df.drop("budget")
 
 
 def update_host_state(

@@ -203,3 +203,31 @@ def test_best_first_scorer_orders_frontier(spark, tmp_path):
     waves = {r.url: r.wave for r in results.collect()}
     # cat1 subtree (scored 1.0) must be crawled before cat0 (scored 0.0)
     assert waves["http://site0.com/cat1/"] < waves["http://site0.com/cat0/"]
+
+
+def test_salted_rank_equals_unsalted(spark):
+    """Two-phase salted top-k must select exactly the same rows as the
+    plain per-host rank (hot host with 500 rows, budget 7)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.politeness import rank_by_host_budget
+
+    rows = []
+    for i in range(500):
+        rows.append((f"http://hot.com/p{i:04d}", i * 7919 % 100003, "hot.com", i % 4, float(i % 13), None, 0, ""))
+    for i in range(40):
+        rows.append((f"http://cold{i}.com/", 10**6 + i, f"cold{i}.com", 0, 1.0, None, 0, ""))
+    pending = spark.createDataFrame(
+        rows,
+        "url string, url_fp long, host string, depth int, score double, parent_url string, enqueue_wave int, path_key string",
+    )
+    budgets = spark.createDataFrame([("hot.com", 7)], "host string, budget int")
+
+    def selected(salt):
+        df = rank_by_host_budget(pending, budgets, default_budget=3, salt_partitions=salt)
+        return {r.url for r in df.where(F.col("selected")).collect()}
+
+    plain = selected(None)
+    salted = selected(8)
+    assert plain == salted
+    assert len([u for u in plain if "hot.com" in u]) == 7
