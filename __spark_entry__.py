@@ -347,6 +347,19 @@ def _q_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate top-k (rows-only;
+    pytest checks recall vs brute force on clustered data)."""
+    from crawl4ai_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids(emb, k=8, iters=5)
+    query = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(emb, list(query), centroids, k=10, n_probe=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -374,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_scoring": _q_url_scoring,
         "media_features": _q_media_features,
         "table_extraction": _q_table_extraction,
+        "ivf_topk": _q_ivf_topk,
     }
 
 

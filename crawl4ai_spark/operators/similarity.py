@@ -124,3 +124,69 @@ def ann_topk_lsh(
                 buckets.add(qbucket ^ (1 << i) ^ (1 << j))
     cand = sigs.where(F.col("bucket").isin(list(buckets)))
     return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    dim: int | None = None,
+    iters: int = 8,
+    sample: int = 10_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Driver-side Lloyd's k-means on a bounded sample → (k, dim) centroid
+    matrix. The IVF coarse quantizer: training is O(sample), assignment is
+    distributed column algebra. Deterministic (seeded init, fixed iters)."""
+    rows = embeddings.select(vec_col).limit(sample).collect()
+    data = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(data, axis=1, keepdims=True)
+    data = data / np.clip(norms, 1e-12, None)
+    rng = np.random.RandomState(seed)
+    centroids = data[rng.choice(len(data), size=min(k, len(data)), replace=False)]
+    for _ in range(iters):
+        sims = data @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = data[assign == c]
+            if len(members):
+                center = members.mean(axis=0)
+                centroids[c] = center / max(np.linalg.norm(center), 1e-12)
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmax cosine) — pure
+    column algebra over broadcast centroid literals; at 10^9 vectors this
+    is one codegen'd map stage, and the table can be repartitioned/
+    bucketed by ``ivf_cell`` for cell-local search."""
+    vec = F.col(vec_col).cast("array<double>")
+    sims = [
+        _dot(vec, F.array(*[F.lit(float(x)) for x in c])) / _norm(vec)
+        for c in centroids
+    ]
+    best = F.array_position(
+        F.array(*sims), F.array_max(F.array(*sims))
+    ) - 1
+    return embeddings.select(F.col(id_col), F.col(vec_col), best.cast("int").alias("ivf_cell"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: brute-force rerank restricted to the ``n_probe`` cells
+    nearest the query. Recall/cost dial = (n_cells, n_probe)."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = np.argsort(-(centroids @ q))[:n_probe].tolist()
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cand = assigned.where(F.col("ivf_cell").isin(probe_cells)).select(id_col, vec_col)
+    return cosine_topk(cand, query, k, id_col, vec_col)

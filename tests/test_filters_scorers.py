@@ -231,3 +231,41 @@ def test_salted_rank_equals_unsalted(spark):
     salted = selected(8)
     assert plain == salted
     assert len([u for u in plain if "hot.com" in u]) == 7
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Scale posture evidence: bucketing frontier-like and pages-like
+    tables on the join key removes the Exchange from the join plan — the
+    co-located fetch join of the 100 TB design."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS b_pages")
+    spark.sql("DROP TABLE IF EXISTS b_frontier")
+    base = spark.range(10000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 97).cast("string"),
+                 F.lit(".test/p"), F.col("id").cast("string")).alias("url"),
+        F.col("id").alias("payload"),
+    )
+    (base.write.bucketBy(8, "url").sortBy("url").mode("overwrite")
+         .option("path", str(tmp_path / "b_pages")).saveAsTable("b_pages"))
+    (base.select("url").write.bucketBy(8, "url").mode("overwrite")
+         .option("path", str(tmp_path / "b_frontier")).saveAsTable("b_frontier"))
+
+    # force the sort-merge path (a broadcast would trivially avoid the
+    # shuffle; the point is bucketed co-location at big-big scale)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_frontier").join(spark.table("b_pages"), "url")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -149,3 +149,32 @@ def test_entry_smoke(spark):
     # extraction round-trip holds for every synthesized page
     for r in rows:
         assert r.n_lang_roundtrip_ok == r.n_docs
+
+
+def test_ivf_topk_recall_on_clusters(spark):
+    """IVF coarse-quantizer ANN: on clustered data with n_probe covering
+    the query's cluster, recall vs brute force should be high."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.similarity import cosine_topk, ivf_topk, kmeans_centroids
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((4, 24))
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(50):
+            v = centers[c] + 0.2 * rng.standard_normal(24)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    centroids = kmeans_centroids(df, k=4, iters=6)
+    query = rows[0][1]
+    exact = [r.vec_id for r in cosine_topk(df, query, k=10).collect()]
+    approx = [r.vec_id for r in ivf_topk(df, query, centroids, k=10, n_probe=2).collect()]
+    assert len(set(exact) & set(approx)) / 10 >= 0.9
+    assert approx[0] == 0
+    # determinism: same centroids, same result
+    centroids2 = kmeans_centroids(df, k=4, iters=6)
+    assert np.allclose(centroids, centroids2)
