@@ -151,3 +151,50 @@ def saturation_stat(new_terms_by_wave: list[int]) -> float:
 def confidence(coverage: float, consistency: float, saturation: float) -> float:
     """0.4·coverage + 0.3·consistency + 0.3·saturation."""
     return 0.4 * coverage + 0.3 * consistency + 0.3 * saturation
+
+
+def rank_links_expected_gain(
+    candidate_docs: DataFrame,
+    seen_terms: DataFrame,
+    query_terms: list[str],
+    relevance_weight: float = 0.7,
+    novelty_weight: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adaptive-crawler link ranking (``adaptive_crawler.py:413-496``):
+    expected gain = relevance·w_r + novelty·w_n, where relevance is the
+    query-term overlap fraction and novelty is the fraction of the
+    candidate's terms NOT yet in the crawled corpus (``seen_terms(term)``).
+
+    Relational shape: one distinct-terms explode, one broadcast query
+    join, one anti-join against seen terms — all hash operations.
+    """
+    spark = candidate_docs.sparkSession
+    terms = doc_terms(candidate_docs, id_col, text_col).distinct()
+    sizes = terms.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
+    qt = spark.createDataFrame([(t.lower(),) for t in set(query_terms)], "term string")
+    rel = (
+        terms.join(F.broadcast(qt), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    new_terms = (
+        terms.join(seen_terms.select("term").distinct(), "term", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_new"))
+    )
+    n_query = max(len(set(query_terms)), 1)
+    return (
+        sizes.join(rel, "doc_id", "left")
+        .join(new_terms, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(n_query)) * relevance_weight
+                + F.coalesce(F.col("n_new"), F.lit(0)) / F.col("n_terms") * novelty_weight,
+                6,
+            ).alias("expected_gain"),
+        )
+        .orderBy(F.desc("expected_gain"), F.asc("doc_id"))
+    )

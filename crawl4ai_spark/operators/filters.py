@@ -143,3 +143,18 @@ def filter_chain(*filter_builders):
         return pred
 
     return build
+
+
+def compile_config_router(routes: list[tuple[str, str]], default: str = "default"):
+    """Per-URL config routing (``async_dispatcher.py:101-125`` url_matcher
+    → config selection): ordered (glob_pattern, config_id) routes compile
+    to one when()-chain column; first match wins, like the reference."""
+
+    def build(url_col: Column) -> Column:
+        expr = None
+        for pattern, config_id in routes:
+            pred = compile_pattern_filter([pattern])(url_col)
+            expr = F.when(pred, config_id) if expr is None else expr.when(pred, config_id)
+        return (expr.otherwise(default)) if expr is not None else F.lit(default)
+
+    return build

@@ -269,3 +269,48 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         assert joined.count() == 10000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_config_router_first_match_wins(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.filters import compile_config_router
+
+    router = compile_config_router(
+        [("*.pdf", "docs"), ("http://a.com/api/*", "api"), ("*.a.com", "site_a")],
+        default="std",
+    )
+    df = spark.createDataFrame(
+        [("http://a.com/api/x.pdf",), ("http://a.com/api/v1",), ("http://www.a.com/y",), ("http://b.com/z",)],
+        "url string",
+    )
+    got = {r.url: r.cfg for r in df.select("url", router(F.col("url")).alias("cfg")).collect()}
+    assert got == {
+        "http://a.com/api/x.pdf": "docs",   # first route wins
+        "http://a.com/api/v1": "api",
+        "http://www.a.com/y": "site_a",
+        "http://b.com/z": "std",
+    }
+
+
+def test_rank_links_expected_gain(spark):
+    from crawl4ai_spark.operators.bm25 import rank_links_expected_gain
+
+    cands = spark.createDataFrame(
+        [
+            (1, "spark crawl frontier wave politeness budget"),   # relevant + novel
+            (2, "spark crawl known words already crawled before"),  # relevant, not novel
+            (3, "cooking pasta tomato basil dinner recipe"),        # irrelevant + novel
+        ],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame(
+        [("spark",), ("crawl",), ("known",), ("words",), ("already",), ("crawled",), ("before",)],
+        "term string",
+    )
+    ranked = rank_links_expected_gain(cands, seen, ["spark", "crawl"]).collect()
+    order = [r.doc_id for r in ranked]
+    gains = {r.doc_id: r.expected_gain for r in ranked}
+    assert order[0] == 1                  # relevant AND novel wins
+    assert gains[1] > gains[2] > 0        # novelty separates 1 from 2
+    assert gains[3] < gains[2]            # relevance dominates novelty (0.7/0.3)
