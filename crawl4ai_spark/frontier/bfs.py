@@ -42,6 +42,8 @@ from crawl4ai_spark.extraction.udfs import udf_extract_links, udf_full_extract, 
 from crawl4ai_spark.operators.bloom import bloom_prefilter, build_bloom_shards
 from crawl4ai_spark.operators.politeness import (
     dfs_order,
+    fair_wave_order,
+    flag_global_top_k,
     rank_by_host_budget,
     update_host_state,
     wave_order,
@@ -88,6 +90,10 @@ class CrawlConfig:
     # crawl4ai_spark.operators.scorers.composite_scorer(...); None = BFS
     # (constant score 1.0, pure depth order)
     scorer: object | None = None
+    # starvation-free best-first: add this much effective score per wave a
+    # URL waits in the frontier (reference fairness re-prioritization,
+    # async_dispatcher.py:471-528). None = pure reference-parity order.
+    fairness_boost: float | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -317,13 +323,19 @@ def run_crawl(
             if remaining <= 0:
                 break
 
+        if config.strategy == "dfs":
+            order = dfs_order()
+        elif config.fairness_boost is not None:
+            order = fair_wave_order(wave, config.fairness_boost)
+        else:
+            order = None
         ranked = rank_by_host_budget(
             pending,
             host_budgets,
             config.default_budget,
             host_state=host_state,
             global_limit=remaining,
-            order=(dfs_order() if config.strategy == "dfs" else None),
+            order=order,
             salt_partitions=config.salt_partitions,
         )
         wave_sel = ranked.where(F.col("selected")).drop("selected")
@@ -343,19 +355,30 @@ def run_crawl(
         t_phase = _tick("extract+results_write", t_phase)
         n_selected = store.pending_count(wave, "results")
         if n_selected == 0:
-            work.unpersist()
-            break
+            # An empty wave can mean "done" OR "every pending host is in
+            # backoff cooldown" — only stop when no host is cooling down
+            # (cooldown_waves == -1 retired hosts never come back, so a
+            # frontier of only-retired hosts is terminal, matching the
+            # reference's give-up-after-max_retries). Otherwise fall
+            # through and commit the empty wave so cooldowns tick down.
+            cooling = (
+                host_state is not None
+                and host_state.where(F.col("cooldown_waves") > 0).limit(1).count() > 0
+            )
+            if not cooling or pending.limit(1).count() == 0:
+                work.unpersist()
+                break
 
         fresh = _discover(work.where(F.col("status") == "fetched"), wave, config)
         fresh = _anti_join_seen(fresh, frontier_all.select("url_fp"), shards, config)
 
         if config.max_pages is not None:
-            cap = Window.orderBy(*wave_order())
-            fresh = (
-                fresh.withColumn("_rn", F.row_number().over(cap))
-                .where(F.col("_rn") <= max(config.max_pages - total_attempted, 0))
-                .drop("_rn")
+            # two-phase global top-k (no single-partition window over the
+            # full discovery set; see flag_global_top_k)
+            fresh = flag_global_top_k(
+                fresh, wave_order(), max(config.max_pages - total_attempted, 0)
             )
+            fresh = fresh.where(F.col("_topk")).drop("_topk")
 
         frontier_delta = fresh if seed_delta is None else seed_delta.unionByName(fresh)
         frontier_written = store.write_table("frontier_delta", wave, frontier_delta)

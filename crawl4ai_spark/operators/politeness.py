@@ -31,10 +31,50 @@ def wave_order():
     return [F.desc("score"), F.asc("depth"), F.asc("url")]
 
 
+def fair_wave_order(current_wave: int, boost_per_wave: float):
+    """Starvation-free wave order: the reference re-prioritizes tasks whose
+    wait exceeds fairness_timeout by making wait time the priority
+    (async_dispatcher.py:217-226,471-528). Wave analog: age the score by
+    ``boost_per_wave`` per wave spent in the frontier, with enqueue_wave
+    (FIFO) as the tiebreaker — any URL's effective score eventually
+    exceeds every fresh score, so nothing starves under best-first."""
+    aged = F.col("score") + F.lit(boost_per_wave) * (
+        F.lit(current_wave) - F.col("enqueue_wave")
+    )
+    return [F.desc(aged), F.asc("enqueue_wave"), F.asc("depth"), F.asc("url")]
+
+
 def dfs_order():
     """DFS preorder: lexicographic path-key (exact stack order when the
     wave size is 1; reference semantics dfs_strategy.py:65-103)."""
     return [F.asc("path_key"), F.asc("url")]
+
+
+def flag_global_top_k(
+    df: DataFrame,
+    order: list,
+    k: int,
+    salt_partitions: int = 32,
+    flag: str = "_topk",
+) -> DataFrame:
+    """Deterministic global top-k WITHOUT a single-partition window.
+
+    Phase 1 ranks within ``salt_partitions`` shards keyed on ``url_fp``
+    (any true global top-k row is top-k within its shard, so no survivor
+    is lost) and keeps ≤ k rows per shard; phase 2 ranks the ≤ salt×k
+    survivors exactly. The only unpartitioned window therefore runs over a
+    bounded set — at a 10^8-row wave the full set never funnels through
+    one task. ``order`` must be a total order (ours ends in ``url``) so
+    the result is run-independent.
+    """
+    salt = F.pmod(F.coalesce(F.col("url_fp"), F.lit(0)), F.lit(salt_partitions))
+    shard_window = Window.partitionBy(salt).orderBy(*order)
+    df = df.withColumn("_gpr", F.row_number().over(shard_window))
+    survivors = df.where(F.col("_gpr") <= k)
+    overflow = df.where(F.col("_gpr") > k).withColumn(flag, F.lit(False))
+    exact = Window.orderBy(*order)
+    survivors = survivors.withColumn(flag, F.row_number().over(exact) <= k)
+    return survivors.unionByName(overflow).drop("_gpr")
 
 
 def rank_by_host_budget(
@@ -61,9 +101,12 @@ def rank_by_host_budget(
     if host_state is not None:
         cooldown = host_state.select("host", "cooldown_waves")
         df = df.join(F.broadcast(cooldown), "host", "left")
+        # cooldown_waves > 0 = backing off; == -1 = retired after
+        # max_retries (give-up is permanent, reference RateLimiter
+        # async_dispatcher.py:83-85) — both yield budget 0
         df = df.withColumn(
             "budget",
-            F.when(F.coalesce(F.col("cooldown_waves"), F.lit(0)) > 0, F.lit(0)).otherwise(
+            F.when(F.coalesce(F.col("cooldown_waves"), F.lit(0)) != 0, F.lit(0)).otherwise(
                 F.col("budget")
             ),
         ).drop("cooldown_waves")
@@ -96,13 +139,12 @@ def rank_by_host_budget(
 
     if global_limit is not None:
         # Deterministic global cap (max_pages semantics,
-        # bfs_strategy.py:189-196): keep the top-scored remainder.
-        global_window = Window.orderBy(*order)
-        df = df.withColumn(
-            "selected",
-            F.col("selected")
-            & (F.row_number().over(global_window.partitionBy(F.col("selected"))) <= global_limit),
-        )
+        # bfs_strategy.py:189-196): keep the top-scored remainder —
+        # two-phase so no full-wave single-partition window.
+        sel = df.where(F.col("selected")).drop("selected")
+        unsel = df.where(~F.col("selected"))
+        sel = flag_global_top_k(sel, order, global_limit, flag="selected")
+        df = sel.unionByName(unsel)
     return df.drop("budget")
 
 

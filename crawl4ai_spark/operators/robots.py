@@ -71,14 +71,22 @@ def attach_robots_verdict(
     robots: DataFrame | None,
     user_agent: str = "*",
     now: Column | None = None,
+    apply_ttl: bool = True,
 ) -> DataFrame:
     """Add a ``robots_allowed`` column to a wave DataFrame (host column
     required). Stale rules (older than the 7-day TTL) are treated as
-    absent → fail-open allow."""
+    absent → fail-open allow (the reference re-fetches on staleness and
+    allows on any fetch failure; with no live network, stale ≡ absent).
+
+    The TTL check runs by default against ``current_timestamp()``; pass a
+    ``now`` column to pin evaluation time, or ``apply_ttl=False`` to
+    enforce rules regardless of age (explicit opt-out)."""
     if robots is None:
         return wave.withColumn("robots_allowed", F.lit(True))
-    rules = robots.select("host", "rules_text", "fetch_time")
-    if now is not None:
+    has_ts = "fetch_time" in robots.columns
+    rules = robots.select("host", "rules_text", *(["fetch_time"] if has_ts else []))
+    if apply_ttl and has_ts:
+        now = now if now is not None else F.current_timestamp()
         rules = rules.withColumn(
             "rules_text",
             F.when(

@@ -77,15 +77,24 @@ def content_type_scorer(type_weights: dict[str, float], weight: float = 1.0):
     return build
 
 
-# FreshnessScorer year table (scorers.py:353-412).
-_YEAR_RE = r"(?:/|[-_])((?:19|20)\d{2})(?:/|[-_]|\.|$)"
+# FreshnessScorer date pattern + year table (scorers.py:352-412): year with
+# optional month/day groups; finditer is non-overlapping, so consumed
+# month/day digits can hide a following year — kept for exact parity.
+_YEAR_RE = r"(?:/|[-_])((?:19|20)\d{2})(?:(?:/|[-_])\d{2}(?:(?:/|[-_])\d{2})?)?"
 _FRESHNESS_TABLE = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
 
 
 def freshness_scorer(current_year: int = 2026, weight: float = 1.0):
     def build(url_col: Column) -> Column:
-        year_s = F.regexp_extract(url_col, _YEAR_RE, 1)
-        year = F.when(year_s != "", year_s.cast("int"))
+        # reference (deep_crawling/scorers.py:377-391): findall all year
+        # candidates, keep the most recent one that is <= current_year;
+        # future-dated / no-year URLs fall back to the 0.5 default
+        years = F.transform(
+            F.regexp_extract_all(url_col, F.lit(_YEAR_RE), F.lit(1)),
+            lambda y: y.cast("int"),
+        )
+        valid = F.filter(years, lambda y: y <= F.lit(current_year))
+        year = F.when(F.size(valid) > 0, F.array_max(valid))
         diff = F.lit(current_year) - year
         table = (
             F.when(diff == 0, _FRESHNESS_TABLE[0])

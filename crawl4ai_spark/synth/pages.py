@@ -273,16 +273,18 @@ def generate_site(
 
     robots = [
         # host 0: disallow the /cat1/ subtree for all agents
+        # fetch_time is stamped "now": the crawl loop applies the 7-day
+        # robots TTL by default, and rules must be fresh to be enforced
         {
             "host": _host_name(0),
             "rules_text": "User-agent: *\nDisallow: /cat1/\n",
-            "fetch_time": EPOCH,
+            "fetch_time": dt.datetime.now(dt.timezone.utc),
         },
         # host 1: allow everything explicitly
         {
             "host": _host_name(1),
             "rules_text": "User-agent: *\nAllow: /\n",
-            "fetch_time": EPOCH,
+            "fetch_time": dt.datetime.now(dt.timezone.utc),
         },
         # other hosts: no robots row → fail-open allow
     ]

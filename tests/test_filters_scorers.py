@@ -314,3 +314,106 @@ def test_rank_links_expected_gain(spark):
     assert order[0] == 1                  # relevant AND novel wins
     assert gains[1] > gains[2] > 0        # novelty separates 1 from 2
     assert gains[3] < gains[2]            # relevance dominates novelty (0.7/0.3)
+
+
+def test_freshness_future_year_falls_back(spark):
+    """Future-dated years are invalid (reference takes the most recent year
+    <= current_year); URL with only /2030/ gets the 0.5 no-year default,
+    and a mixed URL uses the max valid year."""
+    from crawl4ai_spark.operators.scorers import freshness_scorer
+
+    urls = [
+        "http://a.com/2030/post",          # future only -> default
+        "http://a.com/2030/archive/2024/", # future + valid -> 2024
+        "http://a.com/2020/2024/x",        # finditer consumes "/2020/20" -> only 2020 found
+    ]
+    fresh = _eval(spark, freshness_scorer(2026), urls)
+    assert fresh["http://a.com/2030/post"] == 0.5
+    assert fresh["http://a.com/2030/archive/2024/"] == 0.8
+    # reference finditer parity: month-group consumption hides 2024
+    assert abs(fresh["http://a.com/2020/2024/x"] - 0.4) < 1e-9
+    assert all(0.0 <= v <= 1.0 for v in fresh.values())
+
+
+def test_retired_host_gets_zero_budget(spark):
+    """cooldown_waves == -1 (retired after max_retries) must zero the
+    budget permanently, like cooldown_waves > 0 does temporarily."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.politeness import rank_by_host_budget
+
+    pending = spark.createDataFrame(
+        [
+            ("http://dead.com/a", 1, "dead.com", 0, 1.0, None, 0, ""),
+            ("http://cool.com/a", 2, "cool.com", 0, 1.0, None, 0, ""),
+            ("http://ok.com/a", 3, "ok.com", 0, 1.0, None, 0, ""),
+        ],
+        "url string, url_fp long, host string, depth int, score double, parent_url string, enqueue_wave int, path_key string",
+    )
+    host_state = spark.createDataFrame(
+        [("dead.com", 60.0, 5, -1), ("cool.com", 2.0, 1, 3), ("ok.com", 0.25, 0, 0)],
+        "host string, current_delay double, fail_count int, cooldown_waves int",
+    )
+    sel = {
+        r.host
+        for r in rank_by_host_budget(pending, None, 10, host_state=host_state)
+        .where(F.col("selected"))
+        .collect()
+    }
+    assert sel == {"ok.com"}
+
+
+def test_global_top_k_two_phase_exact(spark):
+    """flag_global_top_k must select exactly the true global top-k under
+    the total order, regardless of salting."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.politeness import flag_global_top_k, wave_order
+
+    rows = [
+        (f"http://h{i % 17}.com/p{i:04d}", i * 7919 % 100003, f"h{i % 17}.com", i % 5, float(i % 23), None, 0, "")
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, url_fp long, host string, depth int, score double, parent_url string, enqueue_wave int, path_key string",
+    )
+    want = {
+        r.url
+        for r in df.orderBy(F.desc("score"), F.asc("depth"), F.asc("url")).limit(50).collect()
+    }
+    for salt in (4, 32):
+        got = {
+            r.url
+            for r in flag_global_top_k(df, wave_order(), 50, salt_partitions=salt)
+            .where(F.col("_topk"))
+            .collect()
+        }
+        assert got == want
+
+
+def test_fairness_aging_rescues_starving_url(spark):
+    """With fair_wave_order, a long-waiting low-score URL eventually
+    outranks fresh high-score URLs (reference fairness re-prioritization
+    semantics); with the default order it would starve forever."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.politeness import fair_wave_order, rank_by_host_budget
+
+    pending = spark.createDataFrame(
+        [
+            ("http://a.com/starving", 1, "a.com", 1, 0.0, None, 0, ""),
+            ("http://a.com/fresh", 2, "a.com", 1, 1.0, None, 10, ""),
+        ],
+        "url string, url_fp long, host string, depth int, score double, parent_url string, enqueue_wave int, path_key string",
+    )
+
+    def top(order):
+        df = rank_by_host_budget(pending, None, 1, order=order)
+        return [r.url for r in df.where(F.col("selected")).collect()]
+
+    # default order: fresh high-score wins
+    assert top(None) == ["http://a.com/fresh"]
+    # aged order at wave 10 with boost 0.2: starving URL has waited 10
+    # waves -> effective score 2.0 > 1.0
+    assert top(fair_wave_order(10, 0.2)) == ["http://a.com/starving"]
