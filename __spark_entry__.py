@@ -349,6 +349,73 @@ def _q_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_media_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image scoring + srcset variant expansion (SURVEY §2.5): build a
+    deterministic page per document carrying one <img> whose attributes
+    derive from doc_id, run the scraping UDF, explode the scored media
+    items. The oracle recomputes the reference scoring formula
+    (content_scraping_strategy.py:410-515) in SQL."""
+    from crawl4ai_spark.extraction.udfs import udf_scrape
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    did = F.col("doc_id").cast("string")
+    width = (F.lit(100) + (F.col("doc_id") % 20) * 10).cast("string")
+    alt_attr = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit(' alt="photo '), did, F.lit('"'))
+    ).otherwise(F.lit(""))
+    srcset_attr = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(' srcset="/media/doc'), did, F.lit('-2x.jpg 2x"')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body><p>gallery intro paragraph</p><img src=\"/media/doc"),
+        did, F.lit('.jpg" width="'), width, F.lit('" height="200"'),
+        alt_attr, srcset_attr, F.lit("></body></html>"),
+    )
+    pages = docs.select(
+        "doc_id",
+        html.cast("binary").alias("html"),
+        F.concat(F.lit("http://corpus.test/doc/"), did).alias("url"),
+    )
+    ex = pages.select("doc_id", udf_scrape("html", "url").alias("e"))
+    imgs = ex.select("doc_id", F.explode("e.media.images").alias("m"))
+    return imgs.select(
+        "doc_id",
+        F.col("m.src").alias("src"),
+        F.col("m.score").alias("score"),
+        F.col("m.format").alias("format"),
+        F.col("m.width").alias("width"),
+    )
+
+
+def _q_cleaned_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cleaned_html battery round-trip (SURVEY §2.5): a known template
+    (attr noise + script + empty divs) wrapped around each document's
+    escaped text must clean to an exactly predictable string — the oracle
+    rebuilds that string in SQL."""
+    from crawl4ai_spark.extraction.udfs import udf_scrape
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    did = F.col("doc_id").cast("string")
+    esc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"),
+        ">", "&gt;",
+    )
+    html = F.concat(
+        F.lit('<html><body><div class="c" onclick="z()"><p data-x="1">doc '),
+        did, F.lit(": "), esc,
+        F.lit("</p></div><script>junk()</script><div></div></body></html>"),
+    )
+    pages = docs.select(
+        "doc_id",
+        html.cast("binary").alias("html"),
+        F.concat(F.lit("http://corpus.test/doc/"), did).alias("url"),
+    )
+    return pages.select(
+        "doc_id", udf_scrape("html", "url").getField("cleaned_html").alias("cleaned_html")
+    )
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means coarse quantizer) approximate top-k (rows-only;
     pytest checks recall vs brute force on clustered data)."""
@@ -386,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_chunking": _q_sliding_chunking,
         "url_scoring": _q_url_scoring,
         "media_features": _q_media_features,
+        "media_extraction": _q_media_extraction,
+        "cleaned_html_roundtrip": _q_cleaned_html_roundtrip,
         "table_extraction": _q_table_extraction,
         "ivf_topk": _q_ivf_topk,
     }
@@ -571,6 +640,30 @@ def oracle_sql() -> dict[str, str]:
                    (ext = '' OR ext IN ('asp','aspx','htm','html','jsp','md','php','txt','xhtml')) AS ctype_ok,
                    (url LIKE '%.html') AS is_html
             FROM parsed
+        """,
+        "media_extraction": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            s AS (
+                SELECT doc_id,
+                       3
+                       + (CASE WHEN 100 + (doc_id % 20) * 10 > 150 THEN 1 ELSE 0 END)
+                       + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS score
+                FROM d)
+            SELECT doc_id, '/media/doc' || doc_id || '.jpg' AS src, score,
+                   'jpg' AS format, CAST(NULL AS VARCHAR) AS width
+            FROM s
+            UNION ALL
+            SELECT doc_id, '/media/doc' || doc_id || '-2x.jpg' AS src, score,
+                   'jpg' AS format, '2x' AS width
+            FROM s WHERE doc_id % 5 = 0
+        """,
+        "cleaned_html_roundtrip": """
+            SELECT doc_id,
+                   '<html><body><div class="c"><p>doc ' || doc_id || ': '
+                   || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                   || '</p></div></body></html>' AS cleaned_html
+            FROM documents WHERE doc_id < 200
         """,
         "table_extraction": """
             SELECT n_name, cast(n_regionkey AS varchar) AS n_regionkey FROM nation

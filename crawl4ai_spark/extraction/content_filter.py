@@ -116,15 +116,15 @@ def prune_tree(node: Node, threshold: float = PRUNE_THRESHOLD) -> None:
 
 
 def fit_markdown(html: str, threshold: float = PRUNE_THRESHOLD) -> str:
-    """Pruned-content markdown (the reference's fit_markdown surface)."""
+    """Pruned-content markdown (the reference's fit_markdown surface):
+    prune the tree, serialize, and convert with the reference-parity
+    dialect (the reference re-runs html2text on the filtered html,
+    markdown_generation_strategy.py:229-243)."""
+    from crawl4ai_spark.extraction.markdown import node_to_html
+
     root = parse_html(html)
     prune_tree(root, threshold)
-    # render the pruned tree: serialize via the existing block renderer
-    from crawl4ai_spark.extraction.markdown import _render_blocks
-
-    blocks: list[str] = []
-    _render_blocks(root, blocks)
-    return "\n\n".join(blocks) + "\n" if blocks else ""
+    return html_to_markdown(node_to_html(root))
 
 
 # ── BM25 block filter ────────────────────────────────────────────────────

@@ -1,39 +1,25 @@
-"""HTML → markdown conversion — the engine's text-extraction invariant.
+"""HTML parse tree + markdown stage — the engine's text-extraction invariant.
 
-Role parity with the reference's markdown stage
-(``crawl4ai/markdown_generation_strategy.py:55-260`` +
-vendored html2text ``crawl4ai/html2text/__init__.py``): produce
-``raw_markdown``, ``markdown_with_citations``, ``references_markdown`` per
-page, with fenced code blocks carrying ``data-language`` and GFM tables.
-Implementation is clean-room over stdlib ``html.parser`` (lxml/html2text
-are unavailable here), with the conversion contract pinned by a byte-exact
-round-trip invariant against the synthetic corpus generator
-(markdown → HTML → this converter → identical markdown).
+This module hosts (a) the shared stdlib ``html.parser`` tree builder used
+by table/schema extraction and the content filters, (b) a tree→HTML
+serializer feeding ``cleaned_html``/``fit_markdown``, and (c) the markdown
+stage: conversion (delegated to ``extraction.h2t``, the byte-parity
+reimplementation of the reference's vendored html2text under the
+``DefaultMarkdownGenerator`` option set —
+``crawl4ai/markdown_generation_strategy.py:181-190``) plus the citations
+rewrite (``markdown_generation_strategy.py:83-146`` semantics).
 
-Conversion conventions (the engine's documented dialect):
-- ``h1..h6`` → ``#``·n prefix; blocks separated by exactly one blank line;
-  document ends with a single trailing newline.
-- inline: ``**strong**``, ``*em*``, ```code```, ``[text](href)``,
-  ``![alt](src)``; whitespace runs collapse to a single space.
-- ``ul`` → ``- item``; ``ol`` → ``1. item`` (real numbering); nested lists
-  indent two spaces per level.
-- ``pre`` (optionally ``data-language`` / ``<code class="language-x">``) →
-  fenced block preserving bytes verbatim.
-- ``blockquote`` → ``> `` prefix per line; ``hr`` → ``---``.
-- ``table`` → GFM pipe table (header row from ``th``).
-- ``script/style/noscript/head/template`` dropped; unknown block tags are
-  transparent containers.
-
-Citations (reference semantics: LINK_PATTERN rewrite + "## References"
-block, URL-deduped with a running counter): ``[text](url)`` becomes
-``text⟨n⟩`` where n is the first-occurrence index of the url, and
-``references_markdown`` lists ``⟨n⟩ url`` one per line.
+Byte parity with the reference converter is enforced by
+``tests/test_markdown_parity.py`` (reference loaded as a test-time
+oracle); the per-page ``text`` column of the synthetic corpus is produced
+by this same converter, so ``raw_markdown == text`` holds end-to-end.
 """
 
 from __future__ import annotations
 
 import re
 from html.parser import HTMLParser
+from urllib.parse import urljoin
 
 VOID_TAGS = frozenset(
     {"br", "img", "hr", "meta", "link", "input", "base", "source", "col", "wbr", "area", "embed"}
@@ -55,20 +41,26 @@ class Node:
         self.attrs = attrs or {}
         self.children: list = []  # str | Node
 
+    def clone(self) -> "Node":
+        dup = Node(self.tag, dict(self.attrs))
+        dup.children = [c.clone() if isinstance(c, Node) else c for c in self.children]
+        return dup
+
 
 class _TreeBuilder(HTMLParser):
-    def __init__(self) -> None:
+    def __init__(self, drop_tags: frozenset = DROP_TAGS) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Node("#root")
         self._stack = [self.root]
         self._drop_depth = 0
+        self._drop_tags = drop_tags
 
     def handle_starttag(self, tag: str, attrs: list) -> None:
         if self._drop_depth:
-            if tag in DROP_TAGS or tag not in VOID_TAGS:
-                self._drop_depth += 1 if tag in DROP_TAGS else 0
+            if tag in self._drop_tags or tag not in VOID_TAGS:
+                self._drop_depth += 1 if tag in self._drop_tags else 0
             return
-        if tag in DROP_TAGS:
+        if tag in self._drop_tags:
             self._drop_depth = 1
             return
         node = Node(tag, dict(attrs))
@@ -79,13 +71,13 @@ class _TreeBuilder(HTMLParser):
     def handle_startendtag(self, tag: str, attrs: list) -> None:
         if self._drop_depth:
             return
-        if tag in DROP_TAGS:
+        if tag in self._drop_tags:
             return
         self._stack[-1].children.append(Node(tag, dict(attrs)))
 
     def handle_endtag(self, tag: str) -> None:
         if self._drop_depth:
-            if tag in DROP_TAGS:
+            if tag in self._drop_tags:
                 self._drop_depth -= 1
             return
         if tag in VOID_TAGS:
@@ -102,248 +94,122 @@ class _TreeBuilder(HTMLParser):
         self._stack[-1].children.append(data)
 
 
-def parse_html(html: str) -> Node:
-    builder = _TreeBuilder()
+def parse_html(html: str, drop_tags: frozenset = DROP_TAGS) -> Node:
+    """Parse HTML into a Node tree; ``drop_tags`` subtrees are elided at
+    parse time (pass ``frozenset()`` to keep everything, e.g. for the
+    scraping stage which handles head/script/style itself)."""
+    builder = _TreeBuilder(drop_tags)
     builder.feed(html)
     builder.close()
     return builder.root
 
 
 # ──────────────────────────────────────────────────────────────────────────
-# Rendering
+# Serialization (pruned trees → HTML, feeds cleaned_html / fit_markdown)
 # ──────────────────────────────────────────────────────────────────────────
 
+from html import escape as _html_escape  # noqa: E402
 
-def _render_inline(node: Node) -> str:
-    """Render a node's children as inline markdown (whitespace collapsed)."""
-    parts: list[str] = []
-    for child in node.children:
-        if isinstance(child, str):
-            parts.append(child)
-        else:
-            parts.append(_render_inline_node(child))
-    text = "".join(parts)
-    return _WS_RE.sub(" ", text)
+from crawl4ai_spark.extraction.h2t import convert_to_markdown  # noqa: E402
 
 
-def _render_inline_node(node: Node) -> str:
-    tag = node.tag
-    if tag in ("strong", "b"):
-        inner = _render_inline(node).strip()
-        return f"**{inner}**" if inner else ""
-    if tag in ("em", "i"):
-        inner = _render_inline(node).strip()
-        return f"*{inner}*" if inner else ""
-    if tag == "code":
-        inner = _render_inline(node).strip()
-        return f"`{inner}`" if inner else ""
-    if tag == "a":
-        inner = _render_inline(node).strip()
-        href = node.attrs.get("href", "")
-        if not href:
-            return inner
-        return f"[{inner}]({href})"
-    if tag == "img":
-        alt = node.attrs.get("alt", "")
-        src = node.attrs.get("src", "")
-        return f"![{alt}]({src})"
-    if tag == "br":
-        return "\n"
-    # transparent inline container (span, u, small, ...)
-    return _render_inline(node)
-
-
-def _pre_text(node: Node) -> str:
-    """Verbatim text of a <pre> subtree (no whitespace collapsing)."""
+def node_to_html(node: Node) -> str:
+    """Serialize a (possibly pruned) parse tree back to HTML."""
     parts: list[str] = []
 
-    def walk(n: Node) -> None:
+    def walk(n) -> None:
+        if isinstance(n, str):
+            parts.append(_html_escape(n, quote=False))
+            return
+        if n.tag != "#root":
+            attrs = "".join(
+                ' {}="{}"'.format(k, _html_escape("" if v is None else str(v), quote=True))
+                for k, v in n.attrs.items()
+            )
+            parts.append(f"<{n.tag}{attrs}>")
         for child in n.children:
-            if isinstance(child, str):
-                parts.append(child)
-            else:
-                walk(child)
+            walk(child)
+        if n.tag != "#root" and n.tag not in VOID_TAGS:
+            parts.append(f"</{n.tag}>")
 
     walk(node)
     return "".join(parts)
 
 
-def _code_language(pre: Node) -> str:
-    lang = pre.attrs.get("data-language", "")
-    if lang:
-        return lang
-    for child in pre.children:
-        if isinstance(child, Node) and child.tag == "code":
-            for cls in (child.attrs.get("class") or "").split():
-                if cls.startswith("language-"):
-                    return cls[len("language-"):]
-    return ""
-
-
-def _render_list(node: Node, depth: int) -> str:
-    ordered = node.tag == "ol"
-    lines: list[str] = []
-    index = 0
-    indent = "  " * depth
-    for child in node.children:
-        if not (isinstance(child, Node) and child.tag == "li"):
-            continue
-        index += 1
-        marker = f"{index}." if ordered else "-"
-        # split li children into inline prefix and nested lists
-        inline_children = Node("li")
-        sublists: list[Node] = []
-        for grand in child.children:
-            if isinstance(grand, Node) and grand.tag in ("ul", "ol"):
-                sublists.append(grand)
-            else:
-                inline_children.children.append(grand)
-        text = _render_inline(inline_children).strip()
-        lines.append(f"{indent}{marker} {text}")
-        for sub in sublists:
-            lines.append(_render_list(sub, depth + 1))
-    return "\n".join(lines)
-
-
-def _render_table(node: Node) -> str:
-    rows: list[list[str]] = []
-    header: list[str] | None = None
-
-    def collect_rows(n: Node) -> None:
-        nonlocal header
-        for child in n.children:
-            if not isinstance(child, Node):
-                continue
-            if child.tag == "tr":
-                cells = [
-                    (_render_inline(c).strip(), c.tag)
-                    for c in child.children
-                    if isinstance(c, Node) and c.tag in ("td", "th")
-                ]
-                if not cells:
-                    continue
-                if header is None and all(t == "th" for _, t in cells):
-                    header = [txt for txt, _ in cells]
-                else:
-                    rows.append([txt for txt, _ in cells])
-            elif child.tag in ("thead", "tbody", "tfoot"):
-                collect_rows(child)
-
-    collect_rows(node)
-    if header is None:
-        if not rows:
-            return ""
-        width = max(len(r) for r in rows)
-        header = [f"Column {i + 1}" for i in range(width)]
-    width = len(header)
-    out = ["| " + " | ".join(header) + " |", "|" + "---|" * width]
-    for row in rows:
-        padded = row + [""] * (width - len(row))
-        out.append("| " + " | ".join(padded[:width]) + " |")
-    return "\n".join(out)
-
-
-def _render_blocks(node: Node, blocks: list[str]) -> None:
-    """Walk children of a container node, appending markdown blocks."""
-    pending_inline: list = []
-
-    def flush_inline() -> None:
-        if not pending_inline:
-            return
-        holder = Node("p")
-        holder.children = list(pending_inline)
-        text = _render_inline(holder).strip()
-        pending_inline.clear()
-        if text:
-            blocks.append(text)
-
-    for child in node.children:
-        if isinstance(child, str):
-            pending_inline.append(child)
-            continue
-        tag = child.tag
-        if tag in INLINE_TAGS:
-            pending_inline.append(child)
-            continue
-        flush_inline()
-        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
-            level = int(tag[1])
-            text = _render_inline(child).strip()
-            if text:
-                blocks.append("#" * level + " " + text)
-        elif tag == "p":
-            text = _render_inline(child).strip()
-            if text:
-                blocks.append(text)
-        elif tag in ("ul", "ol"):
-            rendered = _render_list(child, 0)
-            if rendered:
-                blocks.append(rendered)
-        elif tag == "pre":
-            code = _pre_text(child)
-            code = code.strip("\n")
-            blocks.append(f"```{_code_language(child)}\n{code}\n```")
-        elif tag == "blockquote":
-            inner_blocks: list[str] = []
-            _render_blocks(child, inner_blocks)
-            quoted = "\n\n".join(inner_blocks)
-            if quoted:
-                blocks.append("\n".join("> " + line if line else ">" for line in quoted.split("\n")))
-        elif tag == "hr":
-            blocks.append("---")
-        elif tag == "table":
-            rendered = _render_table(child)
-            if rendered:
-                blocks.append(rendered)
-        else:
-            # transparent block container: body, html, div, section, ...
-            _render_blocks(child, blocks)
-    flush_inline()
-
-
-def html_to_markdown(html: str) -> str:
-    """Convert an HTML document/fragment to the engine's markdown dialect."""
-    root = parse_html(html)
-    blocks: list[str] = []
-    _render_blocks(root, blocks)
-    if not blocks:
-        return ""
-    return "\n\n".join(blocks) + "\n"
-
-
 # ──────────────────────────────────────────────────────────────────────────
-# Citations
+# Conversion + citations (reference-parity dialect)
 # ──────────────────────────────────────────────────────────────────────────
 
 
-def add_citations(raw_markdown: str) -> tuple[str, str]:
-    """Rewrite inline links as ``text⟨n⟩`` and build a references block."""
-    url_index: dict[str, int] = {}
+def html_to_markdown(html: str, base_url: str = "") -> str:
+    """Reference-dialect HTML → markdown (see ``extraction.h2t``)."""
+    return convert_to_markdown(html, base_url)
 
-    def repl(match: re.Match) -> str:
-        text, url = match.group(1), match.group(2)
-        n = url_index.setdefault(url, len(url_index) + 1)
-        if text.startswith("!"):
-            return match.group(0)
-        return f"{text}⟨{n}⟩"
 
-    # protect images: handle ![alt](src) by temporary marker
-    cited = _LINK_MD_RE.sub(
-        lambda m: m.group(0)
-        if m.start() > 0 and raw_markdown[m.start() - 1] == "!"
-        else repl(m),
-        raw_markdown,
+# Markdown links/images, incl. one nesting level of brackets in the text
+# and one level of parens in the URL, plus an optional "title"
+# (reference LINK_PATTERN, markdown_generation_strategy.py:11).
+_LINK_OR_IMG_RE = re.compile(
+    r'!?\[((?:[^\[\]]|\[(?:[^\[\]]|\[[^\]]*\])*\])*)\]'
+    r'\(((?:[^()\s]|\([^()]*\))*)(?:\s+"([^"]*)")?\)'
+)
+
+
+def _fast_urljoin(base: str, url: str) -> str:
+    if url.startswith(("http://", "https://", "mailto:", "//")):
+        return url
+    if url.startswith("/"):
+        return (base[:-1] if base.endswith("/") else base) + url
+    return urljoin(base, url)
+
+
+def convert_links_to_citations(markdown: str, base_url: str = "") -> tuple[str, str]:
+    """Rewrite ``[text](url)`` → ``text⟨n⟩`` (``![..]`` images keep the
+    bang and brackets) and build the "## References" block, numbering
+    each distinct absolute URL at first occurrence with an optional
+    ``: title - text`` description (reference convert_links_to_citations
+    semantics, markdown_generation_strategy.py:83-146)."""
+    numbered: dict[str, tuple[int, str]] = {}
+    join_memo: dict[str, str] = {}
+
+    def absolute(url: str) -> str:
+        if not base_url or url.startswith(("http://", "https://", "mailto:")):
+            return url
+        if url not in join_memo:
+            join_memo[url] = _fast_urljoin(base_url, url)
+        return join_memo[url]
+
+    def replace(m: re.Match) -> str:
+        text, title = m.group(1), m.group(3)
+        url = absolute(m.group(2))
+        entry = numbered.get(url)
+        if entry is None:
+            label_bits = [b for b in (title, text if text != title else None) if b]
+            entry = (
+                len(numbered) + 1,
+                ": " + " - ".join(label_bits) if label_bits else "",
+            )
+            numbered[url] = entry
+        n = entry[0]
+        return f"![{text}⟨{n}⟩]" if m.group(0).startswith("!") else f"{text}⟨{n}⟩"
+
+    cited = _LINK_OR_IMG_RE.sub(replace, markdown)
+    refs = "\n\n## References\n\n" + "".join(
+        f"⟨{n}⟩ {url}{desc}\n"
+        for url, (n, desc) in sorted(numbered.items(), key=lambda kv: kv[1][0])
     )
-    if not url_index:
-        return cited, ""
-    refs = "## References\n\n" + "\n".join(f"⟨{n}⟩ {url}" for url, n in url_index.items()) + "\n"
     return cited, refs
 
 
-def generate_markdown_result(html: str) -> dict:
+def add_citations(raw_markdown: str, base_url: str = "") -> tuple[str, str]:
+    """Back-compat alias for :func:`convert_links_to_citations`."""
+    return convert_links_to_citations(raw_markdown, base_url)
+
+
+def generate_markdown_result(html: str, base_url: str = "") -> dict:
     """Full markdown stage output (struct mirrored in the Spark schema)."""
-    raw = html_to_markdown(html)
-    cited, refs = add_citations(raw)
+    raw = html_to_markdown(html, base_url)
+    cited, refs = convert_links_to_citations(raw, base_url)
     return {
         "raw_markdown": raw,
         "markdown_with_citations": cited,

@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -90,8 +93,8 @@ def udf_extract_links(html: pd.Series, url: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(MARKDOWN_SCHEMA)
-def udf_markdown(html: pd.Series) -> pd.DataFrame:
-    rows = [generate_markdown_result(_decode(h)) for h in html]
+def udf_markdown(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    rows = [generate_markdown_result(_decode(h), u or "") for h, u in zip(html, url)]
     return pd.DataFrame(rows)
 
 
@@ -122,7 +125,7 @@ def udf_full_extract(html: pd.Series, url: pd.Series) -> pd.DataFrame:
         out.append(
             {
                 "links": _links_tuple(doc, u),
-                "markdown": generate_markdown_result(doc),
+                "markdown": generate_markdown_result(doc, u or ""),
                 "head": {
                     "title": meta["title"],
                     "description": meta["description"],
@@ -152,3 +155,133 @@ def udf_fit_markdown(html: pd.Series) -> pd.Series:
     from crawl4ai_spark.extraction.content_filter import fit_markdown
 
     return pd.Series([fit_markdown(_decode(h)) if h is not None else "" for h in html])
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# Scraping stage (cleaned_html + media + rich links; SURVEY §2.5)
+# ──────────────────────────────────────────────────────────────────────────
+
+MEDIA_ITEM_STRUCT = StructType(
+    [
+        StructField("src", StringType()),
+        StructField("alt", StringType()),
+        StructField("desc", StringType()),
+        StructField("score", IntegerType()),
+        StructField("type", StringType()),
+        StructField("group_id", IntegerType()),
+        StructField("format", StringType()),
+        StructField("width", StringType()),
+    ]
+)
+RICH_LINK_STRUCT = StructType(
+    [
+        StructField("href", StringType()),
+        StructField("text", StringType()),
+        StructField("title", StringType()),
+        StructField("base_domain", StringType()),
+        StructField("intrinsic_score", DoubleType()),
+    ]
+)
+SCRAPE_SCHEMA = StructType(
+    [
+        StructField("cleaned_html", StringType()),
+        StructField(
+            "media",
+            StructType(
+                [
+                    StructField("images", ArrayType(MEDIA_ITEM_STRUCT)),
+                    StructField("videos", ArrayType(MEDIA_ITEM_STRUCT)),
+                    StructField("audios", ArrayType(MEDIA_ITEM_STRUCT)),
+                ]
+            ),
+        ),
+        StructField(
+            "links",
+            StructType(
+                [
+                    StructField("internal", ArrayType(RICH_LINK_STRUCT)),
+                    StructField("external", ArrayType(RICH_LINK_STRUCT)),
+                ]
+            ),
+        ),
+        StructField("markdown", MARKDOWN_SCHEMA),
+        StructField("head", HEAD_SCHEMA),
+        StructField("success", BooleanType()),
+    ]
+)
+
+
+def _media_rows(items: list[dict]) -> list[dict]:
+    return [
+        {
+            "src": m.get("src"),
+            "alt": m.get("alt"),
+            "desc": m.get("desc"),
+            "score": m.get("score"),
+            "type": m.get("type"),
+            "group_id": m.get("group_id"),
+            "format": m.get("format"),
+            "width": m.get("width"),
+        }
+        for m in items
+    ]
+
+
+def _rich_link_rows(items: list[dict]) -> list[dict]:
+    return [
+        {
+            "href": d["href"],
+            "text": d["text"],
+            "title": d["title"],
+            "base_domain": d["base_domain"],
+            "intrinsic_score": d["intrinsic_score"],
+        }
+        for d in items
+    ]
+
+
+def make_scrape_udf(**scrape_options):
+    """Build the scraping-stage UDF with a bound config (the per-crawl
+    ``CrawlerRunConfig`` analog — options are closed over, broadcast with
+    the serialized UDF). Produces the reference pipeline's default
+    content flow: raw html → scrape → cleaned_html → markdown
+    (content_source="cleaned_html")."""
+    from crawl4ai_spark.extraction.scrape import scrape_page
+
+    @pandas_udf(SCRAPE_SCHEMA)
+    def udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        out = []
+        for h, u in zip(html, url):
+            doc = _decode(h)
+            u = u or ""
+            scraped = scrape_page(doc, u, score_links=True, **scrape_options)
+            meta = scraped["metadata"] or extract_head_meta(doc)
+            out.append(
+                {
+                    "cleaned_html": scraped["cleaned_html"],
+                    "media": {
+                        "images": _media_rows(scraped["media"]["images"]),
+                        "videos": _media_rows(scraped["media"]["videos"]),
+                        "audios": _media_rows(scraped["media"]["audios"]),
+                    },
+                    "links": {
+                        "internal": _rich_link_rows(scraped["links"]["internal"]),
+                        "external": _rich_link_rows(scraped["links"]["external"]),
+                    },
+                    "markdown": generate_markdown_result(scraped["cleaned_html"], u),
+                    "head": {
+                        "title": meta.get("title"),
+                        "description": meta.get("description"),
+                        "keywords": meta.get("keywords"),
+                        "author": meta.get("author"),
+                        "lang": meta.get("lang"),
+                    },
+                    "success": scraped["success"],
+                }
+            )
+        return pd.DataFrame(out)
+
+    return udf
+
+
+udf_scrape = make_scrape_udf()

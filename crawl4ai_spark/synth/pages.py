@@ -45,32 +45,29 @@ def _sentence(rng: random.Random, n: int) -> str:
 
 
 class _PageBuilder:
-    """Accumulates parallel (markdown, html) blocks."""
+    """Accumulates HTML blocks; the golden ``text`` column is produced by
+    running the engine's own reference-parity converter over the final
+    document (the converter itself is byte-parity-tested against the
+    reference's vendored html2text in tests/test_markdown_parity.py, so
+    ``text`` is exactly what the reference pipeline would extract)."""
 
     def __init__(self) -> None:
-        self.md: list[str] = []
         self.html: list[str] = []
 
     def heading(self, level: int, text: str) -> None:
-        self.md.append("#" * level + " " + text)
         self.html.append(f"<h{level}>{html_mod.escape(text)}</h{level}>")
 
     def para(self, text: str) -> None:
-        self.md.append(text)
         self.html.append(f"<p>{html_mod.escape(text)}</p>")
 
     def para_with_links(self, prefix: str, links: list[tuple[str, str]]) -> None:
         """links: list of (anchor_text, href)."""
-        md_parts = [prefix] if prefix else []
         html_parts = [html_mod.escape(prefix)] if prefix else []
         for text, href in links:
-            md_parts.append(f"[{text}]({href})")
             html_parts.append(f'<a href="{html_mod.escape(href, quote=True)}">{html_mod.escape(text)}</a>')
-        self.md.append(" ".join(md_parts))
         self.html.append("<p>" + " ".join(html_parts) + "</p>")
 
     def bullet_links(self, links: list[tuple[str, str]]) -> None:
-        self.md.append("\n".join(f"- [{t}]({h})" for t, h in links))
         self.html.append(
             "<ul>"
             + "".join(
@@ -80,20 +77,25 @@ class _PageBuilder:
             + "</ul>"
         )
 
+    def image(self, src: str, alt: str, width: int, height: int, srcset: str = "") -> None:
+        extra = f' srcset="{html_mod.escape(srcset, quote=True)}"' if srcset else ""
+        self.html.append(
+            f'<img src="{html_mod.escape(src, quote=True)}" width="{width}" '
+            f'height="{height}" alt="{html_mod.escape(alt, quote=True)}"{extra}>'
+        )
+
+    def video(self, src: str) -> None:
+        self.html.append(f'<video src="{html_mod.escape(src, quote=True)}"></video>')
+
     def code(self, language: str, body: str) -> None:
-        self.md.append(f"```{language}\n{body}\n```")
         self.html.append(
             f'<pre data-language="{language}">{html_mod.escape(body)}</pre>'
         )
 
     def quote(self, text: str) -> None:
-        self.md.append("> " + text)
         self.html.append(f"<blockquote><p>{html_mod.escape(text)}</p></blockquote>")
 
     def table(self, header: list[str], rows: list[list[str]]) -> None:
-        md = ["| " + " | ".join(header) + " |", "|" + "---|" * len(header)]
-        md += ["| " + " | ".join(r) + " |" for r in rows]
-        self.md.append("\n".join(md))
         h = ["<table><thead><tr>"]
         h += [f"<th>{html_mod.escape(c)}</th>" for c in header]
         h.append("</tr></thead><tbody>")
@@ -103,15 +105,13 @@ class _PageBuilder:
         self.html.append("".join(h))
 
     def raw_links_html(self, links: list[tuple[str, str]]) -> None:
-        """HTML-only anchor soup (tracking/fragment/mailto/js/dup cases).
-
-        Rendered inside a <p> whose markdown text is the same anchors — so
-        the round-trip invariant still holds while the frontier must
-        canonicalize/skip them.
-        """
+        """HTML-only anchor soup (tracking/fragment/mailto/js/dup cases)
+        the frontier must canonicalize/skip."""
         self.para_with_links("", links)
 
     def render(self, url: str, title: str, lang: str, description: str) -> tuple[str, str]:
+        from crawl4ai_spark.extraction.h2t import convert_to_markdown
+
         body = "".join(self.html)
         doc = (
             f'<html lang="{lang}"><head><meta charset="utf-8">'
@@ -120,8 +120,7 @@ class _PageBuilder:
             f'<meta property="og:title" content="{html_mod.escape(title, quote=True)}">'
             f"</head><body>{body}</body></html>"
         )
-        text = "\n\n".join(self.md) + "\n" if self.md else ""
-        return doc, text
+        return doc, convert_to_markdown(doc, url)
 
 
 def _host_name(i: int) -> str:
@@ -234,6 +233,20 @@ def generate_site(
                         title = f"product {p} of cat {c} sub {s}"
                         b.heading(2, title)
                         b.para(_sentence(rng, 16))
+                        # deterministic media: even products carry a large
+                        # scored image (width/height > 150, alt, srcset ->
+                        # clears IMAGE_SCORE_THRESHOLD), odd ones a small
+                        # unscored thumbnail; product 0 adds a video
+                        if p % 2 == 0:
+                            b.image(
+                                f"/media/prod{c}{s}{p}.jpg", f"photo of product {p}",
+                                200 + 10 * p, 180,
+                                srcset=f"/media/prod{c}{s}{p}-2x.jpg 2x",
+                            )
+                        else:
+                            b.image(f"/media/thumb{c}{s}{p}.gif", "", 40, 40)
+                        if p == 0:
+                            b.video(f"/media/clip{c}{s}.mp4")
                         b.code("python", f"sku = 'sku-{c}{s}{p}'\nprice = {10 + p}")
                         b.para_with_links(
                             "breadcrumbs:",

@@ -40,12 +40,12 @@ def test_markdown_basics():
         "<h1>A</h1><p>one <strong>two</strong> <em>three</em> <code>four</code></p>"
         "<ul><li>x</li><li>y</li></ul>"
     )
-    assert md == "# A\n\none **two** *three* `four`\n\n- x\n- y\n"
+    assert md == "# A\none **two** _three_ `four`\n  * x\n  * y\n\n\n"
 
 
 def test_markdown_code_fence_preserves_bytes():
     md = html_to_markdown('<pre data-language="python">a = 1 &lt; 2\nb = &amp;x</pre>')
-    assert md == "```python\na = 1 < 2\nb = &x\n```\n"
+    assert md == "\n```python\na = 1 < 2\nb = &x\n```\n\n"
 
 
 def test_markdown_table():
@@ -53,17 +53,17 @@ def test_markdown_table():
         "<table><thead><tr><th>a</th><th>b</th></tr></thead>"
         "<tbody><tr><td>1</td><td>2</td></tr></tbody></table>"
     )
-    assert md == "| a | b |\n|---|---|\n| 1 | 2 |\n"
+    assert md == "| a | b |  \n| --- | --- |  \n| 1 | 2 |\n"
 
 
 def test_markdown_ordered_and_nested_lists():
     md = html_to_markdown("<ol><li>a<ul><li>b</li></ul></li><li>c</li></ol>")
-    assert md == "1. a\n  - b\n2. c\n"
+    assert md == "  1. a\n     * b\n  2. c\n\n\n"
 
 
 def test_markdown_blockquote_and_hr():
     md = html_to_markdown("<blockquote><p>q1</p><p>q2</p></blockquote><hr>")
-    assert md == "> q1\n>\n> q2\n\n---\n"
+    assert md == "> q1\n> q2\n* * *\n"
 
 
 def test_scripts_and_head_dropped():
@@ -76,13 +76,16 @@ def test_scripts_and_head_dropped():
 def test_citations():
     cited, refs = add_citations("see [a](http://x.com/) and [b](http://y.com/) and [a2](http://x.com/)\n")
     assert cited == "see a⟨1⟩ and b⟨2⟩ and a2⟨1⟩\n"
-    assert refs == "## References\n\n⟨1⟩ http://x.com/\n⟨2⟩ http://y.com/\n"
+    # reference semantics: header always present, desc = ": text"
+    assert refs == "\n\n## References\n\n⟨1⟩ http://x.com/: a\n⟨2⟩ http://y.com/: b\n"
 
 
-def test_citations_skip_images():
+def test_citations_images_numbered_in_brackets():
+    # reference: images become ![alt⟨n⟩] (src dropped) and ARE referenced
     cited, refs = add_citations("![alt](http://x.com/i.png) and [a](http://y.com/)")
-    assert "![alt](http://x.com/i.png)" in cited
-    assert "⟨1⟩ http://y.com/" in refs
+    assert cited == "![alt⟨1⟩] and a⟨2⟩"
+    assert "⟨1⟩ http://x.com/i.png: alt\n" in refs
+    assert "⟨2⟩ http://y.com/: a\n" in refs
 
 
 def test_meta_extraction():
@@ -98,7 +101,7 @@ def test_roundtrip_invariant_whole_corpus():
     site = generate_site(n_hosts=3, cats=3, subs=2, prods=5)
     assert len(site["pages"]) == 3 * (1 + 3 * (1 + 2 * (1 + 5)))
     for page in site["pages"]:
-        got = html_to_markdown(page["html"].decode("utf-8"))
+        got = html_to_markdown(page["html"].decode("utf-8"), page["url"])
         assert got == page["text"], f"round-trip mismatch for {page['url']}"
 
 

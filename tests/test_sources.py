@@ -80,4 +80,4 @@ def test_raw_html_source_runs_through_extraction(spark):
 
     df = raw_html_source(spark, [("raw://one", "<h1>Hi</h1><p>there</p>")])
     row = df.select(udf_full_extract("html", "url").alias("e")).head()
-    assert row.e.markdown.raw_markdown == "# Hi\n\nthere\n"
+    assert row.e.markdown.raw_markdown == "# Hi\nthere\n"
