@@ -349,6 +349,108 @@ def _q_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_schema_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JsonCss extraction (SURVEY §2.8): render region→nation HTML,
+    extract with a nested_list schema, emit one sorted-key JSON record per
+    region; the oracle rebuilds the identical JSON strings in SQL."""
+    from crawl4ai_spark.extraction.schema_extract import schema_extract_json_udf
+
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    li = F.struct(
+        F.col("n_nationkey"),
+        F.concat(
+            F.lit('<li class="nation" data-key="'),
+            F.col("n_nationkey").cast("string"),
+            F.lit('">'), F.col("n_name"), F.lit("</li>"),
+        ).alias("html"),
+    )
+    per_region = (
+        nation.groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list(li)).alias("lis"))
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            "r_regionkey",
+            F.concat(
+                F.lit('<div class="region"><h2>'), F.col("r_name"), F.lit("</h2><ul>"),
+                F.concat_ws("", F.transform("lis", lambda x: x.getField("html"))),
+                F.lit("</ul></div>"),
+            ).alias("html"),
+        )
+    )
+    schema = {
+        "baseSelector": "div.region",
+        "fields": [
+            {"name": "name", "selector": "h2", "type": "text"},
+            {
+                "name": "nations",
+                "type": "nested_list",
+                "selector": "li.nation",
+                "fields": [
+                    {"name": "key", "type": "attribute", "attribute": "data-key"},
+                    {"name": "name", "type": "text"},
+                ],
+            },
+        ],
+    }
+    udf = schema_extract_json_udf(schema)
+    return per_region.select(
+        "r_regionkey", F.explode(udf("html")).alias("record")
+    )
+
+
+def _q_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunk (utils.py:76-158 port; closed-form segment
+    arithmetic, T=64 tokens, overlap=16, word_token_rate=0.75)."""
+    from crawl4ai_spark.operators.chunking import token_budget_chunking
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_budget_chunking(docs, chunk_token_threshold=64, overlap=16)
+
+
+def _q_sentence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex sentence chunking (NlpSentenceChunking surface)."""
+    from crawl4ai_spark.operators.chunking import sentence_chunking
+
+    docs = _read(spark, sf_dir, "documents")
+    return sentence_chunking(docs)
+
+
+_CATALOG_LABELS = (
+    "email", "url", "ipv4", "uuid", "currency", "percentage",
+    "date_iso", "time_24h", "html_color_hex", "mac_addr",
+)
+
+
+def _catalog_text_col():
+    """Deterministic per-event text hitting 10 catalog patterns; the
+    oracle reconstructs the identical string in SQL."""
+    i = F.col("event_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    return F.concat(
+        F.lit("ping a"), s(i % 50), F.lit("@mail"), s(i % 7), F.lit(".com via https://ex"),
+        s(i % 9), F.lit(".com/p?q="), s(i), F.lit(" from 10.0."), s(i % 256), F.lit("."),
+        s(i % 113), F.lit(" uuid 123e4567-e89b-42d3-a456-4266141740"),
+        F.lpad(s(i % 100), 2, "0"), F.lit(" pay $"), s(i % 90), F.lit(".25 rate "),
+        s(i % 100), F.lit(".5% on 2026-0"), s(1 + i % 9), F.lit("-1"), s(i % 10),
+        F.lit(" at 1"), s(i % 10), F.lit(":4"), s(i % 6), F.lit(" color #a1b2c"),
+        s(i % 10), F.lit(" mac aa:bb:cc:dd:ee:f"), s(i % 10),
+    )
+
+
+def _q_regex_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 21-pattern DEFAULT_PATTERNS catalog (SURVEY §2.8):
+    10 labels exercised over deterministic text, native
+    regexp_extract_all; the oracle runs the same patterns in DuckDB."""
+    from crawl4ai_spark.operators.regex_extract import regex_extract_matches, select_patterns
+
+    events = _read(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    docs = events.select("event_id", _catalog_text_col().alias("txt"))
+    return regex_extract_matches(
+        docs, select_patterns(*_CATALOG_LABELS), id_col="event_id", text_col="txt"
+    )
+
+
 def _q_media_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image scoring + srcset variant expansion (SURVEY §2.5): build a
     deterministic page per document carrying one <img> whose attributes
@@ -451,8 +553,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_digit_matches": _q_regex_digit_matches,
         "fixed_chunking": _q_fixed_chunking,
         "sliding_chunking": _q_sliding_chunking,
+        "token_chunking": _q_token_chunking,
+        "sentence_chunking": _q_sentence_chunking,
+        "schema_extract_nested": _q_schema_extract_nested,
         "url_scoring": _q_url_scoring,
         "media_features": _q_media_features,
+        "regex_catalog": _q_regex_catalog,
         "media_extraction": _q_media_extraction,
         "cleaned_html_roundtrip": _q_cleaned_html_roundtrip,
         "table_extraction": _q_table_extraction,
@@ -640,6 +746,84 @@ def oracle_sql() -> dict[str, str]:
                    (ext = '' OR ext IN ('asp','aspx','htm','html','jsp','md','php','txt','xhtml')) AS ctype_ok,
                    (url LIKE '%.html') AS is_html
             FROM parsed
+        """,
+        "schema_extract_nested": """
+            SELECT r.r_regionkey,
+                   '{"name": "' || trim(r.r_name) || '", "nations": ['
+                   || string_agg(
+                          '{"key": "' || n.n_nationkey || '", "name": "' || trim(n.n_name) || '"}',
+                          ', ' ORDER BY n.n_nationkey)
+                   || ']}' AS record
+            FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_regionkey, r.r_name
+        """,
+        "token_chunking": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM documents),
+            c AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       CASE WHEN len(toks) >= 86
+                            THEN CAST(((len(toks) - 86) // 64) + 1 AS INT)
+                            ELSE 0 END AS k
+                FROM t),
+            e AS (
+                SELECT doc_id, CAST(unnest(range(0, k + 1)) AS INT) AS chunk_index,
+                       toks, n, k
+                FROM c),
+            s AS (
+                SELECT doc_id, chunk_index,
+                       CASE WHEN chunk_index < k
+                            THEN array_to_string(toks[chunk_index*64+1 : chunk_index*64+64], ' ')
+                            ELSE coalesce(array_to_string(toks[k*64+1 : n], ' '), '') END AS chunk
+                FROM e)
+            SELECT doc_id, chunk_index, chunk FROM s WHERE trim(chunk) <> ''
+        """,
+        "sentence_chunking": """
+            WITH s AS (
+                SELECT doc_id,
+                       unnest(string_split(
+                           regexp_replace(text, '([.!?])\\s+', '\\1' || chr(31), 'g'),
+                           chr(31))) AS raw,
+                       generate_subscripts(string_split(
+                           regexp_replace(text, '([.!?])\\s+', '\\1' || chr(31), 'g'),
+                           chr(31)), 1) - 1 AS pos
+                FROM documents)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS INT)
+                       AS chunk_index,
+                   trim(raw) AS chunk
+            FROM s WHERE trim(raw) <> ''
+        """,
+        "regex_catalog": """
+            WITH t AS (
+                SELECT event_id,
+                       'ping a' || (event_id % 50) || '@mail' || (event_id % 7)
+                       || '.com via https://ex' || (event_id % 9) || '.com/p?q=' || event_id
+                       || ' from 10.0.' || (event_id % 256) || '.' || (event_id % 113)
+                       || ' uuid 123e4567-e89b-42d3-a456-4266141740' || lpad(CAST(event_id % 100 AS VARCHAR), 2, '0')
+                       || ' pay $' || (event_id % 90) || '.25 rate ' || (event_id % 100)
+                       || '.5% on 2026-0' || (1 + event_id % 9) || '-1' || (event_id % 10)
+                       || ' at 1' || (event_id % 10) || ':4' || (event_id % 6)
+                       || ' color #a1b2c' || (event_id % 10)
+                       || ' mac aa:bb:cc:dd:ee:f' || (event_id % 10) AS txt
+                FROM events WHERE event_id < 300),
+            p(label, rx) AS (VALUES
+                ('email', '[\\w.+-]+@[\\w-]+\\.[\\w.-]+'),
+                ('url', 'https?://[^\\s"''<>]+'),
+                ('ipv4', '(?:\\d{1,3}\\.){3}\\d{1,3}'),
+                ('uuid', '[0-9a-f]{8}-[0-9a-f]{4}-[1-5][0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}'),
+                ('currency', '(?:USD|EUR|RM|\\$|€|£)\\s?\\d+(?:[.,]\\d{2})?'),
+                ('percentage', '\\d+(?:\\.\\d+)?%'),
+                ('date_iso', '\\d{4}-\\d{2}-\\d{2}'),
+                ('time_24h', '\\b(?:[01]?\\d|2[0-3]):[0-5]\\d(?:[:.][0-5]\\d)?\\b'),
+                ('html_color_hex', '#[0-9A-Fa-f]{6}\\b'),
+                ('mac_addr', '(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}'))
+            SELECT event_id, label,
+                   unnest(regexp_extract_all(txt, '(' || rx || ')', 1, 'im')) AS value
+            FROM t, p
         """,
         "media_extraction": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),

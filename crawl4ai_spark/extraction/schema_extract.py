@@ -163,52 +163,223 @@ def _node_html(node: Node) -> str:
     return render(node)
 
 
+# ──────────────────────────────────────────────────────────────────────────
+# Minimal XPath engine (the JsonXPath variant's selector subset)
+# ──────────────────────────────────────────────────────────────────────────
+
+_XSTEP_RE = re.compile(r"(//|/)((?:[\w*-]+))((?:\[[^\]]*\])*)")
+_XPRED_RE = re.compile(r"\[([^\]]*)\]")
+
+
+def _xpath_parse(expr: str) -> list[tuple[str, str, list[str]]]:
+    """'.//div[@class="x"][2]/span' → [(desc, div, preds), (child, span, [])]."""
+    expr = expr.strip()
+    if expr.startswith("."):
+        expr = expr[1:]
+    if not expr.startswith("/"):
+        expr = "/" + expr  # bare 'div' → child step
+    steps: list[tuple[str, str, list[str]]] = []
+    pos = 0
+    while pos < len(expr):
+        m = _XSTEP_RE.match(expr, pos)
+        if not m:
+            raise ValueError(f"unsupported xpath: {expr!r} at {pos}")
+        axis = "desc" if m.group(1) == "//" else "child"
+        steps.append((axis, m.group(2), _XPRED_RE.findall(m.group(3) or "")))
+        pos = m.end()
+    return steps
+
+
+def _xpath_pred_ok(node: Node, pred: str) -> bool | None:
+    """True/False for attribute predicates; None = positional (handled
+    by the caller)."""
+    pred = pred.strip()
+    if pred.isdigit():
+        return None
+    if pred.startswith("@"):
+        body = pred[1:]
+        if "=" in body:
+            key, want = body.split("=", 1)
+            return node.attrs.get(key.strip()) == want.strip().strip("'\"")
+        return body.strip() in node.attrs
+    raise ValueError(f"unsupported xpath predicate: {pred!r}")
+
+
+def xpath_select(root: Node, expr: str) -> list[Node]:
+    """Evaluate the supported XPath subset (``/`` and ``//`` steps, tag or
+    ``*`` tests, ``[@attr]`` / ``[@attr='v']`` / positional ``[n]``
+    predicates) relative to ``root`` — the selector surface of the
+    reference's JsonXPathExtractionStrategy schemas
+    (extraction_strategy.py:2449-2520)."""
+    contexts = [root]
+    for axis, test, preds in _xpath_parse(expr):
+        nxt: list[Node] = []
+        seen: set[int] = set()
+        for ctx in contexts:
+            if axis == "child":
+                pool = [c for c in ctx.children if isinstance(c, Node)]
+            else:
+                pool = list(_iter_nodes(ctx))
+            matched = [n for n in pool if test == "*" or n.tag == test]
+            for pred in preds:
+                keep = []
+                for i, n in enumerate(matched):
+                    ok = _xpath_pred_ok(n, pred)
+                    if ok is None:
+                        if i + 1 == int(pred.strip()):
+                            keep.append(n)
+                    elif ok:
+                        keep.append(n)
+                matched = keep
+            for n in matched:
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    nxt.append(n)
+        contexts = nxt
+    return contexts
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# Schema evaluation (the JsonCss / JsonXPath engine)
+# ──────────────────────────────────────────────────────────────────────────
+
+# reference transform names (extraction_strategy.py:1288-1295) + legacy
 _TRANSFORMS = {
+    "lowercase": str.lower,
+    "uppercase": str.upper,
+    "strip": str.strip,
     "lower": str.lower,
     "upper": str.upper,
-    "strip": str.strip,
 }
 
+_ENGINES = {"css": select, "xpath": xpath_select}
 
-def extract_with_schema(html: str, schema: dict) -> list[dict]:
-    """Evaluate a JsonCss-style schema against one HTML document."""
+
+def _apply_transforms(value, spec):
+    names = spec if isinstance(spec, list) else [spec]
+    for name in names:
+        fn = _TRANSFORMS.get(name)
+        if fn is not None and isinstance(value, str):
+            value = fn(value)
+    return value
+
+
+def _extract_single_field(engine, element: Node, field: dict):
+    """Type-pipeline evaluation of one scalar field
+    (reference _extract_single_field, extraction_strategy.py:1180-1231):
+    optional sub-selector (first match), then a step list over
+    text / attribute / html / regex, then transform, then default."""
+    if field.get("selector"):
+        matches = engine(element, field["selector"])
+        if not matches:
+            return field.get("default")
+        value = matches[0]
+    else:
+        value = element
+    steps = field.get("type", "text")
+    steps = steps if isinstance(steps, list) else [steps]
+    for step in steps:
+        try:
+            if step == "text":
+                value = _node_text(value) if isinstance(value, Node) else None
+            elif step == "attribute":
+                value = (
+                    value.attrs.get(field.get("attribute", ""))
+                    if isinstance(value, Node)
+                    else None
+                )
+            elif step == "html":
+                value = _node_html(value) if isinstance(value, Node) else None
+            elif step == "regex":
+                pattern = field.get("pattern")
+                if pattern:
+                    if isinstance(value, Node):
+                        value = _node_text(value)
+                    m = re.search(pattern, value) if isinstance(value, str) else None
+                    value = m.group(field.get("group", 1)) if m else None
+        except Exception:
+            value = None
+        if value is None:
+            break
+    if "transform" in field:
+        value = _apply_transforms(value, field["transform"])
+    return value if value is not None else field.get("default")
+
+
+def _extract_field(engine, element: Node, field: dict):
+    try:
+        ftype = field.get("type", "text")
+        if ftype == "nested":
+            matches = engine(element, field["selector"])
+            return _extract_item(engine, matches[0], field["fields"]) if matches else {}
+        if ftype == "list":
+            return [
+                {
+                    f["name"]: v
+                    for f in field["fields"]
+                    if (v := _extract_single_field(engine, el, f)) is not None
+                }
+                for el in engine(element, field["selector"])
+            ]
+        if ftype == "nested_list":
+            return [
+                _extract_item(engine, el, field["fields"])
+                for el in engine(element, field["selector"])
+            ]
+        return _extract_single_field(engine, element, field)
+    except Exception:
+        return field.get("default")
+
+
+def _extract_item(engine, element: Node, fields: list[dict]) -> dict:
+    item: dict = {}
+    for field in fields:
+        if field.get("type") == "computed":
+            fn = field.get("function")
+            try:
+                value = fn(item) if callable(fn) else field.get("default")
+            except Exception:
+                value = field.get("default")
+        else:
+            value = _extract_field(engine, element, field)
+        if value is not None:
+            item[field["name"]] = value
+    return item
+
+
+def extract_with_schema(html: str, schema: dict, engine: str = "css") -> list[dict]:
+    """Evaluate a JsonCss/JsonXPath schema against one HTML document.
+
+    Full reference field model (extraction_strategy.py:1043-1330):
+    ``baseSelector`` + optional ``baseFields``; field types ``text`` /
+    ``attribute`` / ``html`` / ``regex`` (or a pipeline list of those),
+    ``nested`` (first match → dict), ``list`` (scalar fields per match),
+    ``nested_list`` (recursive dicts per match), ``computed``
+    (``function`` callable only — the reference disables ``expression``
+    eval for security, and callables don't survive the JSON-serialized
+    UDF closure; use computed fields on the local API).
+    ``engine``: "css" (default) or "xpath".
+    """
+    sel = _ENGINES[engine]
     root = parse_html(html)
     records: list[dict] = []
-    for base in select(root, schema["baseSelector"]):
-        record: dict[str, str] = {}
-        for field in schema.get("fields", []):
-            targets = select(base, field["selector"]) if field.get("selector") else [base]
-            value: str | None = None
-            if targets:
-                node = targets[0]
-                ftype = field.get("type", "text")
-                if ftype == "text":
-                    value = _node_text(node)
-                elif ftype == "attribute":
-                    value = node.attrs.get(field.get("attribute", ""), None)
-                elif ftype == "html":
-                    value = _node_html(node)
-                elif ftype == "regex":
-                    m = re.search(field.get("pattern", ""), _node_text(node))
-                    value = m.group(1) if (m and m.groups()) else (m.group(0) if m else None)
-            if value is None:
-                value = field.get("default")
+    for base in sel(root, schema["baseSelector"]):
+        item: dict = {}
+        for field in schema.get("baseFields", []):
+            value = _extract_single_field(sel, base, field)
             if value is not None:
-                for t in field.get("transform", []) if isinstance(field.get("transform"), list) else (
-                    [field["transform"]] if field.get("transform") else []
-                ):
-                    fn = _TRANSFORMS.get(t)
-                    if fn:
-                        value = fn(value)
-                record[field["name"]] = value
-        if record:
-            records.append(record)
+                item[field["name"]] = value
+        item.update(_extract_item(sel, base, schema.get("fields", [])))
+        if item:
+            records.append(item)
     return records
 
 
-def schema_extract_udf(schema: dict):
-    """Arrow UDF factory: html (binary/str) → array<map<string,string>>.
-    The schema travels to executors inside the closure (broadcast-like)."""
+def schema_extract_udf(schema: dict, engine: str = "css"):
+    """Arrow UDF factory: html → array<map<string,string>> (flat view —
+    nested/list values are JSON-encoded strings). The schema travels to
+    executors inside the closure (broadcast-like); must be
+    JSON-serializable (no computed-function callables)."""
     schema_json = json.dumps(schema)
 
     @pandas_udf(ArrayType(MapType(StringType(), StringType())))
@@ -222,7 +393,45 @@ def schema_extract_udf(schema: dict):
             if isinstance(doc, (bytes, bytearray)):
                 doc = bytes(doc).decode("utf-8", errors="replace")
             try:
-                out.append(extract_with_schema(doc, loaded))
+                recs = extract_with_schema(doc, loaded, engine)
+                out.append(
+                    [
+                        {
+                            k: v if isinstance(v, str) else json.dumps(v, sort_keys=True)
+                            for k, v in r.items()
+                        }
+                        for r in recs
+                    ]
+                )
+            except Exception:
+                out.append([])
+        return pd.Series(out)
+
+    return udf
+
+
+def schema_extract_json_udf(schema: dict, engine: str = "css"):
+    """Arrow UDF factory: html → array<string> of JSON records (the
+    nested-faithful view; one JSON string per baseSelector match)."""
+    schema_json = json.dumps(schema)
+
+    @pandas_udf(ArrayType(StringType()))
+    def udf(html: pd.Series) -> pd.Series:
+        loaded = json.loads(schema_json)
+        out = []
+        for doc in html:
+            if doc is None:
+                out.append([])
+                continue
+            if isinstance(doc, (bytes, bytearray)):
+                doc = bytes(doc).decode("utf-8", errors="replace")
+            try:
+                out.append(
+                    [
+                        json.dumps(r, sort_keys=True)
+                        for r in extract_with_schema(doc, loaded, engine)
+                    ]
+                )
             except Exception:
                 out.append([])
         return pd.Series(out)

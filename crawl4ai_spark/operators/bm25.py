@@ -107,35 +107,50 @@ def consistency_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_pairs: int = 10_000,
+    max_docs: int = 256,
+    n_hashes: int = 64,
+    seed: int = 42,
 ) -> float:
-    """Mean pairwise Jaccard of document term SETS. The reference is
-    O(n²) in the driver; we aggregate pair intersections relationally and
-    cap the pair count (sampled corpora) — documented deviation for scale."""
-    terms = doc_terms(docs, id_col, text_col).distinct()
-    sizes = terms.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = terms.alias("a")
-    b = terms.alias("b")
-    inter = (
-        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("ni"))
+    """Mean pairwise term-set Jaccard, estimated deterministically.
+
+    The reference computes the exact mean over ALL doc pairs in the
+    driver (O(n²), adaptive_crawler.py:369-394) — intractable at corpus
+    scale, and a relational port with ``limit()``-capped pairs is
+    run-dependent. This estimator is reproducible and bounded:
+
+    1. seeded hash-ordered sample of ≤ ``max_docs`` documents
+       (``xxhash64(doc_id, seed)`` order — same set every run),
+    2. MinHash signatures over term sets (n=1 shingles, shared
+       ``dedup.minhash_signatures`` pipeline — no term self-join),
+    3. mean signature-agreement Jaccard estimate over all sample pairs
+       (≤ max_docs² rows through a broadcast join of two tiny frames).
+
+    Per-pair error ~ 1/sqrt(n_hashes), averaged over ~max_docs²/2 pairs.
+    """
+    from crawl4ai_spark.operators.dedup import minhash_signatures
+
+    sample = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("_h", F.xxhash64(F.col("doc_id").cast("string"), F.lit(seed)))
+        .orderBy("_h", "doc_id")
+        .limit(max_docs)
+        .drop("_h")
     )
-    pairs = (
-        inter.join(sizes.selectExpr("doc_id as id_a", "sz as sa"), "id_a")
-        .join(sizes.selectExpr("doc_id as id_b", "sz as sb"), "id_b")
-        .withColumn("j", F.col("ni") / (F.col("sa") + F.col("sb") - F.col("ni")))
-        .limit(max_pairs)
+    sigs = minhash_signatures(sample, "doc_id", "text", n=1, k=n_hashes, seed=seed)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
-    row = pairs.agg(F.avg("j").alias("avg_j"), F.count("*").alias("n")).head()
-    n_docs = docs.count()
-    total_pairs = n_docs * (n_docs - 1) // 2
-    if total_pairs == 0:
-        return 1.0
-    # pairs with zero intersection never appear in `inter` — weight them in
-    observed = row.n or 0
-    avg_observed = row.avg_j or 0.0
-    return float(avg_observed * observed / max(total_pairs, observed))
+    row = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select((agree / F.lit(float(n_hashes))).alias("j"))
+        .agg(F.avg("j").alias("avg_j"))
+        .head()
+    )
+    return float(row.avg_j) if row.avg_j is not None else 1.0
 
 
 def saturation_stat(new_terms_by_wave: list[int]) -> float:

@@ -76,3 +76,156 @@ def overlapping_window_chunking(
     return sliding_window_chunking(
         docs, window_size, max(window_size - overlap, 1), id_col, text_col
     )
+
+
+def sentence_chunking(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sentence rows (NlpSentenceChunking contract,
+    ``chunking_strategy.py:65-88``). nltk punkt is unavailable in this
+    environment, so the split is a regex — break after sentence-ending
+    punctuation followed by whitespace — with the same strip/drop-empty
+    surface; a documented deviation from punkt's abbreviation handling."""
+    sents = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"(?<=[.!?])\s+"), lambda c: F.trim(c)
+        ),
+        lambda c: c != "",
+    )
+    return docs.select(F.col(id_col), F.posexplode(sents).alias("chunk_index", "chunk"))
+
+
+def _floor_units(budget: float, rate: float) -> int:
+    """Largest m with m*rate <= budget (float-exact for rate=0.75)."""
+    m = max(int(budget / rate), 0)
+    while (m + 1) * rate <= budget:
+        m += 1
+    while m > 0 and m * rate > budget:
+        m -= 1
+    return m
+
+
+def token_budget_chunking(
+    docs: DataFrame,
+    chunk_token_threshold: int,
+    overlap: int = 0,
+    word_token_rate: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget chunking (reference ``utils.chunk_documents``
+    ``utils.py:76-158``) applied per document.
+
+    With a uniform per-word contribution ``r`` the reference's deque
+    algebra has a closed form: each loop iteration pops
+    ``C = floor(T/r)`` words, re-queues the last ``o = floor(V/r)`` as
+    overlap but EMITS only the first ``C−o`` (the reference excludes the
+    re-queued words from the yielded chunk, so emitted chunks are
+    adjacent ``s = C−o``-word segments — kept verbatim for parity), and
+    the loop runs while ``remaining·r >= T``; the remainder is the final
+    chunk. Pure native array slicing — map-only, no shuffle, no Python.
+    """
+    cap = _floor_units(chunk_token_threshold, word_token_rate)
+    if cap < 1:
+        raise ValueError("chunk_token_threshold must cover at least one word")
+    ov = min(_floor_units(overlap, word_token_rate), cap - 1) if overlap > 0 else 0
+    seg = cap - ov
+    rmin = cap if cap * word_token_rate >= chunk_token_threshold else cap + 1
+
+    base = docs.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+    n = F.size("toks")
+    k = (
+        F.when(n >= rmin, F.floor((n - rmin) / seg).cast("int") + 1)
+        .otherwise(F.lit(0))
+    )
+    base = base.withColumn("k", k)
+    idx = F.sequence(F.lit(0), F.col("k"))
+    chunks = F.transform(
+        idx,
+        lambda i: F.when(
+            i < F.col("k"),
+            F.concat_ws(" ", F.slice("toks", i * seg + 1, seg)),
+        ).otherwise(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks",
+                    F.col("k") * seg + 1,
+                    F.greatest(n - F.col("k") * seg, F.lit(0)),
+                ),
+            )
+        ),
+    )
+    return (
+        base.select(F.col(id_col), F.posexplode(chunks).alias("chunk_index", "chunk"))
+        .where(F.trim("chunk") != "")
+    )
+
+
+def merge_token_chunks(
+    texts: list[str],
+    target_size: int,
+    overlap: int = 0,
+    word_token_ratio: float = 1.0,
+) -> list[str]:
+    """Merge many small texts into ~``target_size``-token chunks
+    (reference ``utils.merge_chunks`` ``utils.py:160-224`` semantics:
+    pre-allocated chunk count from the scaled total, per-token fill with
+    unscaled size counting, optional tail-overlap copy on advance)."""
+    token_lists = []
+    total = 0
+    for t in texts:
+        toks = (t or "").split()
+        count = int(len(toks) * word_token_ratio)
+        if count:
+            token_lists.append(toks)
+            total += count
+    if not total:
+        return []
+    n_chunks = max(1, -(-total // target_size))
+    chunks: list[list[str]] = [[] for _ in range(n_chunks)]
+    cur, size = 0, 0
+    for tok in (t for toks in token_lists for t in toks):
+        if size >= target_size and cur < n_chunks - 1:
+            if overlap > 0:
+                carried = chunks[cur][-overlap:]
+                cur += 1
+                chunks[cur].extend(carried)
+                size = len(carried)
+            else:
+                cur += 1
+                size = 0
+        chunks[cur].append(tok)
+        size += 1
+    return [" ".join(c) for c in chunks if c]
+
+
+def merge_chunks_grouped(
+    chunks_df: DataFrame,
+    target_size: int,
+    overlap: int = 0,
+    word_token_ratio: float = 1.0,
+    group_col: str = "doc_id",
+    order_col: str = "chunk_index",
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """Distributed merge: within each group (document), merge its ordered
+    chunks back into ~target_size-token chunks via ``applyInPandas`` —
+    one group per pandas call, groups spread across executors."""
+    import pandas as pd
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        merged = merge_token_chunks(
+            list(pdf[chunk_col]), target_size, overlap, word_token_ratio
+        )
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]] * len(merged),
+                "chunk_index": range(len(merged)),
+                "chunk": merged,
+            }
+        )
+
+    out_schema = f"{group_col} long, chunk_index int, chunk string"
+    return chunks_df.groupBy(group_col).applyInPandas(merge, out_schema)

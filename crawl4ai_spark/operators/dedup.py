@@ -78,7 +78,7 @@ def shingle_hash_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> Da
     once per document), n-gram assembly via window ``lead`` over attribute
     references, JVM-side xxhash64 — no Python, no expression blowup.
     """
-    assert 2 <= n <= 5
+    assert 1 <= n <= 5  # n=1 → term sets (consistency_stats estimator)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(clean_terms_col(F.col(text_col))).alias("pos", "tok"),

@@ -155,22 +155,54 @@ def kmeans_centroids(
     return centroids
 
 
+ASSIGN_LITERAL_MAX_K = 32
+
+
 def ivf_assign(
     embeddings: DataFrame, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (argmax cosine) — pure
-    column algebra over broadcast centroid literals; at 10^9 vectors this
-    is one codegen'd map stage, and the table can be repartitioned/
-    bucketed by ``ivf_cell`` for cell-local search."""
-    vec = F.col(vec_col).cast("array<double>")
-    sims = [
-        _dot(vec, F.array(*[F.lit(float(x)) for x in c])) / _norm(vec)
-        for c in centroids
-    ]
-    best = F.array_position(
-        F.array(*sims), F.array_max(F.array(*sims))
-    ) - 1
-    return embeddings.select(F.col(id_col), F.col(vec_col), best.cast("int").alias("ivf_cell"))
+    """Assign each vector to its nearest centroid (argmax cosine).
+
+    Two physical strategies, same result:
+    - small k (≤ ASSIGN_LITERAL_MAX_K): pure column algebra over centroid
+      literals — one codegen'd map stage, zero Python;
+    - larger k: a vectorized pandas UDF with the (k, dim) centroid matrix
+      in the closure (numpy matmul per Arrow batch) — literal expressions
+      at production k (≥256) explode the Catalyst expression tree, so
+      this is the scale path.
+    Either way one map stage; the table can be repartitioned/bucketed by
+    ``ivf_cell`` for cell-local search.
+    """
+    if len(centroids) <= ASSIGN_LITERAL_MAX_K:
+        vec = F.col(vec_col).cast("array<double>")
+        sims = [
+            _dot(vec, F.array(*[F.lit(float(x)) for x in c])) / _norm(vec)
+            for c in centroids
+        ]
+        best = F.array_position(F.array(*sims), F.array_max(F.array(*sims))) - 1
+        return embeddings.select(
+            F.col(id_col), F.col(vec_col), best.cast("int").alias("ivf_cell")
+        )
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    matrix = np.asarray(centroids, dtype=np.float64)  # (k, dim), rows unit-norm
+
+    def _assign_batch(vecs):
+        batch = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if batch.size == 0:
+            return pd.Series([], dtype="int32")
+        norms = np.linalg.norm(batch, axis=1, keepdims=True)
+        batch = batch / np.clip(norms, 1e-12, None)
+        return pd.Series((batch @ matrix.T).argmax(axis=1).astype("int32"))
+
+    _assign_batch.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    assign = pandas_udf("int")(_assign_batch)
+
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("ivf_cell")
+    )
 
 
 def ivf_topk(

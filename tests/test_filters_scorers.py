@@ -141,7 +141,12 @@ def test_bm25_ordering(spark):
 
 
 def test_adaptive_stats(spark):
-    from crawl4ai_spark.operators.bm25 import confidence, coverage_stats, saturation_stat
+    from crawl4ai_spark.operators.bm25 import (
+        confidence,
+        consistency_stats,
+        coverage_stats,
+        saturation_stat,
+    )
 
     df = spark.createDataFrame(
         [(1, "table scan join"), (2, "table scan merge"), (3, "table window sort")],
@@ -151,6 +156,34 @@ def test_adaptive_stats(spark):
     assert 0.5 < cov <= 1.0
     assert saturation_stat([100, 10]) == 0.9
     assert abs(confidence(1.0, 1.0, 1.0) - 1.0) < 1e-9
+    cons = consistency_stats(df, n_hashes=128)
+    assert 0.0 < cons < 1.0  # overlapping but not identical term sets
+
+
+def test_consistency_stats_deterministic_and_calibrated(spark):
+    """Same value across two runs (the old limit()-based sampling was
+    run-dependent), and the MinHash estimate lands near the exact mean
+    pairwise Jaccard on identical/disjoint corpora."""
+    from crawl4ai_spark.operators.bm25 import consistency_stats
+
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(8)], "doc_id long, text string"
+    )
+    assert abs(consistency_stats(same) - 1.0) < 1e-9
+    disjoint = spark.createDataFrame(
+        [(i, f"wordA{i} wordB{i} wordC{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    assert consistency_stats(disjoint) < 0.05
+    mixed = spark.createDataFrame(
+        [(i, "shared tokens here plus " + ("alpha beta" if i % 2 else "gamma delta"))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    v1 = consistency_stats(mixed)
+    v2 = consistency_stats(mixed)
+    assert v1 == v2
+    assert 0.2 < v1 < 0.95
 
 
 def test_multimodal_plumbing(spark):
@@ -417,3 +450,85 @@ def test_fairness_aging_rescues_starving_url(spark):
     # aged order at wave 10 with boost 0.2: starving URL has waited 10
     # waves -> effective score 2.0 > 1.0
     assert top(fair_wave_order(10, 0.2)) == ["http://a.com/starving"]
+
+
+def _reference_token_chunks(words, threshold, overlap, rate=0.75):
+    """Independent simulation of the reference deque algorithm
+    (utils.chunk_documents) used as a test oracle for the closed form."""
+    from collections import deque
+
+    q = deque(words)
+    contrib = deque([rate] * len(words))
+    current = sum(contrib)
+    out = []
+    while current >= threshold:
+        chunk, cc, tot = [], [], 0.0
+        while contrib and tot + contrib[0] <= threshold:
+            tot += contrib[0]
+            cc.append(contrib.popleft())
+            chunk.append(q.popleft())
+        if not cc:
+            cc.append(contrib.popleft())
+            chunk.append(q.popleft())
+        otot, oidx = 0.0, 0
+        for c in reversed(cc):
+            if otot + c > overlap:
+                break
+            otot += c
+            oidx += 1
+        if oidx:
+            for w, c in zip(reversed(chunk[-oidx:]), reversed(cc[-oidx:])):
+                q.appendleft(w)
+                contrib.appendleft(c)
+            current += otot
+        current -= sum(cc)
+        out.append(" ".join(chunk[: len(chunk) - oidx] if oidx else chunk))
+    if q:
+        out.append(" ".join(q))
+    return out
+
+
+def test_token_budget_chunking_matches_reference_algorithm(spark):
+    from crawl4ai_spark.operators.chunking import token_budget_chunking
+
+    cases = [(64, 16), (64, 0), (10, 3), (100, 40)]
+    for n_words in (0, 1, 50, 85, 86, 200, 501):
+        words = [f"w{i}" for i in range(n_words)]
+        doc = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+        for threshold, overlap in cases:
+            want = _reference_token_chunks(words, threshold, overlap)
+            got = [
+                r.chunk
+                for r in token_budget_chunking(doc, threshold, overlap)
+                .orderBy("chunk_index")
+                .collect()
+            ]
+            assert got == [w for w in want if w.strip()], (n_words, threshold, overlap)
+
+
+def test_sentence_chunking(spark):
+    from crawl4ai_spark.operators.chunking import sentence_chunking
+
+    doc = spark.createDataFrame(
+        [(1, "First sentence. Second one! Third?  Fourth has no end")],
+        "doc_id long, text string",
+    )
+    got = [r.chunk for r in sentence_chunking(doc).orderBy("chunk_index").collect()]
+    assert got == ["First sentence.", "Second one!", "Third?", "Fourth has no end"]
+
+
+def test_merge_chunks_grouped(spark):
+    from crawl4ai_spark.operators.chunking import merge_chunks_grouped, merge_token_chunks
+
+    # local semantics: pre-allocated chunk count, overlap carried forward
+    merged = merge_token_chunks(["a b c", "d e", "f g h i"], target_size=4, overlap=1)
+    assert merged == ["a b c d", "d e f g", "g h i"]
+    rows = [(1, i, c) for i, c in enumerate(["a b c", "d e", "f g h i"])]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_index int, chunk string")
+    got = [
+        r.chunk
+        for r in merge_chunks_grouped(df, target_size=4, overlap=1)
+        .orderBy("chunk_index")
+        .collect()
+    ]
+    assert got == merged

@@ -178,3 +178,46 @@ def test_ivf_topk_recall_on_clusters(spark):
     # determinism: same centroids, same result
     centroids2 = kmeans_centroids(df, k=4, iters=6)
     assert np.allclose(centroids, centroids2)
+
+
+def test_ivf_assign_udf_path_matches_literal_path(spark):
+    """Above ASSIGN_LITERAL_MAX_K the assignment switches to a numpy
+    pandas UDF; both physical strategies must assign identical cells, and
+    ivf_topk recall must hold at k=64 cells (the production-k path)."""
+    import numpy as np
+
+    from crawl4ai_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((8, 16))
+    rows = [
+        (64 * c + i, [float(x) for x in centers[c] + 0.15 * rng.standard_normal(16)])
+        for c in range(8)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    centroids = sim.kmeans_centroids(df, k=8, iters=6)
+
+    literal = {
+        r.vec_id: r.ivf_cell for r in sim.ivf_assign(df, centroids).collect()
+    }
+    old_max = sim.ASSIGN_LITERAL_MAX_K
+    try:
+        sim.ASSIGN_LITERAL_MAX_K = 0  # force the pandas-UDF strategy
+        via_udf = {
+            r.vec_id: r.ivf_cell for r in sim.ivf_assign(df, centroids).collect()
+        }
+    finally:
+        sim.ASSIGN_LITERAL_MAX_K = old_max
+    assert literal == via_udf
+
+    # k=64 cells > ASSIGN_LITERAL_MAX_K → UDF path used inside ivf_topk
+    centroids64 = sim.kmeans_centroids(df, k=64, iters=5)
+    assert len(centroids64) > sim.ASSIGN_LITERAL_MAX_K
+    query = rows[0][1]
+    exact = [r.vec_id for r in sim.cosine_topk(df, query, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in sim.ivf_topk(df, query, centroids64, k=10, n_probe=16).collect()
+    ]
+    assert len(set(exact) & set(approx)) / 10 >= 0.9

@@ -67,3 +67,137 @@ def test_schema_udf(spark):
     )
     got = {(r.page_id, r.title, r.price) for r in rows}
     assert got == {(1, "Widget One", "9.99"), (1, "Widget Two", "19.50")}
+
+
+NESTED_HTML = """
+<div class="product" data-sku="A1">
+  <h2 class="title">Widget <b>Pro</b></h2>
+  <div class="vendor"><span class="vname">Acme Corp</span><span class="vid">v-9</span></div>
+  <ul class="tags"><li class="tag">new</li><li class="tag">sale</li></ul>
+  <div class="offer"><span class="price">$10.50</span><span class="ship">fast</span></div>
+  <div class="offer"><span class="price">$9.99</span><span class="ship">slow</span></div>
+</div>
+<div class="product" data-sku="B2">
+  <h2 class="title">Gadget</h2>
+  <div class="vendor"><span class="vname">Globex</span><span class="vid">v-3</span></div>
+  <ul class="tags"><li class="tag">used</li></ul>
+</div>
+"""
+
+NESTED_SCHEMA = {
+    "baseSelector": "div.product",
+    "baseFields": [{"name": "sku", "type": "attribute", "attribute": "data-sku"}],
+    "fields": [
+        {"name": "title", "selector": "h2.title", "type": "text"},
+        {
+            "name": "vendor",
+            "type": "nested",
+            "selector": "div.vendor",
+            "fields": [
+                {"name": "vname", "selector": ".vname", "type": "text"},
+                {"name": "vid", "selector": ".vid", "type": "text"},
+            ],
+        },
+        {
+            "name": "tags",
+            "type": "list",
+            "selector": "li.tag",
+            "fields": [{"name": "tag", "type": "text"}],
+        },
+        {
+            "name": "offers",
+            "type": "nested_list",
+            "selector": "div.offer",
+            "fields": [
+                {"name": "price", "selector": ".price", "type": ["text", "regex"],
+                 "pattern": r"\$([\d.]+)"},
+                {"name": "ship", "selector": ".ship", "type": "text",
+                 "transform": "uppercase"},
+            ],
+        },
+        {"name": "missing", "selector": ".nope", "type": "text", "default": "n/a"},
+    ],
+}
+
+
+def test_nested_schema_extraction():
+    from crawl4ai_spark.extraction.schema_extract import extract_with_schema
+
+    recs = extract_with_schema(NESTED_HTML, NESTED_SCHEMA)
+    assert len(recs) == 2
+    a = recs[0]
+    assert a["sku"] == "A1"
+    assert a["title"] == "Widget Pro"
+    assert a["vendor"] == {"vname": "Acme Corp", "vid": "v-9"}
+    assert a["tags"] == [{"tag": "new"}, {"tag": "sale"}]
+    assert a["offers"] == [
+        {"price": "10.50", "ship": "FAST"},
+        {"price": "9.99", "ship": "SLOW"},
+    ]
+    assert a["missing"] == "n/a"
+    b = recs[1]
+    assert b["vendor"]["vname"] == "Globex"
+    assert b["offers"] == []  # no matches -> empty nested_list
+
+
+def test_computed_field_local_api():
+    from crawl4ai_spark.extraction.schema_extract import extract_with_schema
+
+    schema = {
+        "baseSelector": "div.product",
+        "fields": [
+            {"name": "title", "selector": "h2.title", "type": "text"},
+            {"name": "shout", "type": "computed",
+             "function": lambda item: item["title"].upper()},
+        ],
+    }
+    recs = extract_with_schema(NESTED_HTML, schema)
+    assert recs[0]["shout"] == "WIDGET PRO"
+
+
+def test_xpath_engine_and_schema():
+    from crawl4ai_spark.extraction.schema_extract import (
+        extract_with_schema,
+        xpath_select,
+    )
+    from crawl4ai_spark.extraction.markdown import parse_html
+
+    root = parse_html(NESTED_HTML)
+    prods = xpath_select(root, "//div[@class='product']")
+    assert len(prods) == 2
+    first_offer = xpath_select(prods[0], ".//div[@class='offer'][1]")
+    assert len(first_offer) == 1
+    spans = xpath_select(first_offer[0], "./span")
+    assert [s.attrs.get("class") for s in spans] == ["price", "ship"]
+
+    schema = {
+        "baseSelector": "//div[@class='product']",
+        "fields": [
+            {"name": "title", "selector": ".//h2[@class='title']", "type": "text"},
+            {
+                "name": "offers",
+                "type": "nested_list",
+                "selector": ".//div[@class='offer']",
+                "fields": [
+                    {"name": "price", "selector": ".//span[@class='price']", "type": "text"},
+                ],
+            },
+        ],
+    }
+    recs = extract_with_schema(NESTED_HTML, schema, engine="xpath")
+    assert recs[0]["title"] == "Widget Pro"
+    assert [o["price"] for o in recs[0]["offers"]] == ["$10.50", "$9.99"]
+
+
+def test_schema_json_udf_nested(spark):
+    import json
+
+    from crawl4ai_spark.extraction.schema_extract import schema_extract_json_udf
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, NESTED_HTML)], "doc_id long, html string")
+    udf = schema_extract_json_udf(NESTED_SCHEMA)
+    rows = df.select(F.explode(udf("html")).alias("rec")).collect()
+    recs = [json.loads(r.rec) for r in rows]
+    assert recs[0]["vendor"]["vid"] == "v-9"
+    assert recs[1]["sku"] == "B2"
