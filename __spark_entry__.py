@@ -349,6 +349,40 @@ def _q_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_cache_revalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smart-cache validation (SURVEY §2.1 / cache_validator semantics):
+    head-fingerprint change detection over cached-vs-current snapshots.
+    Docs <30 are uncached (new); every third doc changes its title
+    (stale); the rest change only their body (fresh — body changes don't
+    touch the head fingerprint)."""
+    from crawl4ai_spark.operators.cache import head_fingerprint_col, revalidate
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    did = F.col("doc_id").cast("string")
+
+    def page(title_suffix, body):
+        return F.concat(
+            F.lit("<html><head><title>doc "), did, title_suffix,
+            F.lit('</title><meta name="description" content="desc '), did,
+            F.lit('"></head><body>'), body, F.lit("</body></html>"),
+        )
+
+    cached = docs.where(F.col("doc_id") >= 30).select(
+        F.concat(F.lit("http://corpus.test/doc/"), did).alias("url"),
+        head_fingerprint_col(page(F.lit(""), F.lit("old body"))).alias("head_fingerprint"),
+    )
+    current = docs.select(
+        F.concat(F.lit("http://corpus.test/doc/"), did).alias("url"),
+        head_fingerprint_col(
+            page(
+                F.when(F.col("doc_id") % 3 == 0, F.lit(" v2")).otherwise(F.lit("")),
+                F.lit("new body entirely"),
+            )
+        ).alias("head_fingerprint"),
+    )
+    return revalidate(cached, current).select("url", "cache_status")
+
+
 def _q_schema_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested JsonCss extraction (SURVEY §2.8): render region→nation HTML,
     extract with a nested_list schema, emit one sorted-key JSON record per
@@ -556,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_chunking": _q_token_chunking,
         "sentence_chunking": _q_sentence_chunking,
         "schema_extract_nested": _q_schema_extract_nested,
+        "cache_revalidation": _q_cache_revalidation,
         "url_scoring": _q_url_scoring,
         "media_features": _q_media_features,
         "regex_catalog": _q_regex_catalog,
@@ -746,6 +781,13 @@ def oracle_sql() -> dict[str, str]:
                    (ext = '' OR ext IN ('asp','aspx','htm','html','jsp','md','php','txt','xhtml')) AS ctype_ok,
                    (url LIKE '%.html') AS is_html
             FROM parsed
+        """,
+        "cache_revalidation": """
+            SELECT 'http://corpus.test/doc/' || doc_id AS url,
+                   CASE WHEN doc_id < 30 THEN 'new'
+                        WHEN doc_id % 3 = 0 THEN 'stale'
+                        ELSE 'fresh' END AS cache_status
+            FROM documents WHERE doc_id < 300
         """,
         "schema_extract_nested": """
             SELECT r.r_regionkey,

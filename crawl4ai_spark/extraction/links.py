@@ -32,18 +32,21 @@ class _LinkParser(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.anchors: list[tuple[str, str]] = []  # (raw_href, text)
+        self.anchors: list[tuple[str, str, str]] = []  # (raw_href, text, title)
         self.base_href: str | None = None
         self._href: str | None = None
+        self._title: str = ""
         self._text_parts: list[str] | None = None
 
     def handle_starttag(self, tag: str, attrs: list) -> None:
         if tag == "a":
-            href = dict(attrs).get("href")
+            amap = dict(attrs)
+            href = amap.get("href")
             if self._href is not None:
                 self._finish_anchor()
             if href is not None:
                 self._href = href
+                self._title = (amap.get("title") or "").strip()
                 self._text_parts = []
         elif tag == "base" and self.base_href is None:
             href = dict(attrs).get("href")
@@ -60,8 +63,9 @@ class _LinkParser(HTMLParser):
 
     def _finish_anchor(self) -> None:
         text = "".join(self._text_parts or []).strip()[:ANCHOR_TEXT_MAX]
-        self.anchors.append((self._href or "", text))
+        self.anchors.append((self._href or "", text, self._title))
         self._href = None
+        self._title = ""
         self._text_parts = None
 
     def close(self) -> None:
@@ -90,7 +94,7 @@ def extract_links(html: str, base_url: str) -> dict:
     internal: list[dict] = []
     external: list[dict] = []
     seen: set[str] = set()
-    for raw_href, text in parser.anchors:
+    for raw_href, text, title in parser.anchors:
         href = raw_href.strip()
         if should_skip_href(href):
             continue
@@ -98,7 +102,7 @@ def extract_links(html: str, base_url: str) -> dict:
         if not canonical or canonical in seen:
             continue
         seen.add(canonical)
-        record = {"href": canonical, "text": text}
+        record = {"href": canonical, "text": text, "title": title}
         if is_external_url(canonical, base_domain):
             external.append(record)
         else:

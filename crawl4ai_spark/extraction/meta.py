@@ -76,11 +76,40 @@ def extract_head_meta(html: str) -> dict:
     }
 
 
-HEAD_FINGERPRINT_FIELDS = ("title", "description", "keywords", "author")
+# change-detection meta signals, in reference order (utils.py:2876-2886)
+HEAD_FINGERPRINT_METAS = (
+    ("name", "description"),
+    ("name", "last-modified"),
+    ("property", "og:title"),
+    ("property", "og:description"),
+    ("property", "og:image"),
+    ("property", "og:updated_time"),
+    ("property", "article:modified_time"),
+)
 
 
 def head_fingerprint_text(html: str) -> str:
-    """Stable '|'-joined head signal string; hash it with xxhash64 in Spark
-    (reference joins head signals then XXH64s — utils.py:2847-2905)."""
-    meta = extract_head_meta(html)
-    return "|".join(meta[f] for f in HEAD_FINGERPRINT_FIELDS)
+    """Stable '|'-joined head signal string for cache validation —
+    reference ``compute_head_fingerprint`` semantics (utils.py:2847-2905):
+    lowercased head, title + 7 change-signal metas (both attribute
+    orders), empty string when no signals. Hash the result with Spark's
+    native ``xxhash64`` (the reference uses python-xxhash XXH64; we pin
+    the Spark builtin as the engine's convention — same algorithm family,
+    different seed, equality semantics identical)."""
+    if not html:
+        return ""
+    head_lower = html[:65536].lower()
+    signals: list[str] = []
+    m = re.search(r"<title[^>]*>(.*?)</title>", head_lower, re.DOTALL)
+    if m:
+        signals.append(m.group(1).strip())
+    for attr, value in HEAD_FINGERPRINT_METAS:
+        for pattern in (
+            rf'<meta[^>]*{attr}=["\']{re.escape(value)}["\'][^>]*content=["\']([^"\']*)["\']',
+            rf'<meta[^>]*content=["\']([^"\']*)["\'][^>]*{attr}=["\']{re.escape(value)}["\']',
+        ):
+            hit = re.search(pattern, head_lower)
+            if hit:
+                signals.append(hit.group(1).strip())
+                break
+    return "|".join(signals)

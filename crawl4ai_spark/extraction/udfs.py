@@ -33,7 +33,11 @@ from crawl4ai_spark.extraction.markdown import generate_markdown_result
 from crawl4ai_spark.extraction.meta import extract_head_meta
 
 LINK_STRUCT = StructType(
-    [StructField("href", StringType()), StructField("text", StringType())]
+    [
+        StructField("href", StringType()),
+        StructField("text", StringType()),
+        StructField("title", StringType()),
+    ]
 )
 LINKS_SCHEMA = StructType(
     [
@@ -77,8 +81,8 @@ def _decode(html) -> str:
 def _links_tuple(html: str, url: str) -> tuple:
     links = extract_links(html, url or "")
     return (
-        [(d["href"], d["text"]) for d in links["internal"]],
-        [(d["href"], d["text"]) for d in links["external"]],
+        [(d["href"], d["text"], d.get("title", "")) for d in links["internal"]],
+        [(d["href"], d["text"], d.get("title", "")) for d in links["external"]],
     )
 
 

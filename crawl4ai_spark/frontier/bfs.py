@@ -90,6 +90,11 @@ class CrawlConfig:
     # crawl4ai_spark.operators.scorers.composite_scorer(...); None = BFS
     # (constant score 1.0, pure depth order)
     scorer: object | None = None
+    # anchor-context best-first: (url_col, text_col, title_col) -> score
+    # Column (e.g. scorers.anchor_keyword_scorer). Takes precedence over
+    # ``scorer``; drives priority from anchor text like the reference's
+    # link intrinsic/total score (utils.py:3344-3504).
+    text_scorer: object | None = None
     # starvation-free best-first: add this much effective score per wave a
     # URL waits in the frontier (reference fairness re-prioritization,
     # async_dispatcher.py:471-528). None = pure reference-parity order.
@@ -209,6 +214,8 @@ def _discover(
         )
         .select(
             F.col("link.href").alias("url"),
+            F.col("link.text").alias("anchor_text"),
+            F.col("link.title").alias("anchor_title"),
             F.col("parent_url"),
             (F.col("parent_depth") + 1).alias("depth"),
             F.col("parent_score"),
@@ -222,8 +229,18 @@ def _discover(
         "host", host_col(F.col("url"))
     )
     # BFS: constant score (pure depth order); best-first: compiled column
-    # scorer evaluated JVM-side on the discovered URL
-    if config.scorer is not None:
+    # scorer evaluated JVM-side on the discovered URL — and, when a
+    # text_scorer is set, on the anchor text/title too (the reference's
+    # Link intrinsic/total score drives its priority queue from anchor
+    # context, not just URL shape; utils.py:3344-3504)
+    if config.text_scorer is not None:
+        cand = cand.withColumn(
+            "score",
+            config.text_scorer(
+                F.col("url"), F.col("anchor_text"), F.col("anchor_title")
+            ),
+        )
+    elif config.scorer is not None:
         cand = cand.withColumn("score", config.scorer(F.col("url")))
     else:
         cand = cand.withColumn("score", F.lit(1.0))

@@ -60,15 +60,27 @@ class WaveStore:
     def _marker_path(self, wave: int) -> str:
         return os.path.join(self.root, COMMIT_DIR, f"wave-{wave}.json")
 
+    @staticmethod
+    def _footer_row_count(path: str) -> int:
+        """Row count from parquet footer metadata — no Spark job (the
+        Iceberg-snapshot-metadata analog; previously a .count() job per
+        table per wave, 6 jobs/wave of pure overhead)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for name in os.listdir(path):
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+        return total
+
     def write_table(self, name: str, wave: int, df: DataFrame) -> DataFrame:
         """Write one table of an in-flight wave; returns a reader over the
         written files (so later stages consume committed bytes instead of
         recomputing the lineage). Not visible to readers until commit()."""
         path = self._table_path(name, wave)
         df.write.mode("overwrite").parquet(path)
-        written = self.spark.read.parquet(path)
-        self._pending.setdefault(wave, {})[name] = written.count()
-        return written
+        self._pending.setdefault(wave, {})[name] = self._footer_row_count(path)
+        return self.spark.read.parquet(path)
 
     def pending_count(self, wave: int, name: str) -> int:
         return self._pending.get(wave, {}).get(name, 0)

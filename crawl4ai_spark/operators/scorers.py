@@ -137,3 +137,31 @@ def composite_scorer(*scorers, normalize: bool = False):
         return total
 
     return build
+
+
+def anchor_keyword_scorer(keywords: list[str], weight: float = 1.0, url_weight: float = 0.3):
+    """Anchor-context relevance: fraction of keywords present in the
+    anchor text/title (weighted 1−url_weight) plus in the URL
+    (url_weight) — the frontier analog of the reference's link
+    total-score blend (utils.py:3459-3504) with anchor context as the
+    dominant signal. Signature matches CrawlConfig.text_scorer."""
+    lowered = [k.lower() for k in keywords]
+
+    def frac(hay: Column) -> Column:
+        hits = [
+            F.when(F.instr(hay, F.lit(k)) > 0, 1).otherwise(0) for k in lowered
+        ]
+        total = hits[0]
+        for h in hits[1:]:
+            total = total + h
+        return total / F.lit(float(len(lowered)))
+
+    def build(url_col: Column, text_col: Column, title_col: Column) -> Column:
+        anchor = F.lower(
+            F.concat_ws(" ", F.coalesce(text_col, F.lit("")), F.coalesce(title_col, F.lit("")))
+        )
+        return (
+            frac(anchor) * (1.0 - url_weight) + frac(F.lower(url_col)) * url_weight
+        ) * weight
+
+    return build

@@ -532,3 +532,33 @@ def test_merge_chunks_grouped(spark):
         .collect()
     ]
     assert got == merged
+
+
+def test_anchor_text_best_first_crawl(spark, tmp_path):
+    """text_scorer drives wave order from ANCHOR TEXT: under budget 1,
+    URLs whose anchor says 'category 1' are crawled before category 0
+    even though the keyword never appears in scored anchor-bearing
+    URL paths' own text otherwise."""
+    from crawl4ai_spark.frontier.bfs import CrawlConfig, run_crawl
+    from crawl4ai_spark.frontier.store import WaveStore
+    from crawl4ai_spark.operators.scorers import anchor_keyword_scorer
+    from crawl4ai_spark.synth.pages import generate_site, write_site_parquet
+
+    site_dir = str(tmp_path / "site")
+    write_site_parquet(generate_site(n_hosts=1, cats=2, subs=1, prods=1), site_dir)
+    import os
+
+    pages = spark.read.parquet(os.path.join(site_dir, "pages.parquet"))
+    seeds = spark.read.parquet(os.path.join(site_dir, "seeds.parquet"))
+    store_dir = str(tmp_path / "store")
+    config = CrawlConfig(
+        max_depth=2,
+        links_only=True,
+        use_bloom=False,
+        default_budget=1,
+        text_scorer=anchor_keyword_scorer(["category 1"]),
+    )
+    run_crawl(spark, pages, seeds, store_dir, config)
+    results = WaveStore(spark, store_dir).read_table("results")
+    waves = {r.url: r.wave for r in results.collect()}
+    assert waves["http://site0.com/cat1/"] < waves["http://site0.com/cat0/"]

@@ -81,3 +81,37 @@ def test_raw_html_source_runs_through_extraction(spark):
     df = raw_html_source(spark, [("raw://one", "<h1>Hi</h1><p>there</p>")])
     row = df.select(udf_full_extract("html", "url").alias("e")).head()
     assert row.e.markdown.raw_markdown == "# Hi\nthere\n"
+
+
+def test_domain_map_union_dedup(spark, site_dir):
+    """8-source domain mapper shape: union of homepage + cc scan + robots
+    sitemap pointers + sitemap bodies, first-wins by source priority."""
+    import os
+
+    from crawl4ai_spark.sources.seeds import domain_map_seeds
+
+    pages = spark.read.parquet(os.path.join(site_dir, "pages.parquet"))
+    robots = spark.createDataFrame(
+        [("site0.com", "User-agent: *\nSitemap: http://site0.com/sm.xml\n")],
+        "host string, rules_text string",
+    )
+    bodies = spark.createDataFrame(
+        [(
+            "http://site0.com/sm.xml",
+            '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>http://site0.com/only-in-sitemap</loc></url>"
+            "<url><loc>http://site0.com/</loc></url></urlset>".encode(),
+        )],
+        "url string, body binary",
+    )
+    got = domain_map_seeds(spark, ["site0.com"], pages=pages, robots=robots, sitemap_bodies=bodies)
+    rows = {r.url: r.source for r in got.collect()}
+    # homepage wins over cc/sitemap for the root (highest priority)
+    assert rows["http://site0.com/"] == "homepage"
+    # cc-index covers crawled pages
+    assert rows["http://site0.com/cat0/"] == "cc_index"
+    # sitemap-only URL comes from the sitemap expansion
+    assert rows["http://site0.com/only-in-sitemap"] == "sitemap"
+    assert rows["http://site0.com/sm.xml"] == "robots_sitemap"
+    # dedup: one row per url
+    assert got.count() == got.select("url").distinct().count()
