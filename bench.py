@@ -223,18 +223,34 @@ SCALING_CORES = (2, 8)
 # contention).
 
 
+SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+
+
 def run_scaling(n_pages: int) -> dict:
+    """Each parallelism level runs SCALING_REPEATS times in fresh JVMs and
+    reports the per-leg MEDIAN wall (this box's run-to-run wall variance
+    is ±20-30%; a single sample per leg can swing the efficiency ratio by
+    more than the 0.8 criterion itself — all samples are recorded)."""
     pages_path = build_bench_pages(n_pages)
     results = []
     for cores in SCALING_CORES:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--scaling-worker", str(cores), pages_path],
-            capture_output=True, text=True, check=False,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if not line:
-            raise RuntimeError(f"scaling worker {cores} failed:\n{proc.stdout}\n{proc.stderr[-2000:]}")
-        results.append(json.loads(line[-1]))
+        samples = []
+        for _ in range(SCALING_REPEATS):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--scaling-worker", str(cores), pages_path],
+                capture_output=True, text=True, check=False,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                raise RuntimeError(f"scaling worker {cores} failed:\n{proc.stdout}\n{proc.stderr[-2000:]}")
+            samples.append(json.loads(line[-1]))
+        walls = sorted(r["wall_sec"] for r in samples)
+        median_wall = walls[len(walls) // 2]
+        rep = dict(samples[0])
+        rep["wall_sec"] = median_wall
+        rep["wall_samples"] = walls
+        rep["throughput_urls_per_sec"] = round(rep["attempted"] / median_wall, 1)
+        results.append(rep)
     thr_n, thr_4n = results[0]["throughput_urls_per_sec"], results[1]["throughput_urls_per_sec"]
     efficiency = round((thr_4n / thr_n) / 4.0, 3)
     report = {
@@ -242,6 +258,7 @@ def run_scaling(n_pages: int) -> dict:
         "n_pages": n_pages,
         "runs": results,
         "scaling_efficiency_N_to_4N": efficiency,
+        "repeats_per_leg": SCALING_REPEATS,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:

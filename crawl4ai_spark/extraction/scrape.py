@@ -621,3 +621,22 @@ def scrape_page(
         "metadata": meta,
         "success": True,
     }
+
+
+def link_total_score(
+    intrinsic_score: float | None,
+    contextual_score: float | None,
+    score_links_enabled: bool = False,
+    query_provided: bool = False,
+) -> float:
+    """Combined link score with the reference's fallback ladder
+    (utils.py:3459-3504 calculate_total_score): no scoring → neutral 5.0;
+    intrinsic only → clamped intrinsic; both → 0.7·intrinsic +
+    0.3·(contextual×10), clamped to [0, 10]."""
+    if not score_links_enabled:
+        return 5.0
+    intrinsic = intrinsic_score if intrinsic_score is not None else 0.0
+    if not query_provided or contextual_score is None:
+        return max(0.0, min(intrinsic, 10.0))
+    contextual = min((contextual_score or 0.0) * 10.0, 10.0)
+    return max(0.0, min(intrinsic * 0.7 + contextual * 0.3, 10.0))

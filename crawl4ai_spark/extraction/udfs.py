@@ -1,11 +1,13 @@
 """Arrow-batched pandas UDFs wrapping the pure-Python extraction library.
 
-Two deliberate projections (mirrors the reference's prefetch fast path,
-``crawl4ai/async_webcrawler.py:742-761``):
+Three deliberate projections (mirrors the reference's prefetch fast path,
+``crawl4ai/async_webcrawler.py:742-761``, and its content_source dispatch):
 
 - ``udf_extract_links`` — the cheap frontier-expansion path: anchors only.
-- ``udf_full_extract`` — the full path: links + markdown struct + head
+- ``udf_full_extract`` — raw-html path: links + markdown struct + head
   meta, decoding/parsing each page once per batch.
+- ``udf_scrape`` — the reference's default pipeline: scraping battery →
+  cleaned_html → markdown, plus media structs and rich links.
 
 Keeping them separate lets Catalyst prune the expensive full extraction off
 links-only waves (column pruning reaches the parquet scan: a wave that only

@@ -229,3 +229,125 @@ def merge_chunks_grouped(
 
     out_schema = f"{group_col} long, chunk_index int, chunk string"
     return chunks_df.groupBy(group_col).applyInPandas(merge, out_schema)
+
+
+def _texttile_segments(
+    words: list[str],
+    pseudo_size: int = 20,
+    block_size: int = 5,
+) -> list[tuple[int, int]]:
+    """TextTiling boundaries (Hearst 1997, the algorithm underneath the
+    reference's TopicSegmentationChunking / nltk TextTilingTokenizer —
+    ``chunking_strategy.py:92-142``; nltk is unavailable, so this is a
+    compact clean-room implementation of the published method):
+
+    1. group words into pseudo-sentences of ``pseudo_size``;
+    2. cosine similarity of the ``block_size`` pseudo-sentences on each
+       side of every gap (term-frequency vectors);
+    3. depth score per gap = rise to the nearest peak on each side;
+    4. cut where depth > mean + std/2 of depth scores, at local maxima.
+
+    Returns [(start_word, end_word)] spans covering the document.
+    """
+    from collections import Counter
+    from math import sqrt
+
+    pseudo = [words[i : i + pseudo_size] for i in range(0, len(words), pseudo_size)]
+    if len(pseudo) < 2 * block_size + 1:
+        return [(0, len(words))] if words else []
+    counts = [Counter(p) for p in pseudo]
+
+    def block(counters):
+        total: Counter = Counter()
+        for c in counters:
+            total.update(c)
+        return total
+
+    def cosine(a: Counter, b: Counter) -> float:
+        common = set(a) & set(b)
+        num = sum(a[t] * b[t] for t in common)
+        den = sqrt(sum(v * v for v in a.values())) * sqrt(sum(v * v for v in b.values()))
+        return num / den if den else 0.0
+
+    sims = [
+        cosine(
+            block(counts[max(0, g - block_size) : g]),
+            block(counts[g : g + block_size]),
+        )
+        for g in range(1, len(pseudo))
+    ]
+    depths = []
+    for i, s in enumerate(sims):
+        left = s
+        for j in range(i, -1, -1):
+            if sims[j] < left:
+                break
+            left = sims[j]
+        right = s
+        for j in range(i, len(sims)):
+            if sims[j] < right:
+                break
+            right = sims[j]
+        depths.append((left - s) + (right - s))
+    mean = sum(depths) / len(depths)
+    std = (sum((d - mean) ** 2 for d in depths) / len(depths)) ** 0.5
+    cutoff = mean + std / 2.0
+    cuts = [
+        i + 1  # gap i sits after pseudo-sentence i+1
+        for i, d in enumerate(depths)
+        if d > cutoff
+        and (i == 0 or depths[i - 1] <= d)
+        and (i == len(depths) - 1 or depths[i + 1] <= d)
+    ]
+    spans, start = [], 0
+    for cut in cuts:
+        spans.append((start * pseudo_size, cut * pseudo_size))
+        start = cut
+    spans.append((start * pseudo_size, len(words)))
+    return [s for s in spans if s[1] > s[0]]
+
+
+def topic_segmentation_chunking(
+    docs: DataFrame,
+    pseudo_size: int = 20,
+    block_size: int = 5,
+    n_keywords: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_index, chunk, keywords) topic segments per document —
+    the TopicSegmentationChunking surface (segments + per-segment
+    keywords by term frequency, stopwords excluded). Per-document work in
+    one Arrow batch pass; embarrassingly parallel."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from crawl4ai_spark.operators.textstats import LANG_STOPWORDS
+
+    stop = {w for panel in LANG_STOPWORDS.values() for w in panel}
+
+    def segments_of(text: str):
+        words = (text or "").split()
+        out = []
+        for start, end in _texttile_segments(words, pseudo_size, block_size):
+            seg = words[start:end]
+            from collections import Counter
+
+            freq = Counter(w.lower().strip(".,!?;:\"()[]{}") for w in seg)
+            for s in list(freq):
+                if s in stop or len(s) <= 2:
+                    del freq[s]
+            keywords = [w for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:n_keywords]]
+            out.append((" ".join(seg), keywords))
+        return out
+
+    def _udf(text):
+        return pd.Series([segments_of(t) for t in text])
+
+    _udf.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    udf = pandas_udf("array<struct<chunk: string, keywords: array<string>>>")(_udf)
+
+    return (
+        docs.select(F.col(id_col), F.posexplode(udf(F.col(text_col))).alias("chunk_index", "seg"))
+        .select(F.col(id_col), "chunk_index", F.col("seg.chunk").alias("chunk"), F.col("seg.keywords").alias("keywords"))
+    )

@@ -256,23 +256,20 @@ def minhash_signatures(
     return hashed.mapInPandas(lambda it: (sig(pdf) for pdf in it), schema)
 
 
-def minhash_lsh_pairs(
+def lsh_banded_buckets(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     k: int = 64,
     bands: int = 16,
-    threshold: float = 0.5,
     seed: int = 42,
-    verify_exact: bool = True,
 ) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash LSH, optionally verified
-    with exact Jaccard (candidates only — the scale-friendly path)."""
+    """(doc_id, band, bucket) LSH band assignments."""
     assert k % bands == 0
     rows_per_band = k // bands
     sigs = minhash_signatures(docs, id_col, text_col, n, k, seed)
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -289,6 +286,47 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_bucket_stats(banded: DataFrame, min_size: int = 2) -> DataFrame:
+    """(band, bucket, size) — audit view for bucket-cap decisions (no
+    silent truncation: callers inspect what a cap would drop)."""
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("size"))
+        .where(F.col("size") >= min_size)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    verify_exact: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, optionally verified
+    with exact Jaccard (candidates only — the scale-friendly path).
+
+    ``max_bucket_size``: a bucket of B mutual duplicates yields B²/2
+    candidate pairs, so one degenerate bucket (boilerplate pages, empty
+    docs) can dominate the join at corpus scale. When set, buckets larger
+    than the cap are excluded from the self-join — pairs inside them are
+    still recoverable in OTHER bands (a true near-dup pair collides in
+    ~threshold^rows_per_band of all bands), so recall degrades gracefully
+    instead of the join exploding. Default None = exhaustive; audit what
+    a cap would drop with :func:`lsh_bucket_stats` (no silent caps).
+    """
+    banded = lsh_banded_buckets(docs, id_col, text_col, n, k, bands, seed)
+    if max_bucket_size is not None:
+        sizes = lsh_bucket_stats(banded, min_size=2)
+        keep = sizes.where(F.col("size") <= max_bucket_size).select("band", "bucket")
+        banded = banded.join(keep, ["band", "bucket"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (

@@ -222,3 +222,109 @@ def ivf_topk(
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     cand = assigned.where(F.col("ivf_cell").isin(probe_cells)).select(id_col, vec_col)
     return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+# ── CosineStrategy: per-page chunk clustering ────────────────────────────
+
+
+def _hashed_tf_vector(text: str, dim: int = 256) -> np.ndarray:
+    """Deterministic hashed term-frequency embedding (unit norm).
+
+    The reference's CosineStrategy embeds chunks with sentence-transformers
+    (extraction_strategy.py:172-530); no model ships in this environment,
+    so the embedding is swapped for feature-hashed TF vectors — a
+    documented deviation. The clustering/filtering semantics downstream
+    are the operator contract and are preserved.
+    """
+    import zlib
+
+    vec = np.zeros(dim, dtype=np.float64)
+    for tok in text.lower().split():
+        tok = tok.strip(".,!?;:\"()[]{}")
+        if len(tok) > 2:
+            # crc32: process-stable (builtin hash() is PYTHONHASHSEED-
+            # randomized per worker and would break driver/executor parity)
+            vec[zlib.crc32(tok.encode()) % dim] += 1.0
+    norm = np.linalg.norm(vec)
+    return vec / norm if norm > 0 else vec
+
+
+def _agglomerate(vectors: np.ndarray, max_dist: float) -> list[int]:
+    """Average-linkage agglomerative clustering under cosine distance,
+    stopping when the closest pair exceeds ``max_dist`` (the reference's
+    ward/max_dist=0.2 semantics with cosine geometry). O(n³) worst case —
+    per page n is tens of chunks, and pages parallelize embarrassingly."""
+    n = len(vectors)
+    clusters: dict[int, list[int]] = {i: [i] for i in range(n)}
+    centers = {i: vectors[i].copy() for i in range(n)}
+    while len(clusters) > 1:
+        best, best_d = None, max_dist
+        keys = sorted(clusters)
+        for ii, a in enumerate(keys):
+            for b in keys[ii + 1 :]:
+                ca, cb = centers[a], centers[b]
+                na, nb = np.linalg.norm(ca), np.linalg.norm(cb)
+                sim = float(ca @ cb / (na * nb)) if na > 0 and nb > 0 else 0.0
+                d = 1.0 - sim
+                if d <= best_d:
+                    best, best_d = (a, b), d
+        if best is None:
+            break
+        a, b = best
+        clusters[a].extend(clusters.pop(b))
+        centers[a] = np.mean([vectors[i] for i in clusters[a]], axis=0)
+        del centers[b]
+    labels = [0] * n
+    for label, members in enumerate(sorted(clusters.values(), key=min)):
+        for m in members:
+            labels[m] = label
+    return labels
+
+
+def cosine_cluster_chunks(
+    docs: DataFrame,
+    query: str | None = None,
+    sim_threshold: float = 0.3,
+    max_dist: float = 0.2,
+    dim: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-page semantic sectioning (CosineStrategy surface): split the
+    text into sentence chunks, cluster similar chunks, emit one row per
+    cluster with its concatenated text (document order); optionally keep
+    only clusters whose centroid is within ``sim_threshold`` cosine
+    similarity of ``query``. One Arrow pass per page batch."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q_vec = _hashed_tf_vector(query, dim) if query else None
+
+    def sections_of(text: str):
+        sents = [s.strip() for s in _re.split(r"(?<=[.!?])\s+", text or "") if s.strip()]
+        if not sents:
+            return []
+        vecs = np.asarray([_hashed_tf_vector(s, dim) for s in sents])
+        labels = _agglomerate(vecs, max_dist)
+        out = []
+        for label in sorted(set(labels), key=labels.index):
+            members = [i for i, l in enumerate(labels) if l == label]
+            center = np.mean(vecs[members], axis=0)
+            if q_vec is not None:
+                norm = np.linalg.norm(center)
+                sim = float(center @ q_vec / norm) if norm > 0 else 0.0
+                if sim < sim_threshold:
+                    continue
+            out.append(" ".join(sents[i] for i in members))
+        return out
+
+    def _udf(text):
+        return pd.Series([sections_of(t) for t in text])
+
+    _udf.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    udf = pandas_udf("array<string>")(_udf)
+    return docs.select(
+        F.col(id_col), F.posexplode(udf(F.col(text_col))).alias("section_index", "section")
+    )

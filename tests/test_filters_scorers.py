@@ -562,3 +562,27 @@ def test_anchor_text_best_first_crawl(spark, tmp_path):
     results = WaveStore(spark, store_dir).read_table("results")
     waves = {r.url: r.wave for r in results.collect()}
     assert waves["http://site0.com/cat1/"] < waves["http://site0.com/cat0/"]
+
+
+def test_topic_segmentation_finds_vocabulary_shift(spark):
+    from crawl4ai_spark.operators.chunking import topic_segmentation_chunking
+
+    topic_a = "spark cluster executor shuffle partition stage task driver memory cache "
+    topic_b = "recipe tomato basil pasta oven garlic butter salt dinner kitchen "
+    text = (topic_a * 30 + topic_b * 30).strip()
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    segs = topic_segmentation_chunking(df).orderBy("chunk_index").collect()
+    assert 2 <= len(segs) <= 4
+    # first segment is spark-topic, last is cooking-topic (keywords are
+    # tf-ranked, alphabetical among ties)
+    spark_vocab = set("spark cluster executor shuffle partition stage task driver memory cache".split())
+    food_vocab = set("recipe tomato basil pasta oven garlic butter salt dinner kitchen".split())
+    assert set(segs[0].keywords) <= spark_vocab
+    assert set(segs[-1].keywords) <= food_vocab
+    # segments partition the document
+    joined = " ".join(s.chunk for s in segs)
+    assert joined.split() == text.split()
+    # short docs: single segment
+    short = spark.createDataFrame([(2, "just a few words here")], "doc_id long, text string")
+    got = topic_segmentation_chunking(short).collect()
+    assert len(got) == 1 and got[0].chunk == "just a few words here"

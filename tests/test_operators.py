@@ -221,3 +221,58 @@ def test_ivf_assign_udf_path_matches_literal_path(spark):
         for r in sim.ivf_topk(df, query, centroids64, k=10, n_probe=16).collect()
     ]
     assert len(set(exact) & set(approx)) / 10 >= 0.9
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """A degenerate bucket of B identical docs yields O(B^2) candidates;
+    the cap excludes it while distinct near-dup pairs survive via their
+    own buckets, and lsh_bucket_stats reports what the cap drops."""
+    from crawl4ai_spark.operators.dedup import (
+        lsh_banded_buckets,
+        lsh_bucket_stats,
+        minhash_lsh_pairs,
+    )
+
+    boiler = "lorem ipsum boilerplate nav footer copyright words repeated everywhere always"
+    rows = [(i, boiler) for i in range(30)]  # 30 identical docs
+    rows += [
+        (100, "unique alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "unique alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(df, threshold=0.5, verify_exact=True)
+    capped = minhash_lsh_pairs(df, threshold=0.5, verify_exact=True, max_bucket_size=10)
+    pairs_capped = {(r.id_a, r.id_b) for r in capped.collect()}
+    # the distinct near-dup pair survives the cap
+    assert (100, 101) in pairs_capped
+    # the boilerplate clique is excluded by the cap
+    assert len(pairs_capped) < uncapped.count()
+    assert all(not (a < 30 and b < 30) for a, b in pairs_capped)
+    # audit view reports the oversized buckets
+    stats = lsh_bucket_stats(lsh_banded_buckets(df)).collect()
+    assert any(r.size == 30 for r in stats)
+
+
+def test_cosine_cluster_chunks_sections_and_query_filter(spark):
+    """CosineStrategy surface: similar sentences cluster into one
+    section; a query filter keeps only relevant clusters."""
+    from crawl4ai_spark.operators.similarity import cosine_cluster_chunks
+
+    text = (
+        "Spark executors run tasks on partitions. "
+        "Spark tasks execute on cluster partitions with executors. "
+        "The pasta recipe needs tomato and basil. "
+        "Cook the tomato basil pasta in the oven."
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    all_sections = cosine_cluster_chunks(df, max_dist=0.8).collect()
+    # 4 sentences collapse into 2 topical sections
+    assert len(all_sections) == 2
+    spark_sec = [s.section for s in all_sections if "executors" in s.section]
+    assert spark_sec and "partitions" in spark_sec[0]
+
+    only_food = cosine_cluster_chunks(
+        df, query="tomato basil pasta recipe", max_dist=0.8, sim_threshold=0.3
+    ).collect()
+    assert len(only_food) == 1 and "pasta" in only_food[0].section

@@ -186,3 +186,14 @@ def test_intrinsic_score_bounds_and_signals():
         "click here", "http://x.com/a/b/c/d/e/f/g/h", "", "ad-banner", "nofollow", ctx
     )
     assert 0.0 <= lo < hi <= 10.0
+
+
+def test_link_total_score_fallback_ladder():
+    from crawl4ai_spark.extraction.scrape import link_total_score
+
+    assert link_total_score(9.0, 0.8, score_links_enabled=False) == 5.0
+    assert link_total_score(9.0, None, True, query_provided=False) == 9.0
+    assert link_total_score(12.0, None, True, query_provided=False) == 10.0  # clamp
+    # both: 0.7*8 + 0.3*(0.5*10) = 7.1
+    assert abs(link_total_score(8.0, 0.5, True, True) - 7.1) < 1e-9
+    assert link_total_score(None, None, True, True) == 0.0

@@ -92,3 +92,57 @@ def test_skip_prefixes():
     for href in ("#top", "javascript:void(0)", "mailto:x@y.z", "tel:123", ""):
         assert should_skip_href(href)
     assert not should_skip_href("/ok")
+
+
+def test_fast_path_equals_slow_path():
+    """The already-canonical fast path must return exactly what the full
+    urllib pipeline would, across adversarial and fuzzed hrefs."""
+    import random
+
+    from crawl4ai_spark.functions import urlnorm
+    from crawl4ai_spark.functions.urlnorm import canonicalize_for_frontier
+
+    def slow(href, base):
+        # disable the fast path to get the reference answer
+        orig = urlnorm._CANONICAL_ALREADY_RE
+        class _Never:
+            @staticmethod
+            def match(_s):
+                return None
+        urlnorm._CANONICAL_ALREADY_RE = _Never()
+        try:
+            return canonicalize_for_frontier(href, base)
+        finally:
+            urlnorm._CANONICAL_ALREADY_RE = orig
+
+    base = "http://site0.com/dir/"
+    cases = [
+        "http://h5.bench.test/p123",
+        "http://h5.bench.test/",
+        "https://a.com/x/y/z.html",
+        "http://a.com:8080/p",
+        "HTTP://A.com/p",            # uppercase -> slow path must run
+        "http://A.com/p",
+        "http://a.com/p?b=2&a=1",
+        "http://a.com/p#frag",
+        "http://a.com/p;params",
+        "http://a.com/./x",
+        "http://a.com/../x",
+        "http://a.com/x/..",
+        "http://a.com",               # no path
+        "http://a.com/p q",           # space
+        "http://a.com/p\tq",          # tab (urlsplit strips it)
+        "http://user@a.com/p",
+        "http://a_b.com/p",
+        "rel/path", "/abs/path", "?q=1", "../up",
+        "http://a.com/p%20x",
+        "http://[::1]/p",
+        "http://a.com\\x",
+    ]
+    rng = random.Random(99)
+    chars = "abcXYZ019/.-_%?#=&;:@ \t"
+    for _ in range(3000):
+        n = rng.randint(1, 24)
+        cases.append("http://" + "".join(rng.choice(chars) for _ in range(n)))
+    for href in cases:
+        assert canonicalize_for_frontier(href, base) == slow(href, base), href
