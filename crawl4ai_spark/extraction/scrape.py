@@ -63,6 +63,11 @@ EMPTY_BYPASS_TAGS = frozenset(
      "tr", "td", "th"}
 )
 IMAGE_FORMATS = ("jpg", "jpeg", "png", "webp", "avif", "gif")
+# reference config.py:75-85
+SOCIAL_MEDIA_DOMAINS = (
+    "facebook.com", "twitter.com", "x.com", "linkedin.com", "instagram.com",
+    "pinterest.com", "tiktok.com", "snapchat.com", "reddit.com",
+)
 IMAGE_SCORE_THRESHOLD = 2
 _BASE64_SRC_RE = re.compile(r'data:image/[^;]+;base64,([^"]+)')
 _ICONISH = ("button", "icon", "logo")
@@ -521,6 +526,7 @@ def scrape_page(
     exclude_all_images: bool = False,
     keep_data_attributes: bool = False,
     exclude_external_links: bool = False,
+    exclude_social_media_links: bool = False,
     exclude_domains: set[str] | None = None,
     exclude_external_images: bool = False,
     image_score_threshold: int = IMAGE_SCORE_THRESHOLD,
@@ -540,6 +546,9 @@ def scrape_page(
     root = parse_html(html, drop_tags=frozenset())
     base_domain = get_base_domain(url)
     exclude_domains = set(exclude_domains or ())
+    if exclude_social_media_links:
+        # reference merges the social list into exclude_domains (:817-825)
+        exclude_domains |= set(SOCIAL_MEDIA_DOMAINS)
 
     meta = extract_head_meta(html)
     page_context = None

@@ -102,8 +102,14 @@ class CrawlConfig:
     extra: dict = field(default_factory=dict)
 
 
-def _prepare_seeds(seeds: DataFrame) -> DataFrame:
-    """Normalize a seeds(url[, priority]) frame into frontier schema."""
+def _prepare_seeds(seeds: DataFrame, need_path_keys: bool = False) -> DataFrame:
+    """Normalize a seeds(url[, priority]) frame into frontier schema.
+
+    ``need_path_keys``: only the DFS strategy orders by path keys, and
+    ranking every seed through an unpartitioned window serializes wave 0
+    (a 10^6-seed bench start sorts the whole list in ONE task) — so the
+    seed rank is computed only when DFS asks for it; BFS/best-first carry
+    an empty root key (child keys still concatenate fine)."""
     df = seeds
     if "priority" not in df.columns:
         df = df.withColumn("priority", F.lit(1.0))
@@ -119,9 +125,14 @@ def _prepare_seeds(seeds: DataFrame) -> DataFrame:
         )
         .where(F.col("url").rlike(VALID_URL_RE))
     )
-    # DFS path key root: zero-padded rank of the seed in url order
-    seed_rank = F.row_number().over(Window.orderBy("url"))
-    df = df.withColumn("path_key", F.lpad(seed_rank.cast("string"), 6, "0"))
+    if need_path_keys:
+        # DFS path key root: zero-padded rank of the seed in url order
+        # (DFS is a small-scale correctness surface; the exact global rank
+        # is acceptable there and never runs for BFS/best-first)
+        seed_rank = F.row_number().over(Window.orderBy("url"))
+        df = df.withColumn("path_key", F.lpad(seed_rank.cast("string"), 6, "0"))
+    else:
+        df = df.withColumn("path_key", F.lit(""))
     # dedup by fingerprint via hash agg (all columns derive from url)
     row = F.struct("url", "host", "depth", "score", "parent_url", "enqueue_wave", "path_key")
     return (
@@ -302,15 +313,21 @@ def run_crawl(
     """Run (or resume) a crawl to completion. Returns a summary dict."""
     config = config or CrawlConfig()
     store = WaveStore(spark, store_dir)
-    pages_slim = pages.select("url", "html")
+    # optional status_code column drives the throttle path (429/503 →
+    # backoff; absent → every present page fetches)
+    has_status = "status_code" in pages.columns
+    if has_status:
+        pages_slim = pages.select("url", "html", "status_code")
+    else:
+        pages_slim = pages.select("url", "html")
 
     last = store.last_wave()
     if last is None:
         # persisted: wave 0 reuses the seed frontier three times (politeness
         # pending, seen anti-join, frontier_delta union)
-        seeds_frontier = _prepare_seeds(seeds).persist()
+        seeds_frontier = _prepare_seeds(seeds, need_path_keys=(config.strategy == "dfs")).persist()
         frontier_all = seeds_frontier
-        attempted_keys = None
+        attempted_keys = None  # throttled rows never enter this set
         host_state = None
         shards = None
         wave = 0
@@ -319,11 +336,16 @@ def run_crawl(
     else:
         frontier_all = store.read_table("frontier_delta")
         results_all = store.read_table("results")
-        attempted_keys = results_all.select("url_fp") if results_all is not None else None
+        attempted = (
+            results_all.where(F.col("status") != "throttled")
+            if results_all is not None
+            else None
+        )
+        attempted_keys = attempted.select("url_fp") if attempted is not None else None
         host_state = store.read_latest("host_state")
         shards = store.read_table("seen_bloom") if config.use_bloom else None
         wave = last + 1
-        total_attempted = results_all.count() if results_all is not None else 0
+        total_attempted = attempted.count() if attempted is not None else 0
         seed_delta = None
 
     summary = {"waves": [], "resumed_from": last}
@@ -357,12 +379,21 @@ def run_crawl(
         )
         wave_sel = ranked.where(F.col("selected")).drop("selected")
         wave_sel = attach_robots_verdict(wave_sel, robots, config.user_agent)
-        fetched = wave_sel.join(pages_slim, "url", "left").withColumn(
+        fetched = wave_sel.join(pages_slim, "url", "left")
+        throttle_cond = (
+            F.col("status_code").isin(429, 503)
+            if has_status
+            else F.lit(False)
+        )
+        fetched = fetched.withColumn(
             "status",
             F.when(~F.col("robots_allowed"), F.lit("robots_denied"))
             .when(F.col("html").isNull(), F.lit("missing"))
+            .when(throttle_cond, F.lit("throttled"))
             .otherwise(F.lit("fetched")),
         )
+        if has_status:
+            fetched = fetched.drop("status_code")
         # one pass over html, then everything runs off this narrow cache
         work = _wave_work(fetched, config.links_only).persist()
 
@@ -371,6 +402,13 @@ def run_crawl(
         results_written = store.write_table("results", wave, results)
         t_phase = _tick("extract+results_write", t_phase)
         n_selected = store.pending_count(wave, "results")
+        # throttled rows are recorded but NOT attempted: they stay pending
+        # (retried after the host cooldown) and don't burn max_pages
+        n_throttled_rows = (
+            results_written.where(F.col("status") == "throttled").count()
+            if has_status
+            else 0
+        )
         if n_selected == 0:
             # An empty wave can mean "done" OR "every pending host is in
             # backoff cooldown" — only stop when no host is cooling down
@@ -406,9 +444,10 @@ def run_crawl(
             work.groupBy("host")
             .agg(
                 F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("n_ok"),
-                # no live 429s in a table-backed fetch; column kept so the
-                # backoff state machine is exercised end-to-end
-                F.sum(F.lit(0)).alias("n_throttled"),
+                # 429/503-equivalents from the pages table's status_code
+                # column (0 everywhere when the column is absent) — drives
+                # the RateLimiter backoff state machine per wave
+                F.sum(F.when(F.col("status") == "throttled", 1).otherwise(0)).alias("n_throttled"),
             )
         )
         store.write_table("host_state", wave, update_host_state(host_state, outcomes))
@@ -436,7 +475,8 @@ def run_crawl(
             [
                 {
                     "wave": wave,
-                    "n_attempted": n_selected,
+                    "n_attempted": n_selected - n_throttled_rows,
+                    "n_throttled": n_throttled_rows,
                     "n_new_frontier": n_fresh,
                     "wall_sec": time.time() - t0,
                 }
@@ -453,10 +493,10 @@ def run_crawl(
         # reload state from committed storage (cheap: metadata-only plans)
         frontier_all = store.read_table("frontier_delta")
         results_all = store.read_table("results")
-        attempted_keys = results_all.select("url_fp")
+        attempted_keys = results_all.where(F.col("status") != "throttled").select("url_fp")
         host_state = store.read_latest("host_state")
         shards = store.read_table("seen_bloom") if config.use_bloom else None
-        total_attempted += n_selected
+        total_attempted += n_selected - n_throttled_rows
         wave += 1
         seed_delta = None
 

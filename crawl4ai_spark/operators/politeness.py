@@ -112,6 +112,23 @@ def rank_by_host_budget(
         ).drop("cooldown_waves")
 
     order = order if order is not None else wave_order()
+
+    # Budget-aware rank elision: the window sort exists only to CAP
+    # over-budget hosts, so hosts whose row count fits their budget skip
+    # it entirely (selected outright). The count is a hash agg + join on
+    # the same host partitioning (no extra shuffle), and the sort — the
+    # only O(n log n) and straggler-prone step of wave selection — runs
+    # over just the over-budget hosts' rows. With generous budgets (the
+    # common crawl configuration) the wave selects with NO sort at all;
+    # selection is identical either way (rank ≤ budget is vacuous for a
+    # host with ≤ budget rows).
+    counts = df.groupBy("host").agg(F.count("*").alias("_host_n"))
+    df = df.join(counts, "host")
+    easy = df.where(F.col("_host_n") <= F.col("budget")).withColumn(
+        "selected", F.lit(True)
+    )
+    hard = df.where(F.col("_host_n") > F.col("budget"))
+
     if salt_partitions and salt_partitions > 1:
         # Hot-host defusal: two-phase top-k. Phase 1 ranks within
         # (host, salt) shards — a 10^8-row host is processed by
@@ -121,21 +138,22 @@ def rank_by_host_budget(
         # (any true top-budget row is top-budget within its shard).
         salt = F.pmod(F.col("url_fp"), F.lit(salt_partitions))
         shard_window = Window.partitionBy("host", salt).orderBy(*order)
-        df = df.withColumn("_shard_rank", F.row_number().over(shard_window))
-        survivors = df.where(F.col("_shard_rank") <= F.col("budget"))
-        overflow = df.where(F.col("_shard_rank") > F.col("budget")).withColumn(
+        hard = hard.withColumn("_shard_rank", F.row_number().over(shard_window))
+        survivors = hard.where(F.col("_shard_rank") <= F.col("budget"))
+        overflow = hard.where(F.col("_shard_rank") > F.col("budget")).withColumn(
             "selected", F.lit(False)
         )
         host_window = Window.partitionBy("host").orderBy(*order)
         survivors = survivors.withColumn("host_rank", F.row_number().over(host_window))
         survivors = survivors.withColumn("selected", F.col("host_rank") <= F.col("budget"))
-        df = survivors.drop("host_rank").unionByName(overflow)
-        df = df.drop("_shard_rank")
+        hard = survivors.drop("host_rank").unionByName(overflow).drop("_shard_rank")
     else:
         host_window = Window.partitionBy("host").orderBy(*order)
-        df = df.withColumn("host_rank", F.row_number().over(host_window))
-        df = df.withColumn("selected", F.col("host_rank") <= F.col("budget"))
-        df = df.drop("host_rank")
+        hard = hard.withColumn("host_rank", F.row_number().over(host_window))
+        hard = hard.withColumn("selected", F.col("host_rank") <= F.col("budget"))
+        hard = hard.drop("host_rank")
+
+    df = easy.unionByName(hard).drop("_host_n")
 
     if global_limit is not None:
         # Deterministic global cap (max_pages semantics,

@@ -204,3 +204,58 @@ def test_dfs_strategy_matches_reference_preorder(spark, tmp_path):
     got = [r.url for r in results.orderBy("wave").collect()]
     want = python_dfs()
     assert got == want, f"\nspark: {got[:8]}...\nref:   {want[:8]}..."
+
+
+def test_throttled_host_backoff_and_retirement(spark, tmp_path):
+    """Pages with status_code 429 drive the RateLimiter state machine end
+    to end: the throttled host is recorded (not attempted), backed off
+    with doubling cooldowns, retried after each cooldown, and finally
+    retired after max_retries — while a healthy host crawls normally and
+    the loop terminates."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.frontier.bfs import CrawlConfig, run_crawl
+    from crawl4ai_spark.frontier.store import WaveStore
+
+    def page(host, path, links=()):
+        body = "".join(f'<a href="http://{host}{l}">l</a>' for l in links)
+        return f"<html><body><h1>{path}</h1>{body}</body></html>".encode()
+
+    rows = [
+        ("http://ok.com/", page("ok.com", "/", ["/a", "/b"]), 200),
+        ("http://ok.com/a", page("ok.com", "/a"), 200),
+        ("http://ok.com/b", page("ok.com", "/b"), 200),
+        ("http://slow.com/", page("slow.com", "/"), 429),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, status_code int")
+    seeds = spark.createDataFrame(
+        [("http://ok.com/",), ("http://slow.com/",)], "url string"
+    )
+    store_dir = str(tmp_path / "store")
+    summary = run_crawl(
+        spark, pages, seeds, store_dir,
+        CrawlConfig(max_depth=2, links_only=True, use_bloom=False, max_waves=30),
+    )
+    store = WaveStore(spark, store_dir)
+    results = store.read_table("results").collect()
+    by_url = {}
+    for r in results:
+        by_url.setdefault(r.url, []).append(r.status)
+    # healthy host fully crawled
+    assert "fetched" in by_url["http://ok.com/"]
+    assert "fetched" in by_url["http://ok.com/a"]
+    # throttled host: recorded as throttled (with cooldown-spaced retries,
+    # so more than one attempt), never fetched
+    assert set(by_url["http://slow.com/"]) == {"throttled"}
+    assert len(by_url["http://slow.com/"]) > 1
+    # throttled attempts don't count toward total_attempted
+    assert summary["total_attempted"] == 3
+    # the host ends retired (cooldown sentinel -1) after max_retries
+    hs = {r.host: r for r in store.read_latest("host_state").collect()}
+    assert hs["slow.com"].cooldown_waves == -1
+    assert hs["slow.com"].fail_count > 3
+    # backoff doubled the delay from base 0.25 (capped at 60)
+    assert hs["slow.com"].current_delay > 0.25
+    # metrics recorded throttles
+    n_throttled = sum(r.n_throttled for r in store.read_table("metrics").collect())
+    assert n_throttled == len(by_url["http://slow.com/"])

@@ -197,3 +197,13 @@ def test_link_total_score_fallback_ladder():
     # both: 0.7*8 + 0.3*(0.5*10) = 7.1
     assert abs(link_total_score(8.0, 0.5, True, True) - 7.1) < 1e-9
     assert link_total_score(None, None, True, True) == 0.0
+
+
+def test_exclude_social_media_links():
+    html = ('<body><p>follow <a href="http://twitter.com/u">tw</a> and '
+            '<a href="http://partner.org/x">partner</a></p></body>')
+    keep = scrape_page(html, "http://site.com/")
+    assert {d["base_domain"] for d in keep["links"]["external"]} == {"twitter.com", "partner.org"}
+    drop = scrape_page(html, "http://site.com/", exclude_social_media_links=True)
+    assert {d["base_domain"] for d in drop["links"]["external"]} == {"partner.org"}
+    assert "twitter.com" not in drop["cleaned_html"]
