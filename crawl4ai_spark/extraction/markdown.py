@@ -25,12 +25,6 @@ VOID_TAGS = frozenset(
     {"br", "img", "hr", "meta", "link", "input", "base", "source", "col", "wbr", "area", "embed"}
 )
 DROP_TAGS = frozenset({"script", "style", "noscript", "head", "template", "svg", "iframe"})
-INLINE_TAGS = frozenset(
-    {"a", "b", "strong", "i", "em", "code", "span", "img", "br", "u", "small", "sub", "sup"}
-)
-
-_WS_RE = re.compile(r"\s+")
-_LINK_MD_RE = re.compile(r"\[([^\]]*)\]\(([^()\s]+)\)")
 
 
 class Node:

@@ -532,13 +532,14 @@ def scrape_page(
     image_score_threshold: int = IMAGE_SCORE_THRESHOLD,
     image_description_min_word_threshold: int = 1,
     score_links: bool = False,
+    include_tables: bool = False,
 ) -> dict:
     """Run the full scraping battery; returns
     ``{cleaned_html, media, links, metadata, success}``."""
     if not html:
         return {
             "cleaned_html": "",
-            "media": {"images": [], "videos": [], "audios": []},
+            "media": {"images": [], "videos": [], "audios": []},  # + tables when include_tables
             "links": {"internal": [], "external": []},
             "metadata": {},
             "success": False,
@@ -594,6 +595,14 @@ def scrape_page(
         _remove_where(root, lambda n: id(n) in removed_links)
 
     media = _collect_media(root, image_description_min_word_threshold, image_score_threshold)
+    if include_tables and "table" not in set(excluded_tags or ()):
+        # reference: table extraction strategy feeds media["tables"]
+        # (content_scraping_strategy.py:849-858)
+        from crawl4ai_spark.extraction.tables import extract_tables
+
+        media["tables"] = [
+            t for t in extract_tables(html) if t.get("is_data_table")
+        ]
 
     if remove_forms:
         _remove_where(root, lambda n: n.tag == "form")

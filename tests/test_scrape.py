@@ -207,3 +207,21 @@ def test_exclude_social_media_links():
     drop = scrape_page(html, "http://site.com/", exclude_social_media_links=True)
     assert {d["base_domain"] for d in drop["links"]["external"]} == {"partner.org"}
     assert "twitter.com" not in drop["cleaned_html"]
+
+
+def test_include_tables_in_media():
+    html = (
+        "<body><p>report follows with data table content words</p>"
+        "<table><thead><tr><th>sku</th><th>price</th></tr></thead>"
+        "<tbody><tr><td>a</td><td>1</td></tr><tr><td>b</td><td>2</td></tr></tbody></table></body>"
+    )
+    r = scrape_page(html, "http://site.com/", include_tables=True)
+    tables = r["media"]["tables"]
+    assert len(tables) == 1
+    assert tables[0]["headers"] == ["sku", "price"]
+    # excluded_tags=['table'] suppresses table extraction (reference gate)
+    r2 = scrape_page(html, "http://site.com/", include_tables=True, excluded_tags=["table"])
+    assert "tables" not in r2["media"] or r2["media"]["tables"] == []
+    # default off
+    r3 = scrape_page(html, "http://site.com/")
+    assert "tables" not in r3["media"]
