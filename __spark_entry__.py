@@ -349,6 +349,43 @@ def _q_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_link_intrinsic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link intrinsic scoring (SURVEY §2.5, utils.py:3344-3456) end to
+    end through the scrape UDF: one anchor per page whose text / title /
+    class / path derive from doc_id; the oracle recomputes the scoring
+    formula arithmetically from doc_id."""
+    from crawl4ai_spark.extraction.udfs import udf_scrape
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    did = F.col("doc_id").cast("string")
+    text = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("spark guide tutorial words"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("click here"))
+        .otherwise(F.lit("ok"))
+    )
+    title_attr = F.when(F.col("doc_id") % 2 == 0, F.lit(' title="full docs title"')).otherwise(F.lit(""))
+    class_attr = F.when(F.col("doc_id") % 5 == 0, F.lit(' class="nav-item"')).otherwise(F.lit(""))
+    path = F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/docs/p"), did)).otherwise(
+        F.concat(F.lit("/p"), did)
+    )
+    html = F.concat(
+        F.lit("<html><head><title>spark guide corpus page</title></head><body><h1>spark guide corpus page</h1><p>intro</p>"
+              '<a href="http://corpus.test'), path, F.lit('"'), title_attr, class_attr,
+        F.lit(">"), text, F.lit("</a></body></html>"),
+    )
+    pages = docs.select(
+        "doc_id",
+        html.cast("binary").alias("html"),
+        F.concat(F.lit("http://corpus.test/doc/"), did).alias("url"),
+    )
+    ex = pages.select("doc_id", F.explode(udf_scrape("html", "url").getField("links").getField("internal")).alias("l"))
+    return ex.where(F.col("l.href").contains("/p")).select(
+        "doc_id",
+        F.col("l.href").alias("href"),
+        F.round(F.col("l.intrinsic_score"), 4).alias("intrinsic_score"),
+    )
+
+
 def _q_cache_revalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smart-cache validation (SURVEY §2.1 / cache_validator semantics):
     head-fingerprint change detection over cached-vs-current snapshots.
@@ -590,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_chunking": _q_token_chunking,
         "sentence_chunking": _q_sentence_chunking,
         "schema_extract_nested": _q_schema_extract_nested,
+        "link_intrinsic_scores": _q_link_intrinsic_scores,
         "cache_revalidation": _q_cache_revalidation,
         "url_scoring": _q_url_scoring,
         "media_features": _q_media_features,
@@ -781,6 +819,20 @@ def oracle_sql() -> dict[str, str]:
                    (ext = '' OR ext IN ('asp','aspx','htm','html','jsp','md','php','txt','xhtml')) AS ctype_ok,
                    (url LIKE '%.html') AS is_html
             FROM parsed
+        """,
+        "link_intrinsic_scores": """
+            SELECT doc_id,
+                   'http://corpus.test' ||
+                     (CASE WHEN doc_id % 4 = 0 THEN '/docs/p' ELSE '/p' END) || doc_id AS href,
+                   round(CAST(
+                     (CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END)   -- title attr
+                   + (CASE WHEN doc_id % 5 = 0 THEN 1.5 ELSE 0.0 END)   -- nav class
+                   + (CASE WHEN doc_id % 4 = 0 THEN 2.0 ELSE 0.0 END)   -- /docs/ path
+                   + 1.0                                                 -- shallow depth
+                   + (CASE doc_id % 3 WHEN 0 THEN 3.0                    -- rich text + overlap
+                                      WHEN 1 THEN 0.5                    -- 'click here'
+                                      ELSE 0.0 END) AS DOUBLE), 4) AS intrinsic_score
+            FROM documents WHERE doc_id < 300
         """,
         "cache_revalidation": """
             SELECT 'http://corpus.test/doc/' || doc_id AS url,
