@@ -205,33 +205,52 @@ def _xpath_pred_ok(node: Node, pred: str) -> bool | None:
     raise ValueError(f"unsupported xpath predicate: {pred!r}")
 
 
+def _iter_nodes_with_parent(node: Node):
+    for child in node.children:
+        if isinstance(child, Node):
+            yield child, node
+            yield from _iter_nodes_with_parent(child)
+
+
 def xpath_select(root: Node, expr: str) -> list[Node]:
     """Evaluate the supported XPath subset (``/`` and ``//`` steps, tag or
     ``*`` tests, ``[@attr]`` / ``[@attr='v']`` / positional ``[n]``
     predicates) relative to ``root`` — the selector surface of the
     reference's JsonXPathExtractionStrategy schemas
-    (extraction_strategy.py:2449-2520)."""
+    (extraction_strategy.py:2449-2520).
+
+    Positional predicates follow real XPath semantics: position is
+    evaluated *within each parent's* matched children (``//li[2]`` is
+    ``descendant::*/li[2]``, the second ``li`` of every parent — lxml
+    parity), not the nth match in pooled document order.
+    """
     contexts = [root]
     for axis, test, preds in _xpath_parse(expr):
         nxt: list[Node] = []
         seen: set[int] = set()
         for ctx in contexts:
             if axis == "child":
-                pool = [c for c in ctx.children if isinstance(c, Node)]
+                pool = [(c, ctx) for c in ctx.children if isinstance(c, Node)]
             else:
-                pool = list(_iter_nodes(ctx))
-            matched = [n for n in pool if test == "*" or n.tag == test]
+                pool = list(_iter_nodes_with_parent(ctx))
+            matched = [(n, p) for n, p in pool if test == "*" or n.tag == test]
             for pred in preds:
-                keep = []
-                for i, n in enumerate(matched):
-                    ok = _xpath_pred_ok(n, pred)
-                    if ok is None:
-                        if i + 1 == int(pred.strip()):
-                            keep.append(n)
-                    elif ok:
-                        keep.append(n)
-                matched = keep
-            for n in matched:
+                stripped = pred.strip()
+                if stripped.isdigit():
+                    # nth among this parent's surviving matches (document
+                    # order within each sibling group)
+                    want = int(stripped)
+                    counter: dict[int, int] = {}
+                    keep = []
+                    for n, p in matched:
+                        k = counter.get(id(p), 0) + 1
+                        counter[id(p)] = k
+                        if k == want:
+                            keep.append((n, p))
+                    matched = keep
+                else:
+                    matched = [(n, p) for n, p in matched if _xpath_pred_ok(n, pred)]
+            for n, _ in matched:
                 if id(n) not in seen:
                     seen.add(id(n))
                     nxt.append(n)

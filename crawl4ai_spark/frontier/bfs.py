@@ -333,6 +333,7 @@ def run_crawl(
         wave = 0
         total_attempted = 0
         seed_delta = seeds_frontier  # committed with wave 0
+        frontier_total = None  # unknown until the first footer count lands
     else:
         frontier_all = store.read_table("frontier_delta")
         results_all = store.read_table("results")
@@ -347,6 +348,10 @@ def run_crawl(
         wave = last + 1
         total_attempted = attempted.count() if attempted is not None else 0
         seed_delta = None
+        frontier_total = sum(
+            store.marker(w)["counts"].get("frontier_delta", 0)
+            for w in store.committed_waves()
+        )
 
     summary = {"waves": [], "resumed_from": last}
 
@@ -376,6 +381,12 @@ def run_crawl(
             global_limit=remaining,
             order=order,
             salt_partitions=config.salt_partitions,
+            # |pending| from accumulated footer counts (attempted ⊆
+            # frontier, both unique by url_fp) — lets the global cap elide
+            # its windows entirely once pending fits the remaining budget
+            pending_hint=(
+                frontier_total - total_attempted if frontier_total is not None else None
+            ),
         )
         wave_sel = ranked.where(F.col("selected")).drop("selected")
         wave_sel = attach_robots_verdict(wave_sel, robots, config.user_agent)
@@ -402,13 +413,6 @@ def run_crawl(
         results_written = store.write_table("results", wave, results)
         t_phase = _tick("extract+results_write", t_phase)
         n_selected = store.pending_count(wave, "results")
-        # throttled rows are recorded but NOT attempted: they stay pending
-        # (retried after the host cooldown) and don't burn max_pages
-        n_throttled_rows = (
-            results_written.where(F.col("status") == "throttled").count()
-            if has_status
-            else 0
-        )
         if n_selected == 0:
             # An empty wave can mean "done" OR "every pending host is in
             # backoff cooldown" — only stop when no host is cooling down
@@ -427,11 +431,17 @@ def run_crawl(
         fresh = _discover(work.where(F.col("status") == "fetched"), wave, config)
         fresh = _anti_join_seen(fresh, frontier_all.select("url_fp"), shards, config)
 
+        fresh_cached = None
         if config.max_pages is not None:
-            # two-phase global top-k (no single-partition window over the
-            # full discovery set; see flag_global_top_k)
+            # tiered global top-k (see flag_global_top_k): the narrow
+            # discovery frame is persisted so the elision count and the
+            # frontier write share one computation of discover+anti-join
+            fresh_cached = fresh.persist()
             fresh = flag_global_top_k(
-                fresh, wave_order(), max(config.max_pages - total_attempted, 0)
+                fresh_cached,
+                wave_order(),
+                max(config.max_pages - total_attempted, 0),
+                n_rows=fresh_cached.count(),
             )
             fresh = fresh.where(F.col("_topk")).drop("_topk")
 
@@ -450,7 +460,9 @@ def run_crawl(
                 F.sum(F.when(F.col("status") == "throttled", 1).otherwise(0)).alias("n_throttled"),
             )
         )
-        store.write_table("host_state", wave, update_host_state(host_state, outcomes))
+        host_state_written = store.write_table(
+            "host_state", wave, update_host_state(host_state, outcomes)
+        )
         t_phase = _tick("host_state", t_phase)
 
         # lineage/bloom derive from the already-written bytes, not a
@@ -471,22 +483,33 @@ def run_crawl(
                 build_bloom_shards(frontier_written, config.n_bloom_shards, config.bloom_fpp),
             )
             t_phase = _tick("bloom", t_phase)
-        metrics = spark.createDataFrame(
-            [
-                {
-                    "wave": wave,
-                    "n_attempted": n_selected - n_throttled_rows,
-                    "n_throttled": n_throttled_rows,
-                    "n_new_frontier": n_fresh,
-                    "wall_sec": time.time() - t0,
-                }
-            ]
+        # throttle count folded into the metrics job: summed from the
+        # already-written host_state bytes (the per-wave results-table
+        # count() job this replaces was pure overhead), then read back
+        # driver-side from the single-row metrics parquet — no extra job
+        metrics = host_state_written.agg(
+            F.coalesce(F.sum("wave_throttled"), F.lit(0)).alias("n_throttled")
+        ).select(
+            F.lit(wave).cast("long").alias("wave"),
+            (F.lit(n_selected) - F.col("n_throttled")).alias("n_attempted"),
+            F.col("n_throttled"),
+            F.lit(n_fresh).cast("long").alias("n_new_frontier"),
+            F.lit(time.time() - t0).alias("wall_sec"),
         )
         store.write_table("metrics", wave, metrics)
+        # throttled rows are recorded but NOT attempted: they stay pending
+        # (retried after the host cooldown) and don't burn max_pages
+        n_throttled_rows = (
+            int(store.read_scalar("metrics", wave, "n_throttled") or 0)
+            if has_status
+            else 0
+        )
         marker = store.commit(wave, meta={"config": str(config)})
         summary["waves"].append(marker["counts"] | {"wave": wave})
 
         work.unpersist()
+        if fresh_cached is not None:
+            fresh_cached.unpersist()
         if seed_delta is not None:
             seed_delta.unpersist()
 
@@ -497,6 +520,7 @@ def run_crawl(
         host_state = store.read_latest("host_state")
         shards = store.read_table("seen_bloom") if config.use_bloom else None
         total_attempted += n_selected - n_throttled_rows
+        frontier_total = (frontier_total or 0) + n_fresh
         wave += 1
         seed_delta = None
 

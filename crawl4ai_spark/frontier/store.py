@@ -85,6 +85,21 @@ class WaveStore:
     def pending_count(self, wave: int, name: str) -> int:
         return self._pending.get(wave, {}).get(name, 0)
 
+    def read_scalar(self, name: str, wave: int, column: str):
+        """Driver-side read of a single-column value from a tiny written
+        table (e.g. the one-row metrics delta) — pyarrow, no Spark job.
+        Returns the first non-null value, or None if the table is empty."""
+        import pyarrow.parquet as pq
+
+        path = self._table_path(name, wave)
+        for fname in sorted(os.listdir(path)):
+            if fname.endswith(".parquet"):
+                col = pq.read_table(os.path.join(path, fname), columns=[column])[column]
+                for v in col.to_pylist():
+                    if v is not None:
+                        return v
+        return None
+
     def commit(self, wave: int, meta: dict | None = None) -> dict:
         """Atomically publish all tables written for this wave."""
         counts = self._pending.pop(wave, {})

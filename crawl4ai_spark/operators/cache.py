@@ -127,6 +127,12 @@ def split_wave_by_cache(
     left-anti pair against the results table; read gating per CacheMode."""
     if results is None or not should_read_cache(mode):
         return wave.limit(0), wave
+    # Only *materialized* rows are hits: the crawl loop records 'throttled'
+    # rows while keeping those URLs pending (bfs.run_crawl excludes them
+    # from attempted_keys), and 'missing' rows carry no cached content —
+    # classifying either as a hit would mean the URL is never fetched.
+    if "status" in results.columns:
+        results = results.where(~F.col("status").isin("throttled", "missing"))
     keys = results.select(url_col).distinct()
     hits = wave.join(keys, url_col, "left_semi")
     misses = wave.join(keys, url_col, "left_anti")

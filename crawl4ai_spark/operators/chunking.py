@@ -227,7 +227,17 @@ def merge_chunks_grouped(
             }
         )
 
-    out_schema = f"{group_col} long, chunk_index int, chunk string"
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    # carry the group column's actual type through (URL-keyed corpora
+    # group by string; hard-coding long would fail or silently cast)
+    out_schema = StructType(
+        [
+            StructField(group_col, chunks_df.schema[group_col].dataType),
+            StructField("chunk_index", IntegerType()),
+            StructField("chunk", StringType()),
+        ]
+    )
     return chunks_df.groupBy(group_col).applyInPandas(merge, out_schema)
 
 

@@ -56,25 +56,76 @@ def flag_global_top_k(
     k: int,
     salt_partitions: int = 32,
     flag: str = "_topk",
+    n_rows: int | None = None,
+    small_k_max: int = 200_000,
 ) -> DataFrame:
-    """Deterministic global top-k WITHOUT a single-partition window.
+    """Deterministic global top-k WITHOUT a single-partition window over
+    the full set. ``order`` must be a total order (ours ends in ``url``)
+    so the result is run-independent. Three tiers, identical selection:
 
-    Phase 1 ranks within ``salt_partitions`` shards keyed on ``url_fp``
-    (any true global top-k row is top-k within its shard, so no survivor
-    is lost) and keeps ≤ k rows per shard; phase 2 ranks the ≤ salt×k
-    survivors exactly. The only unpartitioned window therefore runs over a
-    bounded set — at a 10^8-row wave the full set never funnels through
-    one task. ``order`` must be a total order (ours ends in ``url``) so
-    the result is run-independent.
+    - **Elision** — when the candidate count (``n_rows``, passed by the
+      caller from footer/accumulated counts or computed here with one
+      narrow agg) is ≤ k, every row survives: no window, no sort at all.
+      This is the common case late in a crawl (candidates ≤ remaining
+      budget).
+    - **Small k** — two-phase salted rank: phase 1 ranks within
+      ``salt_partitions`` shards keyed on ``url_fp`` (any true global
+      top-k row is top-k within its shard, so no survivor is lost) and
+      keeps ≤ k per shard; phase 2 ranks the ≤ salt×k survivors exactly.
+      The only unpartitioned window runs over that bounded set.
+    - **Large k** (> ``small_k_max``, where salt×k through one task would
+      itself be a 10⁸-row straggler sort) — exact distributed rank:
+      range-repartition by ``order`` (sampled boundaries → distributed
+      sort, no funnel), per-partition row offsets from
+      ``monotonically_increasing_id`` on the persisted sorted layout,
+      partition sizes prefix-summed driver-side (``salt_partitions``
+      integers), global rank = prefix[pid] + offset. No task ever holds
+      more than ~n/P rows.
     """
-    salt = F.pmod(F.coalesce(F.col("url_fp"), F.lit(0)), F.lit(salt_partitions))
-    shard_window = Window.partitionBy(salt).orderBy(*order)
-    df = df.withColumn("_gpr", F.row_number().over(shard_window))
-    survivors = df.where(F.col("_gpr") <= k)
-    overflow = df.where(F.col("_gpr") > k).withColumn(flag, F.lit(False))
-    exact = Window.orderBy(*order)
-    survivors = survivors.withColumn(flag, F.row_number().over(exact) <= k)
-    return survivors.unionByName(overflow).drop("_gpr")
+    if k <= 0:
+        return df.withColumn(flag, F.lit(False))
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows <= k:
+        return df.withColumn(flag, F.lit(True))
+    if k <= small_k_max:
+        salt = F.pmod(F.coalesce(F.col("url_fp"), F.lit(0)), F.lit(salt_partitions))
+        shard_window = Window.partitionBy(salt).orderBy(*order)
+        df = df.withColumn("_gpr", F.row_number().over(shard_window))
+        survivors = df.where(F.col("_gpr") <= k)
+        overflow = df.where(F.col("_gpr") > k).withColumn(flag, F.lit(False))
+        exact = Window.orderBy(*order)
+        survivors = survivors.withColumn(flag, F.row_number().over(exact) <= k)
+        return survivors.unionByName(overflow).drop("_gpr")
+
+    # large-k exact distributed rank (persisted so the id column is stable
+    # between the offset job and the flag projection; ContextCleaner
+    # reclaims the cache entry when the frame is garbage collected)
+    ranged = (
+        df.repartitionByRange(salt_partitions, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    pid = F.shiftright(F.col("_mid"), 33)
+    sizes = {
+        r["pid"]: r["n"]
+        for r in ranged.groupBy(pid.alias("pid")).agg(F.count("*").alias("n")).collect()
+    }
+    prefix: dict[int, int] = {}
+    acc = 0
+    for p in sorted(sizes):
+        prefix[p] = acc
+        acc += sizes[p]
+    offset_map = F.create_map(
+        *[
+            F.lit(x).cast("long")
+            for p in sorted(prefix)
+            for x in (p, prefix[p])
+        ]
+    )
+    rank = F.element_at(offset_map, pid) + F.pmod(F.col("_mid"), F.lit(1 << 33)) + 1
+    return ranged.withColumn(flag, rank <= k).drop("_mid")
 
 
 def rank_by_host_budget(
@@ -85,12 +136,19 @@ def rank_by_host_budget(
     global_limit: int | None = None,
     order: list | None = None,
     salt_partitions: int | None = None,
+    pending_hint: int | None = None,
 ) -> DataFrame:
     """Select this wave's fetch set: top-``budget(host)`` rows per host by
     (score desc, depth, url), then an optional deterministic global cap.
 
     Returns ``pending`` with a ``selected`` boolean; unselected rows simply
     stay in the frontier for the next wave (no state mutation).
+
+    ``pending_hint``: caller-known upper bound on ``pending``'s row count
+    (run_crawl derives it from accumulated parquet-footer counts — no
+    job). When the bound is ≤ global_limit the global cap is vacuous and
+    the top-k flag elides every window; an over-estimate only forgoes the
+    elision, never changes the selection.
     """
     df = pending.repartition(F.col("host"))
     if host_budgets is not None:
@@ -161,7 +219,12 @@ def rank_by_host_budget(
         # two-phase so no full-wave single-partition window.
         sel = df.where(F.col("selected")).drop("selected")
         unsel = df.where(~F.col("selected"))
-        sel = flag_global_top_k(sel, order, global_limit, flag="selected")
+        # no hint → skip the elision count (it would recompute the window
+        # plan) and let the tier choice run on k alone
+        hint = pending_hint if pending_hint is not None else global_limit + 1
+        sel = flag_global_top_k(
+            sel, order, global_limit, flag="selected", n_rows=hint
+        )
         df = sel.unionByName(unsel)
     return df.drop("budget")
 
@@ -210,4 +273,8 @@ def update_host_state(
         new_delay.alias("current_delay"),
         new_fails.alias("fail_count"),
         cooldown.alias("cooldown_waves"),
+        # this wave's throttle count, carried so the crawl loop derives its
+        # global throttle metric from the written host_state bytes instead
+        # of an extra per-wave count() job over the results table
+        F.coalesce(F.col("n_throttled"), F.lit(0)).cast("long").alias("wave_throttled"),
     )

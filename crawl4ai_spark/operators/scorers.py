@@ -145,6 +145,8 @@ def anchor_keyword_scorer(keywords: list[str], weight: float = 1.0, url_weight: 
     (url_weight) — the frontier analog of the reference's link
     total-score blend (utils.py:3459-3504) with anchor context as the
     dominant signal. Signature matches CrawlConfig.text_scorer."""
+    if not keywords:
+        raise ValueError("anchor_keyword_scorer requires at least one keyword")
     lowered = [k.lower() for k in keywords]
 
     def frac(hay: Column) -> Column:

@@ -137,8 +137,18 @@ def kmeans_centroids(
 ) -> np.ndarray:
     """Driver-side Lloyd's k-means on a bounded sample → (k, dim) centroid
     matrix. The IVF coarse quantizer: training is O(sample), assignment is
-    distributed column algebra. Deterministic (seeded init, fixed iters)."""
-    rows = embeddings.select(vec_col).limit(sample).collect()
+    distributed column algebra. Deterministic end to end: the sample is
+    hash-ordered by the vector bytes (an unordered ``limit()`` is
+    layout-dependent — centroids would differ across runs/partitionings),
+    init is seeded, iters fixed."""
+    rows = (
+        embeddings.select(vec_col)
+        .withColumn("_h", F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed)))
+        .orderBy("_h")
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
     data = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(data, axis=1, keepdims=True)
     data = data / np.clip(norms, 1e-12, None)

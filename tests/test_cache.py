@@ -76,3 +76,29 @@ def test_split_wave_by_cache_modes(spark):
     assert {r.url for r in misses.collect()} == {"x"}
     hits2, misses2 = split_wave_by_cache(wave, results, CacheMode.WRITE_ONLY)
     assert hits2.count() == 0 and misses2.count() == 3
+
+
+def test_split_wave_by_cache_excludes_throttled_and_missing(spark):
+    """Throttled rows stay pending in the crawl loop (bfs.run_crawl writes
+    them to results but excludes them from attempted_keys) — the cache
+    split must mirror that filter, or a throttled-only URL gated through
+    CacheMode.ENABLED would be classed a hit and never fetched. 'missing'
+    rows carry no cached content either."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.cache import CacheMode, split_wave_by_cache
+
+    wave = spark.createDataFrame(
+        [("http://a.com/1",), ("http://a.com/2",), ("http://a.com/3",), ("http://a.com/4",)],
+        "url string",
+    )
+    results = spark.createDataFrame(
+        [("http://a.com/1", "fetched"), ("http://a.com/2", "throttled"),
+         ("http://a.com/3", "missing")],
+        "url string, status string",
+    )
+    hits, misses = split_wave_by_cache(wave, results, CacheMode.ENABLED)
+    assert {r.url for r in hits.collect()} == {"http://a.com/1"}
+    assert {r.url for r in misses.collect()} == {
+        "http://a.com/2", "http://a.com/3", "http://a.com/4"
+    }

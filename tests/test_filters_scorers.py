@@ -586,3 +586,107 @@ def test_topic_segmentation_finds_vocabulary_shift(spark):
     short = spark.createDataFrame([(2, "just a few words here")], "doc_id long, text string")
     got = topic_segmentation_chunking(short).collect()
     assert len(got) == 1 and got[0].chunk == "just a few words here"
+
+
+def test_global_top_k_large_k_range_path(spark):
+    """k above small_k_max routes through the distributed range-rank tier
+    (range repartition + per-partition offsets, no salt×k single-task
+    sort); selection must still be the exact global top-k, including when
+    k greatly exceeds the per-shard survivor cap."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.politeness import flag_global_top_k, wave_order
+
+    rows = [
+        (f"http://h{i % 17}.com/p{i:04d}", i * 7919 % 100003, f"h{i % 17}.com",
+         i % 5, float(i % 23), None, 0, "")
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, url_fp long, host string, depth int, score double, "
+        "parent_url string, enqueue_wave int, path_key string",
+    )
+    for k in (50, 300):
+        want = {
+            r.url
+            for r in df.orderBy(F.desc("score"), F.asc("depth"), F.asc("url"))
+            .limit(k)
+            .collect()
+        }
+        got = {
+            r.url
+            for r in flag_global_top_k(
+                df, wave_order(), k, salt_partitions=8, small_k_max=10
+            )
+            .where(F.col("_topk"))
+            .collect()
+        }
+        assert got == want, f"k={k}"
+
+
+def test_global_top_k_elision_no_window(spark):
+    """With a caller-known candidate count ≤ k, the flag is computed with
+    zero windows and zero sorts (the common late-crawl case)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.politeness import flag_global_top_k, wave_order
+
+    df = spark.createDataFrame(
+        [(f"http://a.com/{i}", i, "a.com", 0, 1.0, None, 0, "") for i in range(100)],
+        "url string, url_fp long, host string, depth int, score double, "
+        "parent_url string, enqueue_wave int, path_key string",
+    )
+    flagged = flag_global_top_k(df, wave_order(), 1000, n_rows=100)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        flagged.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan, plan
+    assert flagged.where(F.col("_topk")).count() == 100
+
+
+def test_merge_chunks_grouped_string_group_col(spark):
+    """URL-keyed corpora group by string — the output schema must carry
+    the group column's actual type (previously hard-coded long)."""
+    from crawl4ai_spark.operators.chunking import merge_chunks_grouped
+
+    df = spark.createDataFrame(
+        [("http://a.com/x", 0, "alpha beta"), ("http://a.com/x", 1, "gamma delta"),
+         ("http://b.com/y", 0, "epsilon zeta")],
+        "url string, chunk_index int, chunk string",
+    )
+    out = merge_chunks_grouped(df, target_size=10, group_col="url")
+    assert dict(out.dtypes)["url"] == "string"
+    got = {r.url: r.chunk for r in out.collect()}
+    assert got["http://a.com/x"] == "alpha beta gamma delta"
+    assert got["http://b.com/y"] == "epsilon zeta"
+
+
+def test_anchor_keyword_scorer_empty_keywords_raises():
+    import pytest as _pytest
+
+    from crawl4ai_spark.operators.scorers import anchor_keyword_scorer
+
+    with _pytest.raises(ValueError):
+        anchor_keyword_scorer([])
+
+
+def test_kmeans_centroids_deterministic_across_layouts(spark):
+    """Centroids must be identical run-to-run and layout-to-layout (the
+    sample is hash-ordered, not an unordered limit())."""
+    import numpy as np
+
+    from crawl4ai_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.RandomState(7)
+    rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in range(500)]
+    emb1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb2 = spark.createDataFrame(list(reversed(rows)), "vec_id long, embedding array<double>").repartition(7)
+    c1 = kmeans_centroids(emb1, k=4, iters=3, sample=200)
+    c2 = kmeans_centroids(emb2, k=4, iters=3, sample=200)
+    assert np.allclose(c1, c2)

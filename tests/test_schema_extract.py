@@ -201,3 +201,44 @@ def test_schema_json_udf_nested(spark):
     recs = [json.loads(r.rec) for r in rows]
     assert recs[0]["vendor"]["vid"] == "v-9"
     assert recs[1]["sku"] == "B2"
+
+
+def test_xpath_positional_predicate_per_parent():
+    """Real XPath evaluates '//li[2]' per parent (lxml semantics): the
+    second li within EACH parent ul, not the single second match in
+    pooled document order."""
+    from crawl4ai_spark.extraction.markdown import parse_html
+    from crawl4ai_spark.extraction.schema_extract import xpath_select
+
+    html = (
+        "<div>"
+        "<ul><li>a1</li><li>a2</li><li>a3</li></ul>"
+        "<ul><li>b1</li><li>b2</li></ul>"
+        "<ul><li>c1</li></ul>"
+        "</div>"
+    )
+    root = parse_html(html, drop_tags=frozenset())
+
+    def text(n):
+        out = []
+
+        def walk(x):
+            if isinstance(x, str):
+                out.append(x)
+            else:
+                for c in x.children:
+                    walk(c)
+
+        walk(n)
+        return "".join(out)
+
+    got = [text(n) for n in xpath_select(root, "//li[2]")]
+    assert got == ["a2", "b2"]
+    # attribute + positional chain: second li with the class, per parent
+    html2 = (
+        "<ul><li class='x'>p</li><li>skip</li><li class='x'>q</li></ul>"
+        "<ul><li class='x'>r</li><li class='x'>s</li></ul>"
+    )
+    root2 = parse_html(html2, drop_tags=frozenset())
+    got2 = [text(n) for n in xpath_select(root2, "//li[@class='x'][2]")]
+    assert got2 == ["q", "s"]
