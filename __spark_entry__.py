@@ -386,6 +386,90 @@ def _q_link_intrinsic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_link_contextual_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-link contextual BM25 + the 0.7/0.3 total blend (SURVEY §2.5 /
+    utils.py:3459-3504, link_preview.py:314-331) end to end through the
+    query-bound scrape UDF: 3 anchors per page, exactly one containing
+    the query term, so Okapi scores min-max-normalize to {1.0, 0.0} and
+    the oracle recomputes contextual + blend arithmetically."""
+    from crawl4ai_spark.extraction.udfs import make_scrape_udf
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    did = F.col("doc_id").cast("string")
+    texts = ["spark handbook guide", "other filler words", "plain boring anchor"]
+
+    def anchor(j: int):
+        text = (
+            F.when(F.col("doc_id") % 3 == j, F.lit(texts[0]))
+            .when((F.col("doc_id") + 1) % 3 == j, F.lit(texts[1]))
+            .otherwise(F.lit(texts[2]))
+        )
+        return F.concat(
+            F.lit('<a href="http://corpus.test/p'), did, F.lit(f"x{j}"), F.lit('">'),
+            text, F.lit("</a>"),
+        )
+
+    html = F.concat(
+        F.lit("<html><head><title>corpus page listing</title></head><body><p>intro paragraph text</p>"),
+        anchor(0), anchor(1), anchor(2), F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        "doc_id",
+        html.cast("binary").alias("html"),
+        F.concat(F.lit("http://corpus.test/doc/"), did).alias("url"),
+    )
+    udf = make_scrape_udf(query="spark")
+    ex = pages.select(
+        "doc_id", F.explode(udf("html", "url").getField("links").getField("internal")).alias("l")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("l.href").alias("href"),
+        F.round(F.col("l.intrinsic_score"), 4).alias("intrinsic_score"),
+        F.round(F.col("l.contextual_score"), 4).alias("contextual_score"),
+        F.round(F.col("l.total_score"), 4).alias("total_score"),
+    )
+
+
+def _q_link_preview_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed link preview (SURVEY §2.5 / link_preview.py:190-331):
+    join the link batch to the pages table (the "HEAD fetch"), extract
+    head text, Okapi-BM25 it against the query with full corpus
+    statistics (df over the whole vocabulary, ε-floored negative IDFs —
+    deliberately triggered: 'alpha' appears in >half the corpus), min-max
+    normalize, blend 0.7/0.3 with a per-link intrinsic score. The oracle
+    recomputes the entire BM25Okapi pipeline in SQL."""
+    from crawl4ai_spark.operators.link_preview import link_preview_scores
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    did = F.col("doc_id").cast("string")
+    title = F.when(F.col("doc_id") % 2 == 0, F.lit("alpha guide")).otherwise(
+        F.lit("beta manual")
+    )
+    desc = F.when(F.col("doc_id") % 3 == 0, F.lit("gamma alpha notes")).otherwise(
+        F.lit("delta notes")
+    )
+    url = F.concat(F.lit("http://corpus.test/t"), did)
+    html = F.concat(
+        F.lit("<html><head><title>"), title,
+        F.lit('</title><meta name="description" content="'), desc,
+        F.lit('"></head><body>x</body></html>'),
+    )
+    pages = docs.select(url.alias("url"), html.cast("binary").alias("html"))
+    links = docs.select(
+        url.alias("href"), (F.col("doc_id") % 5).cast("double").alias("intrinsic_score")
+    )
+    out = link_preview_scores(
+        links, pages, "alpha gamma", intrinsic_col="intrinsic_score"
+    )
+    return out.select(
+        "href",
+        "intrinsic_score",
+        F.round("contextual_score", 6).alias("contextual_score"),
+        F.round("total_score", 6).alias("total_score"),
+    )
+
+
 def _q_cache_revalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smart-cache validation (SURVEY §2.1 / cache_validator semantics):
     head-fingerprint change detection over cached-vs-current snapshots.
@@ -557,7 +641,10 @@ def _q_media_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.src").alias("src"),
         F.col("m.score").alias("score"),
         F.col("m.format").alias("format"),
+        # int-coerced like the reference MediaItem ('2x' → NULL) with the
+        # raw srcset descriptor kept alongside
         F.col("m.width").alias("width"),
+        F.col("m.width_desc").alias("width_desc"),
     )
 
 
@@ -586,6 +673,63 @@ def _q_cleaned_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pages.select(
         "doc_id", udf_scrape("html", "url").getField("cleaned_html").alias("cleaned_html")
+    )
+
+
+def _q_crawl_scrape_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl loop end to end in content_mode="scrape" (SURVEY §2.5 +
+    §3.3 — the reference's default content flow wired through run_crawl,
+    async_webcrawler.py:783,825-877): a deterministic 120-page site over
+    the documents table (3 hosts, chains of 3 pages per decade seed), with
+    the full CrawlResult surface (cleaned_html / media / links) coming
+    back out of the results table. The oracle reconstructs every crawled
+    row — URL set, depth, parent, link/image counts, byte-exact
+    cleaned_html — in SQL."""
+    import tempfile
+
+    from crawl4ai_spark.frontier.bfs import CrawlConfig, run_crawl
+    from crawl4ai_spark.frontier.store import WaveStore
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    did = F.col("doc_id").cast("string")
+    esc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"),
+        ">", "&gt;",
+    )
+    nxt = F.col("doc_id") + 1
+    link = F.when(
+        F.col("doc_id") % 10 < 2,
+        F.concat(
+            F.lit('<a href="http://h'), (nxt % 3).cast("string"), F.lit(".test/d"),
+            nxt.cast("string"), F.lit('">next doc link</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    img = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<img src="/media/d'), did,
+                 F.lit('.jpg" width="200" height="200" alt="photo">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>doc "), did, F.lit("</title></head><body><p>doc "),
+        did, F.lit(": "), esc, F.lit("</p>"), link, img, F.lit("</body></html>"),
+    )
+    url = F.concat(F.lit("http://h"), (F.col("doc_id") % 3).cast("string"),
+                   F.lit(".test/d"), did)
+    pages = docs.select(url.alias("url"), html.cast("binary").alias("html"))
+    seeds = docs.where(F.col("doc_id") % 10 == 0).select(url.alias("url"))
+    store_dir = tempfile.mkdtemp(prefix="crawl_scrape_loop_")
+    run_crawl(spark, pages, seeds, store_dir, CrawlConfig(content_mode="scrape"))
+    results = WaveStore(spark, store_dir).read_table("results")
+    return results.select(
+        "url",
+        "depth",
+        "parent_url",
+        "status",
+        "title",
+        "n_internal_links",
+        "n_external_links",
+        F.coalesce(F.size("media.images"), F.lit(0)).alias("n_images"),
+        "cleaned_html",
     )
 
 
@@ -628,12 +772,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_chunking": _q_sentence_chunking,
         "schema_extract_nested": _q_schema_extract_nested,
         "link_intrinsic_scores": _q_link_intrinsic_scores,
+        "link_contextual_scores": _q_link_contextual_scores,
+        "link_preview_scores": _q_link_preview_scores,
         "cache_revalidation": _q_cache_revalidation,
         "url_scoring": _q_url_scoring,
         "media_features": _q_media_features,
         "regex_catalog": _q_regex_catalog,
         "media_extraction": _q_media_extraction,
         "cleaned_html_roundtrip": _q_cleaned_html_roundtrip,
+        "crawl_scrape_loop": _q_crawl_scrape_loop,
         "table_extraction": _q_table_extraction,
         "ivf_topk": _q_ivf_topk,
     }
@@ -834,6 +981,70 @@ def oracle_sql() -> dict[str, str]:
                                       ELSE 0.0 END) AS DOUBLE), 4) AS intrinsic_score
             FROM documents WHERE doc_id < 300
         """,
+        "link_contextual_scores": """
+            -- 3 anchors per page at /p<doc>x<j>; the one with j = doc_id%3
+            -- carries the query term 'spark' (df=1 of n=3 → positive idf,
+            -- others score 0 → min-max lands on {1, 0}); every anchor has
+            -- identical intrinsic 2.5 (3-word text +1.5, shallow path +1);
+            -- total = 0.7·intrinsic + 0.3·(contextual×10)
+            SELECT doc_id,
+                   'http://corpus.test/p' || doc_id || 'x' || j AS href,
+                   CAST(2.5 AS DOUBLE) AS intrinsic_score,
+                   CAST(CASE WHEN j = doc_id % 3 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+                       AS contextual_score,
+                   CAST(round(0.7 * 2.5 + 0.3 * 10 *
+                         CASE WHEN j = doc_id % 3 THEN 1.0 ELSE 0.0 END, 4) AS DOUBLE)
+                       AS total_score
+            FROM documents, unnest([0, 1, 2]) AS t(j)
+            WHERE doc_id < 300
+        """,
+        "link_preview_scores": """
+            -- full Okapi BM25 mirror (rank_bm25 semantics: k1=1.5 b=0.75,
+            -- negative IDFs floored at 0.25·avg-idf over the WHOLE vocab),
+            -- then min-max normalization and the 0.7/0.3 blend
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            heads AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'alpha guide'
+                             ELSE 'beta manual' END) || ' ' ||
+                       (CASE WHEN doc_id % 3 = 0 THEN 'gamma alpha notes'
+                             ELSE 'delta notes' END) AS txt
+                FROM d),
+            toks AS (SELECT doc_id, unnest(string_split(txt, ' ')) AS term FROM heads),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM heads) AS n,
+                             (SELECT avg(dl) FROM dl) AS avgdl),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+            idf0 AS (SELECT term, ln(n - df + 0.5) - ln(df + 0.5) AS raw
+                     FROM dft CROSS JOIN stats),
+            aidf AS (SELECT avg(raw) AS avg_idf FROM idf0),
+            idf AS (SELECT term,
+                           CASE WHEN raw < 0 THEN 0.25 * avg_idf ELSE raw END AS idf
+                    FROM idf0 CROSS JOIN aidf),
+            q(term) AS (VALUES ('alpha'), ('gamma')),
+            tf AS (SELECT doc_id, t.term, count(*) AS tf
+                   FROM toks t JOIN q ON t.term = q.term GROUP BY doc_id, t.term),
+            raw AS (
+                SELECT h.doc_id,
+                       coalesce((SELECT sum(idf.idf * tf.tf * 2.5
+                                     / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+                                 FROM tf JOIN idf USING (term)
+                                 JOIN dl ON dl.doc_id = tf.doc_id
+                                 CROSS JOIN stats
+                                 WHERE tf.doc_id = h.doc_id), 0.0) AS s
+                FROM heads h),
+            mm AS (SELECT min(s) AS lo, max(s) AS hi FROM raw)
+            SELECT 'http://corpus.test/t' || r.doc_id AS href,
+                   CAST(r.doc_id % 5 AS DOUBLE) AS intrinsic_score,
+                   round(CASE WHEN mm.hi = mm.lo THEN 0.5
+                              ELSE (r.s - mm.lo) / (mm.hi - mm.lo) END, 6)
+                       AS contextual_score,
+                   round((r.doc_id % 5) * 0.7
+                         + least(CASE WHEN mm.hi = mm.lo THEN 0.5
+                                      ELSE (r.s - mm.lo) / (mm.hi - mm.lo) END * 10.0,
+                                 10.0) * 0.3, 6) AS total_score
+            FROM raw r CROSS JOIN mm
+        """,
         "cache_revalidation": """
             SELECT 'http://corpus.test/doc/' || doc_id AS url,
                    CASE WHEN doc_id < 30 THEN 'new'
@@ -929,11 +1140,12 @@ def oracle_sql() -> dict[str, str]:
                        + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS score
                 FROM d)
             SELECT doc_id, '/media/doc' || doc_id || '.jpg' AS src, score,
-                   'jpg' AS format, CAST(NULL AS VARCHAR) AS width
+                   'jpg' AS format, CAST(NULL AS INT) AS width,
+                   CAST(NULL AS VARCHAR) AS width_desc
             FROM s
             UNION ALL
             SELECT doc_id, '/media/doc' || doc_id || '-2x.jpg' AS src, score,
-                   'jpg' AS format, '2x' AS width
+                   'jpg' AS format, CAST(NULL AS INT) AS width, '2x' AS width_desc
             FROM s WHERE doc_id % 5 = 0
         """,
         "cleaned_html_roundtrip": """
@@ -945,6 +1157,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "table_extraction": """
             SELECT n_name, cast(n_regionkey AS varchar) AS n_regionkey FROM nation
+        """,
+        "crawl_scrape_loop": """
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < 120 AND doc_id % 10 <= 2)
+            SELECT 'http://h' || (doc_id % 3) || '.test/d' || doc_id AS url,
+                   CAST(doc_id % 10 AS INT) AS depth,
+                   CASE WHEN doc_id % 10 = 0 THEN NULL
+                        ELSE 'http://h' || ((doc_id - 1) % 3) || '.test/d' || (doc_id - 1)
+                   END AS parent_url,
+                   'fetched' AS status,
+                   'doc ' || doc_id AS title,
+                   CAST(0 AS INT) AS n_internal_links,
+                   CAST(CASE WHEN doc_id % 10 < 2 THEN 1 ELSE 0 END AS INT) AS n_external_links,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_images,
+                   '<html><head><title>doc ' || doc_id || '</title></head><body><p>doc '
+                   || doc_id || ': '
+                   || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                   || '</p>'
+                   || CASE WHEN doc_id % 10 < 2
+                           THEN '<a href="http://h' || ((doc_id + 1) % 3) || '.test/d'
+                                || (doc_id + 1) || '">next doc link</a>'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN '<img src="/media/d' || doc_id
+                                || '.jpg" width="200" height="200" alt="photo">'
+                           ELSE '' END
+                   || '</body></html>' AS cleaned_html
+            FROM d
         """,
         # minhash_lsh_pairs / simhash_candidates / ann_topk_lsh /
         # langid_heuristic / media_features: intentionally no oracle (hash-permutation /

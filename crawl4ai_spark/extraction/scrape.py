@@ -641,6 +641,59 @@ def scrape_page(
     }
 
 
+def bm25_contextual_scores(query: str, docs: list[str], k1: float = 1.5, b: float = 0.75, epsilon: float = 0.25) -> list[float]:
+    """Per-link contextual relevance: Okapi BM25 of ``query`` against the
+    batch of link context strings, min-max normalized to [0, 1].
+
+    Clean-room implementation of the published Okapi BM25 formula with
+    the same conventions the reference gets from the ``rank_bm25``
+    library (``async_url_seeder.py:1703-1748`` _calculate_bm25_score →
+    BM25Okapi defaults k1=1.5 b=0.75 epsilon=0.25; negative IDFs floored
+    at ε·avg-idf) and the same normalization: empty input → zeros,
+    all-equal scores → 0.5 each.
+    """
+    import math
+
+    if not query or not docs:
+        return [0.0] * len(docs)
+    tokenized = [d.lower().split() for d in docs]
+    if all(not t for t in tokenized):
+        return [0.0] * len(docs)
+    n = len(tokenized)
+    avgdl = sum(len(t) for t in tokenized) / n
+    df: dict[str, int] = {}
+    for toks in tokenized:
+        for w in set(toks):
+            df[w] = df.get(w, 0) + 1
+    idf: dict[str, float] = {}
+    neg = []
+    for w, f in df.items():
+        v = math.log(n - f + 0.5) - math.log(f + 0.5)
+        idf[w] = v
+        if v < 0:
+            neg.append(w)
+    avg_idf = sum(idf.values()) / len(idf)
+    for w in neg:
+        idf[w] = epsilon * avg_idf
+    q_toks = query.lower().split()
+    scores = []
+    for toks in tokenized:
+        dl = len(toks)
+        tf: dict[str, int] = {}
+        for w in toks:
+            tf[w] = tf.get(w, 0) + 1
+        s = 0.0
+        for q in q_toks:
+            f = tf.get(q, 0)
+            if f:
+                s += idf.get(q, 0.0) * f * (k1 + 1) / (f + k1 * (1 - b + b * dl / avgdl))
+        scores.append(s)
+    lo, hi = min(scores), max(scores)
+    if hi == lo:
+        return [0.5] * len(scores)
+    return [(s - lo) / (hi - lo) for s in scores]
+
+
 def link_total_score(
     intrinsic_score: float | None,
     contextual_score: float | None,

@@ -176,7 +176,18 @@ MEDIA_ITEM_STRUCT = StructType(
         StructField("type", StringType()),
         StructField("group_id", IntegerType()),
         StructField("format", StringType()),
-        StructField("width", StringType()),
+        # width is int-coerced exactly like the reference MediaItem
+        # (models.py:352-370 _coerce_int: '2x'/'auto' → NULL); the raw
+        # srcset descriptor is kept separately in width_desc
+        StructField("width", IntegerType()),
+        StructField("width_desc", StringType()),
+    ]
+)
+TABLE_ITEM_STRUCT = StructType(
+    [
+        StructField("headers", ArrayType(StringType())),
+        StructField("rows", ArrayType(ArrayType(StringType()))),
+        StructField("caption", StringType()),
     ]
 )
 RICH_LINK_STRUCT = StructType(
@@ -186,35 +197,45 @@ RICH_LINK_STRUCT = StructType(
         StructField("title", StringType()),
         StructField("base_domain", StringType()),
         StructField("intrinsic_score", DoubleType()),
+        StructField("contextual_score", DoubleType()),
+        StructField("total_score", DoubleType()),
+    ]
+)
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("images", ArrayType(MEDIA_ITEM_STRUCT)),
+        StructField("videos", ArrayType(MEDIA_ITEM_STRUCT)),
+        StructField("audios", ArrayType(MEDIA_ITEM_STRUCT)),
+        StructField("tables", ArrayType(TABLE_ITEM_STRUCT)),
+    ]
+)
+RICH_LINKS_SCHEMA = StructType(
+    [
+        StructField("internal", ArrayType(RICH_LINK_STRUCT)),
+        StructField("external", ArrayType(RICH_LINK_STRUCT)),
     ]
 )
 SCRAPE_SCHEMA = StructType(
     [
         StructField("cleaned_html", StringType()),
-        StructField(
-            "media",
-            StructType(
-                [
-                    StructField("images", ArrayType(MEDIA_ITEM_STRUCT)),
-                    StructField("videos", ArrayType(MEDIA_ITEM_STRUCT)),
-                    StructField("audios", ArrayType(MEDIA_ITEM_STRUCT)),
-                ]
-            ),
-        ),
-        StructField(
-            "links",
-            StructType(
-                [
-                    StructField("internal", ArrayType(RICH_LINK_STRUCT)),
-                    StructField("external", ArrayType(RICH_LINK_STRUCT)),
-                ]
-            ),
-        ),
+        StructField("media", MEDIA_SCHEMA),
+        StructField("links", RICH_LINKS_SCHEMA),
         StructField("markdown", MARKDOWN_SCHEMA),
+        StructField("fit_markdown", StringType()),
         StructField("head", HEAD_SCHEMA),
         StructField("success", BooleanType()),
     ]
 )
+
+
+def _coerce_int(v):
+    """Reference MediaItem width coercion (models.py:352-359)."""
+    if v is None:
+        return None
+    try:
+        return int(v)
+    except (ValueError, TypeError):
+        return None
 
 
 def _media_rows(items: list[dict]) -> list[dict]:
@@ -227,32 +248,71 @@ def _media_rows(items: list[dict]) -> list[dict]:
             "type": m.get("type"),
             "group_id": m.get("group_id"),
             "format": m.get("format"),
-            "width": m.get("width"),
+            "width": _coerce_int(m.get("width")),
+            "width_desc": m.get("width"),
         }
         for m in items
     ]
 
 
-def _rich_link_rows(items: list[dict]) -> list[dict]:
+def _table_rows(items: list[dict]) -> list[dict]:
     return [
         {
-            "href": d["href"],
-            "text": d["text"],
-            "title": d["title"],
-            "base_domain": d["base_domain"],
-            "intrinsic_score": d["intrinsic_score"],
+            "headers": t.get("headers") or [],
+            "rows": t.get("rows") or [],
+            "caption": t.get("caption"),
         }
-        for d in items
+        for t in items
     ]
 
 
-def make_scrape_udf(**scrape_options):
+def _rich_link_rows(items: list[dict], contextual: list | None, query_provided: bool) -> list[dict]:
+    from crawl4ai_spark.extraction.scrape import link_total_score
+
+    out = []
+    for i, d in enumerate(items):
+        ctx = contextual[i] if contextual is not None else None
+        out.append(
+            {
+                "href": d["href"],
+                "text": d["text"],
+                "title": d["title"],
+                "base_domain": d["base_domain"],
+                "intrinsic_score": d["intrinsic_score"],
+                "contextual_score": ctx,
+                "total_score": link_total_score(
+                    d["intrinsic_score"], ctx,
+                    score_links_enabled=True, query_provided=query_provided,
+                ),
+            }
+        )
+    return out
+
+
+def make_scrape_udf(query: str | None = None, fit: bool = False, **scrape_options):
     """Build the scraping-stage UDF with a bound config (the per-crawl
     ``CrawlerRunConfig`` analog — options are closed over, broadcast with
     the serialized UDF). Produces the reference pipeline's default
     content flow: raw html → scrape → cleaned_html → markdown
-    (content_source="cleaned_html")."""
-    from crawl4ai_spark.extraction.scrape import scrape_page
+    (content_source="cleaned_html").
+
+    ``query``: when set, each link additionally gets a ``contextual_score``
+    (Okapi BM25 of the query vs the link's anchor text + title across the
+    page's link set, min-max normalized — the reference scores BM25 over
+    fetched link-head text, link_preview.py:314-331 / async_url_seeder.py
+    :1703-1748; anchor context is the in-UDF stand-in since "fetching" a
+    link target is a table join here, see operators.link_preview for the
+    faithful head-data variant) and ``total_score`` = the reference's
+    0.7/0.3 blend (utils.py:3459-3504).
+
+    ``fit``: when set, emit ``fit_markdown`` (PruningContentFilter over
+    cleaned_html — the reference attaches it to every CrawlResult when a
+    content filter is configured, async_webcrawler.py:871-877).
+    """
+    from crawl4ai_spark.extraction.scrape import bm25_contextual_scores, scrape_page
+
+    if fit:
+        from crawl4ai_spark.extraction.content_filter import fit_markdown as _fit
 
     @pandas_udf(SCRAPE_SCHEMA)
     def udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
@@ -262,6 +322,17 @@ def make_scrape_udf(**scrape_options):
             u = u or ""
             scraped = scrape_page(doc, u, score_links=True, **scrape_options)
             meta = scraped["metadata"] or extract_head_meta(doc)
+            internal = scraped["links"]["internal"]
+            external = scraped["links"]["external"]
+            ctx_i = ctx_e = None
+            if query is not None:
+                # one BM25 batch over the page's whole link set (the
+                # reference normalizes across the scored batch too)
+                all_ctx = bm25_contextual_scores(
+                    query,
+                    [f"{d['text']} {d['title']}".strip() for d in internal + external],
+                )
+                ctx_i, ctx_e = all_ctx[: len(internal)], all_ctx[len(internal):]
             out.append(
                 {
                     "cleaned_html": scraped["cleaned_html"],
@@ -269,12 +340,14 @@ def make_scrape_udf(**scrape_options):
                         "images": _media_rows(scraped["media"]["images"]),
                         "videos": _media_rows(scraped["media"]["videos"]),
                         "audios": _media_rows(scraped["media"]["audios"]),
+                        "tables": _table_rows(scraped["media"].get("tables", [])),
                     },
                     "links": {
-                        "internal": _rich_link_rows(scraped["links"]["internal"]),
-                        "external": _rich_link_rows(scraped["links"]["external"]),
+                        "internal": _rich_link_rows(internal, ctx_i, query is not None),
+                        "external": _rich_link_rows(external, ctx_e, query is not None),
                     },
                     "markdown": generate_markdown_result(scraped["cleaned_html"], u),
+                    "fit_markdown": _fit(scraped["cleaned_html"]) if fit else None,
                     "head": {
                         "title": meta.get("title"),
                         "description": meta.get("description"),

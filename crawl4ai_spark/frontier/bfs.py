@@ -74,6 +74,33 @@ class CrawlConfig:
     default_budget: int = 1_000_000
     include_external: bool = True
     links_only: bool = True
+    # content pipeline per fetched page (reference async_webcrawler.py
+    # :783,825-877 default flow):
+    #   "links"  — anchors only (cheap frontier expansion; the prefetch
+    #              fast path)
+    #   "full"   — raw html → markdown + head (content_source="raw_html")
+    #   "scrape" — the reference DEFAULT: scraping battery → cleaned_html
+    #              → markdown, plus media/tables and scored rich links
+    #              (content_source="cleaned_html"); results rows carry
+    #              the full CrawlResult surface (models.py:130-164)
+    # None derives from links_only for backward compatibility.
+    content_mode: str | None = None
+    # kwargs for the scrape battery (excluded_tags, css_selector,
+    # include_tables, ... — extraction.scrape.scrape_page options)
+    scrape_options: dict = field(default_factory=dict)
+    # attach fit_markdown (PruningContentFilter) to every result row, as
+    # the reference does when a content filter is configured
+    # (async_webcrawler.py:871-877); "full" mode filters raw html,
+    # "scrape" mode filters cleaned_html
+    fit_markdown: bool = False
+    # crawl query: drives per-link contextual BM25 scores + the 0.7/0.3
+    # total-score blend inside the scrape UDF (utils.py:3459-3504)
+    query: str | None = None
+    # best-first from the scrape battery's own link scores: discovered
+    # URLs inherit coalesce(total_score, intrinsic_score) as priority
+    # (requires content_mode="scrape"; reference link-preview-driven
+    # best-first). Takes effect only when no explicit scorer is set.
+    score_from_links: bool = False
     use_bloom: bool = True
     n_bloom_shards: int = 16
     bloom_fpp: float = 0.01
@@ -143,7 +170,7 @@ def _prepare_seeds(seeds: DataFrame, need_path_keys: bool = False) -> DataFrame:
     )
 
 
-def _wave_work(fetched: DataFrame, links_only: bool) -> DataFrame:
+def _wave_work(fetched: DataFrame, mode: str, config: CrawlConfig) -> DataFrame:
     """ONE pass over the heavy ``html`` column → a narrow reusable frame.
 
     Everything downstream (results assembly, discovery, host outcomes) runs
@@ -154,27 +181,49 @@ def _wave_work(fetched: DataFrame, links_only: bool) -> DataFrame:
     """
     is_fetched = F.col("status") == "fetched"
     html_in = F.when(is_fetched, F.col("html"))  # skip parsing denied/missing rows
-    if links_only:
+    fit_col = F.lit(None).cast("string")
+    if mode == "links":
         df = fetched.withColumn("links_raw", udf_extract_links(html_in, F.col("url")))
         extract_col = F.lit(None).cast("string").alias("extract")  # placeholder, pruned
         df = df.withColumn("extract", extract_col)
+    elif mode == "scrape":
+        from crawl4ai_spark.extraction.udfs import make_scrape_udf
+
+        scrape = make_scrape_udf(
+            query=config.query, fit=config.fit_markdown, **config.scrape_options
+        )
+        df = fetched.withColumn("extract_raw", scrape(html_in, F.col("url")))
+        df = df.withColumn("links_raw", F.col("extract_raw.links")).withColumn(
+            "extract", F.when(is_fetched, F.col("extract_raw"))
+        )
+        fit_col = F.col("extract.fit_markdown")
     else:
         df = fetched.withColumn("extract_raw", udf_full_extract(html_in, F.col("url")))
         df = df.withColumn("links_raw", F.col("extract_raw.links")).withColumn(
             "extract", F.when(is_fetched, F.col("extract_raw"))
         )
+        if config.fit_markdown:
+            from crawl4ai_spark.extraction.udfs import udf_fit_markdown
+
+            fit_col = udf_fit_markdown(html_in)
     return df.select(
         *FRONTIER_COLS,
         "status",
         F.when(is_fetched, lang_col(F.col("html"))).alias("lang"),
         F.when(is_fetched, F.col("links_raw")).alias("links"),
         "extract",
+        fit_col.alias("fit_markdown"),
     )
 
 
-def _result_rows(work: DataFrame, wave: int, links_only: bool) -> DataFrame:
-    """Assemble the results-table rows for one wave (stable schema)."""
-    if links_only:
+def _result_rows(work: DataFrame, wave: int, mode: str) -> DataFrame:
+    """Assemble the results-table rows for one wave (stable schema: the
+    CrawlResult surface of models.py:130-164 — modes that don't produce a
+    column carry it as a typed NULL so every crawl's results table unions
+    cleanly)."""
+    from crawl4ai_spark.extraction.udfs import MEDIA_SCHEMA, RICH_LINKS_SCHEMA
+
+    if mode == "links":
         extract_cols = [
             F.lit(None).cast("string").alias("title"),
             F.lit(None).cast("string").alias("raw_markdown"),
@@ -187,6 +236,20 @@ def _result_rows(work: DataFrame, wave: int, links_only: bool) -> DataFrame:
             F.col("extract.markdown.raw_markdown").alias("raw_markdown"),
             F.col("extract.markdown.markdown_with_citations").alias("markdown_with_citations"),
             F.col("extract.markdown.references_markdown").alias("references_markdown"),
+        ]
+    if mode == "scrape":
+        scrape_cols = [
+            F.col("extract.cleaned_html").alias("cleaned_html"),
+            F.col("extract.media").alias("media"),
+            F.col("links").alias("links"),
+            F.col("extract.success").alias("scrape_success"),
+        ]
+    else:
+        scrape_cols = [
+            F.lit(None).cast("string").alias("cleaned_html"),
+            F.lit(None).cast(MEDIA_SCHEMA).alias("media"),
+            F.lit(None).cast(RICH_LINKS_SCHEMA).alias("links"),
+            F.lit(None).cast("boolean").alias("scrape_success"),
         ]
     return work.select(
         "url",
@@ -201,11 +264,13 @@ def _result_rows(work: DataFrame, wave: int, links_only: bool) -> DataFrame:
         F.coalesce(F.size("links.internal"), F.lit(0)).alias("n_internal_links"),
         F.coalesce(F.size("links.external"), F.lit(0)).alias("n_external_links"),
         *extract_cols,
+        *scrape_cols,
+        F.col("fit_markdown"),
     )
 
 
 def _discover(
-    extracted: DataFrame, wave: int, config: CrawlConfig
+    extracted: DataFrame, wave: int, config: CrawlConfig, mode: str = "links"
 ) -> DataFrame:
     """Explode links of fetched pages into frontier-candidate rows with
     first-wins dedup inside the wave (order: parent score-order, then link
@@ -215,6 +280,11 @@ def _discover(
     if config.include_external:
         sides.append(F.col("links.external"))
     all_links = F.concat(*sides) if len(sides) > 1 else sides[0]
+    link_score_col = (
+        F.coalesce(F.col("link.total_score"), F.col("link.intrinsic_score"), F.lit(1.0))
+        if mode == "scrape"
+        else F.lit(None).cast("double")
+    )
     cand = (
         extracted.select(
             F.col("url").alias("parent_url"),
@@ -227,6 +297,7 @@ def _discover(
             F.col("link.href").alias("url"),
             F.col("link.text").alias("anchor_text"),
             F.col("link.title").alias("anchor_title"),
+            link_score_col.alias("link_score"),
             F.col("parent_url"),
             (F.col("parent_depth") + 1).alias("depth"),
             F.col("parent_score"),
@@ -253,6 +324,10 @@ def _discover(
         )
     elif config.scorer is not None:
         cand = cand.withColumn("score", config.scorer(F.col("url")))
+    elif config.score_from_links and mode == "scrape":
+        # best-first from the scrape battery's own link scoring (the
+        # intrinsic/contextual total computed inside the UDF)
+        cand = cand.withColumn("score", F.coalesce(F.col("link_score"), F.lit(1.0)))
     else:
         cand = cand.withColumn("score", F.lit(1.0))
     if config.score_threshold is not None:
@@ -312,6 +387,9 @@ def run_crawl(
 ) -> dict:
     """Run (or resume) a crawl to completion. Returns a summary dict."""
     config = config or CrawlConfig()
+    mode = config.content_mode or ("links" if config.links_only else "full")
+    if mode not in ("links", "full", "scrape"):
+        raise ValueError(f"unknown content_mode {mode!r}")
     store = WaveStore(spark, store_dir)
     # optional status_code column drives the throttle path (429/503 →
     # backoff; absent → every present page fetches)
@@ -406,10 +484,10 @@ def run_crawl(
         if has_status:
             fetched = fetched.drop("status_code")
         # one pass over html, then everything runs off this narrow cache
-        work = _wave_work(fetched, config.links_only).persist()
+        work = _wave_work(fetched, mode, config).persist()
 
         t_phase = time.time()
-        results = _result_rows(work, wave, config.links_only)
+        results = _result_rows(work, wave, mode)
         results_written = store.write_table("results", wave, results)
         t_phase = _tick("extract+results_write", t_phase)
         n_selected = store.pending_count(wave, "results")
@@ -428,7 +506,7 @@ def run_crawl(
                 work.unpersist()
                 break
 
-        fresh = _discover(work.where(F.col("status") == "fetched"), wave, config)
+        fresh = _discover(work.where(F.col("status") == "fetched"), wave, config, mode)
         fresh = _anti_join_seen(fresh, frontier_all.select("url_fp"), shards, config)
 
         fresh_cached = None

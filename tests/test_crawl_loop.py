@@ -259,3 +259,101 @@ def test_throttled_host_backoff_and_retirement(spark, tmp_path):
     # metrics recorded throttles
     n_throttled = sum(r.n_throttled for r in store.read_table("metrics").collect())
     assert n_throttled == len(by_url["http://slow.com/"])
+
+
+def test_scrape_mode_emits_crawlresult_surface(spark, site, site_dir, tmp_path):
+    """content_mode="scrape" wires the scraping battery into the wave
+    loop: fetched rows must carry cleaned_html, media (incl. tables when
+    configured), rich scored links, and scrape_success — the CrawlResult
+    surface of the reference's default flow (async_webcrawler.py:783,
+    825-877)."""
+    pages, seeds, _, _ = _inputs(spark, site_dir)
+    store_dir = str(tmp_path / "store_scrape")
+    config = CrawlConfig(
+        max_depth=1,
+        content_mode="scrape",
+        use_bloom=False,
+        scrape_options={"include_tables": True},
+        fit_markdown=True,
+    )
+    run_crawl(spark, pages, seeds, store_dir, config)
+    store = WaveStore(spark, store_dir)
+    results = store.read_table("results").where(F.col("status") == "fetched")
+    rows = results.select(
+        "url", "cleaned_html", "media", "links", "scrape_success",
+        "raw_markdown", "title", "fit_markdown",
+    ).collect()
+    assert rows
+    golden = {p["url"]: p["text"] for p in site["pages"]}
+    for row in rows:
+        assert row.scrape_success
+        assert row.cleaned_html and "<script" not in row.cleaned_html
+        assert row.title
+        assert row.fit_markdown is not None
+        # rich link structs carry the scoring fields
+        for link in (row.links.internal or []) + (row.links.external or []):
+            assert link.intrinsic_score is not None
+            assert link.total_score is not None
+        assert row.media is not None
+    # markdown in scrape mode comes from cleaned_html; on the synthetic
+    # site (no boilerplate outside body) it still matches the golden text
+    for row in rows:
+        assert row.raw_markdown == golden[row.url], f"markdown mismatch for {row.url}"
+
+
+def test_scrape_mode_score_from_links_best_first(spark, tmp_path):
+    """score_from_links: discovered URLs inherit the scrape battery's
+    total_score as frontier priority — a /docs/ link (intrinsic-boosted)
+    must be selected before a /cart/ link under a budget of 1."""
+    root = "http://s.test/"
+    html_root = (
+        '<html><body>'
+        '<a href="http://s.test/docs/guide">deep dive guide here</a>'
+        '<a href="http://s.test/cart/x">click here</a>'
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [(root, html_root.encode()), ("http://s.test/docs/guide", b"<html><body>g</body></html>"),
+         ("http://s.test/cart/x", b"<html><body>c</body></html>")],
+        "url string, html binary",
+    )
+    seeds = spark.createDataFrame([(root,)], "url string")
+    store_dir = str(tmp_path / "store_bff_links")
+    config = CrawlConfig(
+        max_depth=1, content_mode="scrape", score_from_links=True,
+        default_budget=1, use_bloom=False,
+    )
+    run_crawl(spark, pages, seeds, store_dir, config)
+    store = WaveStore(spark, store_dir)
+    results = store.read_table("results")
+    by_wave = {
+        r.url: r.wave for r in results.select("url", "wave").collect()
+    }
+    assert by_wave["http://s.test/docs/guide"] < by_wave["http://s.test/cart/x"]
+
+
+def test_fit_markdown_drops_boilerplate_not_raw(spark, tmp_path):
+    """fit_markdown (PruningContentFilter) must drop nav/footer
+    boilerplate while raw_markdown keeps it (reference attaches
+    fit_markdown to every CrawlResult when a filter is configured)."""
+    body = (
+        "<html><body>"
+        '<nav class="menu"><a href="/a">x</a><a href="/b">y</a><a href="/c">z</a></nav>'
+        "<article><p>"
+        + "This is the long central article text that carries the page. " * 8
+        + "</p></article>"
+        '<footer class="footer"><a href="/p">p</a><a href="/q">q</a></footer>'
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("http://f.test/a", body.encode())], "url string, html binary"
+    )
+    seeds = spark.createDataFrame([("http://f.test/a",)], "url string")
+    store_dir = str(tmp_path / "store_fit")
+    config = CrawlConfig(max_depth=0, content_mode="scrape", fit_markdown=True, use_bloom=False)
+    run_crawl(spark, pages, seeds, store_dir, config)
+    store = WaveStore(spark, store_dir)
+    row = store.read_table("results").select("raw_markdown", "fit_markdown").head()
+    assert "central article text" in row.raw_markdown
+    assert "central article text" in row.fit_markdown
+    assert row.fit_markdown != row.raw_markdown

@@ -1,0 +1,83 @@
+"""Link preview contextual scoring — head-data BM25 + blend semantics
+(reference link_preview.py:190-331, async_url_seeder.py:1466-1748)."""
+
+from pyspark.sql import functions as F
+
+
+def test_bm25_contextual_scores_properties():
+    from crawl4ai_spark.extraction.scrape import bm25_contextual_scores
+
+    # empty input conventions
+    assert bm25_contextual_scores("q", []) == []
+    assert bm25_contextual_scores("", ["a", "b"]) == [0.0, 0.0]
+    assert bm25_contextual_scores("q", ["", "   "]) == [0.0, 0.0]
+    # all-equal raw scores → 0.5 each (reference min-max convention)
+    assert bm25_contextual_scores("zzz", ["alpha beta", "gamma delta"]) == [0.5, 0.5]
+    # matching doc normalizes to 1.0, non-matching (score 0) to 0.0
+    got = bm25_contextual_scores("spark", ["spark handbook guide", "other filler words", "plain boring anchor"])
+    assert got[0] == 1.0 and got[1] == 0.0 and got[2] == 0.0
+    # more query-term occurrences rank higher pre-normalization
+    got = bm25_contextual_scores("spark", ["spark spark spark here", "one spark mention yes", "none at all here"])
+    assert got[0] == 1.0 and 0.0 < got[1] < 1.0 and got[2] == 0.0
+
+
+def test_bm25_contextual_negative_idf_epsilon_floor():
+    """A term in >half the corpus has negative raw IDF; rank_bm25 floors
+    it at ε·avg-idf (positive when the vocab average is positive), so the
+    matching docs must still outrank the non-matching one."""
+    from crawl4ai_spark.extraction.scrape import bm25_contextual_scores
+
+    docs = ["common alpha", "common beta", "common gamma", "rare delta"]
+    got = bm25_contextual_scores("common", docs)
+    assert got[3] == 0.0
+    assert all(g > 0.0 for g in got[:3])
+
+
+def test_link_preview_missing_head_falls_back_to_intrinsic(spark):
+    """A link whose target has no page row (or an empty head) gets
+    contextual NULL and total = clamped intrinsic — the reference's
+    unscored-link ladder (utils.py:3459-3504 case 2)."""
+    from crawl4ai_spark.operators.link_preview import link_preview_scores
+
+    pages = spark.createDataFrame(
+        [
+            ("http://x.test/a", b"<html><head><title>spark tuning guide</title></head><body>.</body></html>"),
+            ("http://x.test/b", b"<html><head><title>cooking recipes</title></head><body>.</body></html>"),
+            ("http://x.test/c", b"<html><head><title>garden tools list</title></head><body>.</body></html>"),
+            ("http://x.test/nohead", b"<html><body>no head here</body></html>"),
+        ],
+        "url string, html binary",
+    )
+    links = spark.createDataFrame(
+        [("http://x.test/a", 4.0), ("http://x.test/b", 2.0), ("http://x.test/c", 1.0),
+         ("http://x.test/nohead", 3.0), ("http://x.test/missing", 12.5)],
+        "href string, intrinsic_score double",
+    )
+    out = {
+        r.href: r
+        for r in link_preview_scores(links, pages, "spark guide", intrinsic_col="intrinsic_score").collect()
+    }
+    assert out["http://x.test/a"].contextual_score == 1.0
+    assert out["http://x.test/b"].contextual_score == 0.0
+    assert out["http://x.test/nohead"].contextual_score is None
+    assert out["http://x.test/nohead"].total_score == 3.0
+    # intrinsic clamp to 10 on the fallback path
+    assert out["http://x.test/missing"].contextual_score is None
+    assert out["http://x.test/missing"].total_score == 10.0
+    # blend on the scored path: 0.7·4 + 0.3·10·1.0
+    assert abs(out["http://x.test/a"].total_score - (0.7 * 4.0 + 3.0)) < 1e-9
+
+
+def test_link_preview_all_equal_scores_half(spark):
+    from crawl4ai_spark.operators.link_preview import link_preview_scores
+
+    pages = spark.createDataFrame(
+        [("http://x.test/a", b"<html><head><title>same words</title></head><body>.</body></html>"),
+         ("http://x.test/b", b"<html><head><title>same words</title></head><body>.</body></html>")],
+        "url string, html binary",
+    )
+    links = spark.createDataFrame(
+        [("http://x.test/a",), ("http://x.test/b",)], "href string"
+    )
+    out = link_preview_scores(links, pages, "words").collect()
+    assert all(abs(r.contextual_score - 0.5) < 1e-12 for r in out)
