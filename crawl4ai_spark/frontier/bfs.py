@@ -391,6 +391,7 @@ def run_crawl(
     if mode not in ("links", "full", "scrape"):
         raise ValueError(f"unknown content_mode {mode!r}")
     store = WaveStore(spark, store_dir)
+    store.recover()  # drop stale staging dirs from a killed run
     # optional status_code column drives the throttle path (429/503 →
     # backoff; absent → every present page fetches)
     has_status = "status_code" in pages.columns

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 COMMIT_DIR = "_commits"
 TABLES_DIR = "tables"
+STAGING_DIR = "staging"
 
 
 class WaveStore:
@@ -52,10 +53,28 @@ class WaveStore:
         self._pending: dict[int, dict[str, int]] = {}
         os.makedirs(os.path.join(root, COMMIT_DIR), exist_ok=True)
 
+    def recover(self) -> None:
+        """Writer-side crash recovery: staging dirs left by a killed run
+        are garbage (their wave will be rewritten) — reclaim the disk.
+        Called by run_crawl at start; read-only consumers must NOT call
+        this (it would race a live writer's in-flight wave)."""
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, STAGING_DIR), ignore_errors=True)
+
     # ── commit protocol ──────────────────────────────────────────────
 
     def _table_path(self, name: str, wave: int) -> str:
         return os.path.join(self.root, TABLES_DIR, name, f"wave={wave}")
+
+    def _staging_path(self, name: str, wave: int) -> str:
+        # outside the tables tree, so Spark's file readers (batch AND
+        # streaming) over a table dir never see in-flight bytes: a wave's
+        # tables reach their final path only via the atomic rename in
+        # commit(). This makes `spark.readStream` over a table dir
+        # marker-consistent without any filtering — uncommitted waves
+        # simply aren't there yet.
+        return os.path.join(self.root, STAGING_DIR, name, f"wave={wave}")
 
     def _marker_path(self, wave: int) -> str:
         return os.path.join(self.root, COMMIT_DIR, f"wave-{wave}.json")
@@ -74,10 +93,11 @@ class WaveStore:
         return total
 
     def write_table(self, name: str, wave: int, df: DataFrame) -> DataFrame:
-        """Write one table of an in-flight wave; returns a reader over the
-        written files (so later stages consume committed bytes instead of
-        recomputing the lineage). Not visible to readers until commit()."""
-        path = self._table_path(name, wave)
+        """Write one table of an in-flight wave to its staging dir;
+        returns a reader over the written files (so later stages consume
+        written bytes instead of recomputing the lineage). Not visible at
+        the final path — to any reader — until commit() renames it."""
+        path = self._staging_path(name, wave)
         df.write.mode("overwrite").parquet(path)
         self._pending.setdefault(wave, {})[name] = self._footer_row_count(path)
         return self.spark.read.parquet(path)
@@ -88,10 +108,13 @@ class WaveStore:
     def read_scalar(self, name: str, wave: int, column: str):
         """Driver-side read of a single-column value from a tiny written
         table (e.g. the one-row metrics delta) — pyarrow, no Spark job.
-        Returns the first non-null value, or None if the table is empty."""
+        Reads staging before commit, the final path after. Returns the
+        first non-null value, or None if the table is empty."""
         import pyarrow.parquet as pq
 
-        path = self._table_path(name, wave)
+        path = self._staging_path(name, wave)
+        if not os.path.exists(path):
+            path = self._table_path(name, wave)
         for fname in sorted(os.listdir(path)):
             if fname.endswith(".parquet"):
                 col = pq.read_table(os.path.join(path, fname), columns=[column])[column]
@@ -101,8 +124,22 @@ class WaveStore:
         return None
 
     def commit(self, wave: int, meta: dict | None = None) -> dict:
-        """Atomically publish all tables written for this wave."""
+        """Atomically publish all tables written for this wave: rename
+        each staging dir to its final ``wave=K`` path (atomic per table;
+        a crash mid-commit leaves final dirs without a marker, which the
+        re-run of wave K overwrites — same idempotent-replay invariant as
+        before, now enforced at the file level too), then write the
+        marker."""
+        import shutil
+
         counts = self._pending.pop(wave, {})
+        for name in counts:
+            staging = self._staging_path(name, wave)
+            final = self._table_path(name, wave)
+            if os.path.exists(final):
+                shutil.rmtree(final)  # orphan of a crashed commit replay
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            os.rename(staging, final)
         marker = {
             "wave": wave,
             "tables": sorted(counts),

@@ -348,15 +348,14 @@ def minhash_lsh_pairs(
 # ── SimHash ──────────────────────────────────────────────────────────────
 
 
-def simhash_candidate_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+def simhash_chunks(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Near-dup candidates by SimHash banding (4×16-bit chunks ⇒ any pair
-    within hamming distance 3 shares ≥1 exact chunk — pigeonhole)."""
+    """(doc_id, simhash, chunk_idx, chunk) — the 4×16-bit banding."""
     from crawl4ai_spark.operators.textstats import udf_simhash64
 
     sigs = docs.select(F.col(id_col).alias("doc_id"), udf_simhash64(F.col(text_col)).alias("simhash"))
-    chunks = sigs.select(
+    return sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
@@ -368,6 +367,44 @@ def simhash_candidate_pairs(
             )
         ).alias("chunk_idx", "chunk"),
     )
+
+
+def simhash_chunk_stats(chunked: DataFrame, min_size: int = 2) -> DataFrame:
+    """(chunk_idx, chunk, size) — audit view for the degenerate-chunk cap
+    (the SimHash analog of :func:`lsh_bucket_stats`: near-empty /
+    boilerplate corpora share identical 16-bit chunks, so callers inspect
+    what a cap would drop — no silent truncation)."""
+    return (
+        chunked.groupBy("chunk_idx", "chunk")
+        .agg(F.count("*").alias("size"))
+        .where(F.col("size") >= min_size)
+    )
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_chunk_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates by SimHash banding (4×16-bit chunks ⇒ any pair
+    within hamming distance 3 shares ≥1 exact chunk — pigeonhole).
+
+    ``max_chunk_bucket_size``: one hot chunk value shared by B docs (all
+    near-empty docs hash to similar signatures) yields B²/2 candidate
+    pairs — the same blowup the LSH path caps with ``max_bucket_size``.
+    When set, (chunk_idx, chunk) buckets larger than the cap are excluded
+    from the self-join; a true low-hamming pair usually still collides on
+    one of its other 3 chunks, so recall degrades gracefully instead of
+    the join exploding. Default None = exhaustive (the pigeonhole
+    guarantee holds); audit a cap first with :func:`simhash_chunk_stats`.
+    """
+    chunks = simhash_chunks(docs, id_col, text_col)
+    if max_chunk_bucket_size is not None:
+        sizes = simhash_chunk_stats(chunks, min_size=2)
+        keep = sizes.where(F.col("size") <= max_chunk_bucket_size).select("chunk_idx", "chunk")
+        chunks = chunks.join(keep, ["chunk_idx", "chunk"], "left_semi")
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (

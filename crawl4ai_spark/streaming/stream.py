@@ -20,21 +20,25 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-RESULTS_SCHEMA = (
-    "url string, url_fp long, host string, depth int, score double, "
-    "parent_url string, wave int, status string, lang string, "
-    "n_internal_links int, n_external_links int, title string, "
-    "raw_markdown string, markdown_with_citations string, references_markdown string"
-)
+def results_stream(spark: SparkSession, store_dir: str, schema=None) -> DataFrame:
+    """Tail a crawl's results table as a streaming DataFrame — each wave
+    commit appears as new micro-batch input.
 
+    Marker-consistent by construction: the WaveStore writes each wave to a
+    dot-prefixed staging dir (invisible to Spark's file listing) and
+    renames it into place only at commit, so this file source can never
+    observe an uncommitted wave — the stream's visibility IS the commit
+    marker's, with no filtering logic here.
 
-def results_stream(spark: SparkSession, store_dir: str) -> DataFrame:
-    """Tail a crawl's results table as a streaming DataFrame — new wave
-    commits appear as new micro-batch input (file source tracks files,
-    matching the wave store's append-only layout)."""
+    ``schema`` defaults to the schema of the already-committed files
+    (readStream requires one up front); pass it explicitly to tail a
+    store that hasn't committed its first wave yet.
+    """
     path = os.path.join(store_dir, "tables", "results")
+    if schema is None:
+        schema = spark.read.option("recursiveFileLookup", "true").parquet(path).schema
     return (
-        spark.readStream.schema(RESULTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .parquet(path)

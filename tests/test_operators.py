@@ -276,3 +276,148 @@ def test_cosine_cluster_chunks_sections_and_query_filter(spark):
         df, query="tomato basil pasta recipe", max_dist=0.8, sim_threshold=0.3
     ).collect()
     assert len(only_food) == 1 and "pasta" in only_food[0].section
+
+
+def test_simhash_degenerate_chunk_cap_bounds_candidates(spark):
+    """1,000 near-empty docs share 16-bit chunks → the uncapped candidate
+    join is quadratic; the (chunk_idx, chunk) cap must bound it while the
+    stats audit view exposes exactly which buckets a cap drops."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.dedup import (
+        simhash_candidate_pairs,
+        simhash_chunk_stats,
+        simhash_chunks,
+    )
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while distributed systems "
+        "shuffle partitions across many executor nodes computing aggregates " * 2
+    )
+    rows = [(i, "the") for i in range(1000)] + [
+        (2000, base + "alpha"),
+        (2001, base + "beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats = simhash_chunk_stats(simhash_chunks(docs)).collect()
+    assert any(r.size >= 1000 for r in stats)  # the degenerate buckets are visible
+
+    capped = simhash_candidate_pairs(docs, max_chunk_bucket_size=50)
+    n_capped = capped.count()
+    # without the cap the identical docs alone give 1000*999/2 pairs
+    assert n_capped < 5000
+    # the genuinely-similar (non-degenerate) pair must survive the cap
+    assert capped.where((F.col("id_a") == 2000) & (F.col("id_b") == 2001)).count() == 1
+
+
+def _encode_png(width, height, pixels, filter_types):
+    """Minimal in-test PNG encoder (8-bit RGB) applying the given PNG
+    filter type per row — lets the test verify the decoder inverts every
+    filter exactly."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    bpp = 3
+    stride = width * bpp
+    flat = bytes(v for px in pixels for v in px)
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = flat[y * stride : (y + 1) * stride]
+        ft = filter_types[y % len(filter_types)]
+        raw.append(ft)
+        for x in range(stride):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                raw.append(line[x])
+            elif ft == 1:
+                raw.append((line[x] - a) & 0xFF)
+            elif ft == 2:
+                raw.append((line[x] - b) & 0xFF)
+            elif ft == 3:
+                raw.append((line[x] - ((a + b) >> 1)) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw.append((line[x] - pred) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_inverts_all_filters():
+    from crawl4ai_spark.operators.multimodal import png_decode
+
+    w, h = 5, 10
+    pixels = [((x * 37) % 256, (y * 53) % 256, (x * y * 11) % 256) for y in range(h) for x in range(w)]
+    png = _encode_png(w, h, pixels, filter_types=[0, 1, 2, 3, 4])
+    gw, gh, gc, pix = png_decode(png)
+    assert (gw, gh, gc) == (w, h, 3)
+    assert list(pix) == [v for px in pixels for v in px]
+
+
+def test_image_feature_decoder_real_png_through_pipeline(spark):
+    """A real PNG payload must produce decode_ok=true with exact channel
+    means through the distributed mapInPandas stage; a garbage payload in
+    the same batch falls back to the byte-histogram features (poison
+    tolerance intact)."""
+    from crawl4ai_spark.operators.multimodal import extract_media_features
+
+    w, h = 8, 4
+    solid = [(200, 100, 50)] * (w * h)
+    png = _encode_png(w, h, solid, filter_types=[0])
+    rows = [
+        (1, "image", png, {"mime": "image/png", "width": w, "height": h, "duration_ms": 0}),
+        (2, "image", b"not an image at all", {"mime": "image/jpeg", "width": 0, "height": 0, "duration_ms": 0}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string, width:int, height:int, duration_ms:int>",
+    )
+    got = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert got[1].decode_ok
+    f = got[1].features
+    assert f[0] == float(w) and f[1] == float(h) and f[2] == 3.0
+    assert abs(f[3] - 200.0) < 1e-4 and abs(f[4] - 100.0) < 1e-4 and abs(f[5] - 50.0) < 1e-4
+    # non-image payload: histogram fallback, still decode_ok (16 bins)
+    assert got[2].decode_ok and len(got[2].features) == 16
+
+
+def test_bmp_decoder_roundtrip():
+    import struct
+
+    from crawl4ai_spark.operators.multimodal import bmp_decode
+
+    w, h = 3, 2
+    px = [(10, 20, 30), (40, 50, 60), (70, 80, 90),
+          (110, 120, 130), (140, 150, 160), (170, 180, 190)]
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in reversed(range(h)):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = px[y * w + x]
+            row += bytes((b, g, r))
+        row += bytes(row_bytes - len(row))
+        body += row
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    gw, gh, gc, pix = bmp_decode(bytes(header + dib + body))
+    assert (gw, gh, gc) == (w, h, 3)
+    assert list(pix) == [v for p in px for v in p]
