@@ -66,12 +66,40 @@ def _q_crawl_wave(spark, sf_dir):
     return ex.select(F.sum(F.length("e.markdown.raw_markdown")).alias("total"))
 
 
+def _q_crawl_wave_scrape(spark, sf_dir):
+    """Same synthesized pages through the SCRAPE battery (the reference's
+    default content flow: cleaning passes → cleaned_html → markdown +
+    media + scored links) — the heavier per-page path a default-config
+    crawl pays."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.extraction.udfs import udf_scrape
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>doc '),
+            F.col("doc_id").cast("string"), F.lit("</title></head><body><h1>doc "),
+            F.col("doc_id").cast("string"), F.lit("</h1><p>"), F.col("text"),
+            F.lit("</p></body></html>"),
+        ).cast("binary").alias("html"),
+    )
+    ex = pages.select(
+        udf_scrape("html", F.concat(F.lit("http://corpus.test/doc/"), F.col("doc_id"))).alias("e")
+    )
+    return ex.select(
+        F.sum(F.length("e.markdown.raw_markdown") + F.length("e.cleaned_html")).alias("total")
+    )
+
+
 def headline_queries():
     import __spark_entry__ as entrymod
 
     q = entrymod.queries()
     return {
         "crawl_wave_extract": _q_crawl_wave,
+        "crawl_wave_scrape": _q_crawl_wave_scrape,
         "pricing_summary": q["pricing_summary"],
         "topk_orders_per_customer": q["topk_orders_per_customer"],
         "first_event_per_user": q["first_event_per_user"],

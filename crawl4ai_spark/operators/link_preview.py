@@ -37,21 +37,27 @@ EPSILON = 0.25
 
 
 def head_text_context(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
-    """(url, head_text) — the text-context extraction of
+    """(url, head_text, head_data) — the text-context extraction of
     ``async_url_seeder.py:1466-1517`` (title + meta description/keywords/
-    author joined) as one Arrow UDF pass over the pages table."""
+    author joined) as one Arrow UDF pass over the pages table.
+    ``head_data`` is the Link model's per-target head map
+    (models.py:373-383)."""
     head = udf_head_meta(F.col(html_col))
-    return pages.select(
-        F.col(url_col).alias("url"),
+    df = pages.select(F.col(url_col).alias("url"), head.alias("_h"))
+    blank = lambda f: F.coalesce(F.col(f"_h.{f}"), F.lit(""))  # noqa: E731
+    return df.select(
+        "url",
         F.trim(
             F.concat_ws(
-                " ",
-                F.coalesce(head.getField("title"), F.lit("")),
-                F.coalesce(head.getField("description"), F.lit("")),
-                F.coalesce(head.getField("keywords"), F.lit("")),
-                F.coalesce(head.getField("author"), F.lit("")),
+                " ", blank("title"), blank("description"), blank("keywords"), blank("author")
             )
         ).alias("head_text"),
+        F.create_map(
+            F.lit("title"), blank("title"),
+            F.lit("description"), blank("description"),
+            F.lit("keywords"), blank("keywords"),
+            F.lit("author"), blank("author"),
+        ).alias("head_data"),
     )
 
 
@@ -131,6 +137,7 @@ def link_preview_scores(
     intrinsic_col: str | None = None,
     url_col: str = "url",
     html_col: str = "html",
+    include_head_data: bool = False,
 ) -> DataFrame:
     """Score a link batch against ``query`` via the targets' head data.
 
@@ -138,7 +145,8 @@ def link_preview_scores(
     the scored batch, 0.5 everywhere when all raw scores tie — the
     reference's normalization, ``async_url_seeder.py:1730-1744``) +
     ``total_score`` (the 0.7/0.3 blend; intrinsic-only fallback when the
-    target has no head data).
+    target has no head data). ``include_head_data`` additionally attaches
+    the Link model's ``head_data`` map (models.py:379).
     """
     heads = head_text_context(pages, url_col, html_col).where(F.col("head_text") != "")
     corpus = (
@@ -146,7 +154,7 @@ def link_preview_scores(
         .distinct()
         .join(heads.withColumnRenamed("url", "id"), "id")
     )
-    raw = okapi_bm25(corpus, query, id_col="id", text_col="head_text")
+    raw = okapi_bm25(corpus.select("id", "head_text"), query, id_col="id", text_col="head_text")
     mm = raw.agg(F.min("bm25_raw").alias("lo"), F.max("bm25_raw").alias("hi"))
     ctx = raw.crossJoin(F.broadcast(mm)).select(
         F.col("id").alias(href_col),
@@ -154,6 +162,10 @@ def link_preview_scores(
         .otherwise((F.col("bm25_raw") - F.col("lo")) / (F.col("hi") - F.col("lo")))
         .alias("contextual_score"),
     )
+    if include_head_data:
+        ctx = ctx.join(
+            corpus.select(F.col("id").alias(href_col), "head_data"), href_col, "left"
+        )
     out = links.join(ctx, href_col, "left")
     intrinsic = (
         F.coalesce(F.col(intrinsic_col), F.lit(0.0)) if intrinsic_col else F.lit(0.0)

@@ -67,32 +67,57 @@ CHECKS = {
     "cache_revalidation": [
         ("FullOuter", "single full-outer join on url"),
     ],
+    "link_preview_scores": [
+        ("HashAggregate", "BM25 corpus stats (df/dl/avg) as hash aggs"),
+        ("BroadcastNestedLoopJoin", "1-row corpus constants broadcast, not shuffled"),
+        ("ArrowEvalPython", "head extraction as one Arrow UDF pass"),
+    ],
 }
+
+
+def _pending_frame(spark, n=100_000, hosts=97):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.concat(F.lit("http://h"), (F.col("id") % hosts).cast("string"),
+                 F.lit(".test/p"), F.col("id").cast("string")).alias("url"),
+        F.col("id").alias("url_fp"),
+        F.concat(F.lit("h"), (F.col("id") % hosts).cast("string")).alias("host"),
+        (F.col("id") % 5).cast("int").alias("depth"),
+        (F.col("id") % 13).cast("double").alias("score"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(0).alias("enqueue_wave"),
+        F.lit("").alias("path_key"),
+    )
 
 
 def _politeness_cap_plan(spark, sf_dir):
     """Not a queries() entry: the two-phase global max_pages cap — the
     wave's only unpartitioned Window must consume the bounded survivor
     set of the salted partial rank, never the full frontier."""
-    from pyspark.sql import functions as F
-
     from crawl4ai_spark.operators.politeness import rank_by_host_budget
 
-    pending = (
-        spark.range(100000)
-        .select(
-            F.concat(F.lit("http://h"), (F.col("id") % 97).cast("string"),
-                     F.lit(".test/p"), F.col("id").cast("string")).alias("url"),
-            F.col("id").alias("url_fp"),
-            F.concat(F.lit("h"), (F.col("id") % 97).cast("string")).alias("host"),
-            (F.col("id") % 5).cast("int").alias("depth"),
-            (F.col("id") % 13).cast("double").alias("score"),
-            F.lit(None).cast("string").alias("parent_url"),
-            F.lit(0).alias("enqueue_wave"),
-            F.lit("").alias("path_key"),
-        )
+    return rank_by_host_budget(_pending_frame(spark), None, 50, global_limit=1000)
+
+
+def _topk_elided_plan(spark, sf_dir):
+    """Count-elision tier: candidate count (from footer-derived hints) fits
+    k — the flag must compile to a pure projection: no Window, no Sort."""
+    from crawl4ai_spark.operators.politeness import flag_global_top_k, wave_order
+
+    return flag_global_top_k(_pending_frame(spark), wave_order(), 10**9, n_rows=100_000)
+
+
+def _topk_large_k_plan(spark, sf_dir):
+    """Large-k tier: exact distributed range-rank — the flag reads the
+    persisted range-sorted layout (InMemoryTableScan) and computes the
+    global rank from driver prefix sums; no window of ANY kind."""
+    from crawl4ai_spark.operators.politeness import flag_global_top_k, wave_order
+
+    return flag_global_top_k(
+        _pending_frame(spark, n=20_000), wave_order(), 2_000,
+        salt_partitions=8, small_k_max=100,
     )
-    return rank_by_host_budget(pending, None, 50, global_limit=1000)
 
 
 EXTRA_PLANS = {
@@ -102,6 +127,20 @@ EXTRA_PLANS = {
             ("pmod(url_fp", "salt key projected for the phase-1 shards"),
             ("windowspecdefinition(_w0", "phase-1 rank partitioned by the salt"),
             ("<= 1000", "phase-1 keeps <= k rows per shard before the exact rank"),
+        ],
+    ),
+    "global_topk_elided": (
+        _topk_elided_plan,
+        [
+            ("!Window", "no window when candidates fit k"),
+            ("!Sort", "no sort either — the flag is a literal projection"),
+        ],
+    ),
+    "global_topk_large_k_range_rank": (
+        _topk_large_k_plan,
+        [
+            ("InMemoryTableScan", "persisted range-sorted layout reused (offsets job + flag share it)"),
+            ("!windowspecdefinition", "no window on the large-k path — rank = prefix[pid] + offset"),
         ],
     ),
 }

@@ -81,3 +81,25 @@ def test_link_preview_all_equal_scores_half(spark):
     )
     out = link_preview_scores(links, pages, "words").collect()
     assert all(abs(r.contextual_score - 0.5) < 1e-12 for r in out)
+
+
+def test_link_preview_head_data_map(spark):
+    from crawl4ai_spark.operators.link_preview import link_preview_scores
+
+    pages = spark.createDataFrame(
+        [("http://x.test/a",
+          b'<html><head><title>spark tuning</title><meta name="description" content="go fast"></head><body>.</body></html>'),
+         ("http://x.test/b", b"<html><head><title>slow cooking</title></head><body>.</body></html>"),
+         ("http://x.test/c", b"<html><head><title>garden tools</title></head><body>.</body></html>")],
+        "url string, html binary",
+    )
+    links = spark.createDataFrame(
+        [("http://x.test/a",), ("http://x.test/b",), ("http://x.test/c",)], "href string"
+    )
+    out = {
+        r.href: r
+        for r in link_preview_scores(links, pages, "spark", include_head_data=True).collect()
+    }
+    assert out["http://x.test/a"].head_data["title"] == "spark tuning"
+    assert out["http://x.test/a"].head_data["description"] == "go fast"
+    assert out["http://x.test/a"].contextual_score == 1.0
