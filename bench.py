@@ -119,12 +119,26 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     )
     # warm the JVM/Arrow path so per-query timings measure the engine
     spark.range(1000).selectExpr("sum(id)").collect()
+    repeats = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name, fn in headline_queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # full materialization through the noop sink: count() on an
+            # ungrouped aggregate constant-folds to 1 row WITHOUT running
+            # the plan (it timed crawl_wave_scrape at 0.3 s vs 2.3 s to
+            # collect()), and count() over a projection can skip column
+            # work — noop evaluates every operator and discards the rows
+            # JVM-side
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        # per-query MIN over repeats: this shared VM's CPU steal swings
+        # walls ±50% minute-to-minute (see BENCH/BASELINE.md); the min is
+        # the least-interference estimate of the engine's true cost
+        timings[name] = round(best, 3)
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -339,6 +353,13 @@ def run_scaling(n_pages: int) -> dict:
                 f"| local[{r['cores']}] | {r['wall_sec']} | {r['throughput_urls_per_sec']} |\n"
                 for r in results
             )
+            + "\nNote (round 3): headline-bench timings are NOT comparable to\n"
+            "rounds 1-2 — those used `df.count()`, which Catalyst constant-folds\n"
+            "on ungrouped aggregates (the plan never ran for some queries) and\n"
+            "column-prunes on projections. The harness now fully materializes\n"
+            "every query through the noop sink, so r3 numbers are honest and\n"
+            "~2-3x larger for UDF-heavy queries. Same-engine same-measurement\n"
+            "comparisons only hold from r3 onward.\n"
             + f"\n**Scaling efficiency (N→4N): {efficiency}** (target ≥ 0.8;\n"
             f"per-leg minimum over {SCALING_REPEATS} fresh-JVM runs — the\n"
             "least-host-interference estimate on this shared VM, where walls\n"

@@ -425,7 +425,16 @@ def run_crawl(
         host_state = store.read_latest("host_state")
         shards = store.read_table("seen_bloom") if config.use_bloom else None
         wave = last + 1
-        total_attempted = attempted.count() if attempted is not None else 0
+        committed = store.committed_waves()
+        if all("metrics" in store.marker(w)["tables"] for w in committed):
+            # per-wave n_attempted scalars from the metrics deltas —
+            # driver-side pyarrow reads, no Spark job on resume
+            total_attempted = sum(
+                int(store.read_scalar("metrics", w, "n_attempted") or 0)
+                for w in committed
+            )
+        else:
+            total_attempted = attempted.count() if attempted is not None else 0
         seed_delta = None
         frontier_total = sum(
             store.marker(w)["counts"].get("frontier_delta", 0)
