@@ -744,6 +744,53 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, list(query), centroids, k=10, n_probe=3)
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact n-gram Jaccard) → connected-component
+    duplicate clusters with the keep/drop curation decision.
+    Large-star/small-star (operators/graph.py); oracle is a recursive-CTE
+    transitive closure over the same pair set."""
+    from crawl4ai_spark.operators.dedup import ngram_jaccard_pairs
+    from crawl4ai_spark.operators.graph import duplicate_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    return duplicate_clusters(pairs)
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup (15-token spans, keep first
+    occurrence, reconstruct surviving text)."""
+    from crawl4ai_spark.operators.dedup import span_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return span_dedup(docs, span_tokens=15).select(
+        F.col("id").alias("doc_id"), "dedup_text", "n_spans", "n_spans_kept"
+    )
+
+
+def _q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over a deterministic synthetic link graph derived
+    from the documents table (doc i → (i·131 + k) mod N for k ∈ 1..3):
+    the crawl-authority prior. Per-iteration rounding makes the result
+    engine- and partitioning-independent; oracle unrolls the same five
+    iterations in SQL."""
+    from crawl4ai_spark.operators.graph import pagerank
+
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(*[(F.col("doc_id") * 131 + F.lit(k)) % n for k in (1, 2, 3)])
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    ranks = pagerank(edges, iters=5, damping=0.85, round_digits=9)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -783,6 +830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_scrape_loop": _q_crawl_scrape_loop,
         "table_extraction": _q_table_extraction,
         "ivf_topk": _q_ivf_topk,
+        "dup_clusters": _q_dup_clusters,
+        "span_dedup": _q_span_dedup,
+        "doc_pagerank": _q_doc_pagerank,
     }
 
 
@@ -1187,8 +1237,124 @@ def oracle_sql() -> dict[str, str]:
                    || '</body></html>' AS cleaned_html
             FROM d
         """,
+        "langid_heuristic": _langid_oracle_sql(),
+        "dup_clusters": f"""
+            WITH RECURSIVE toks AS (SELECT doc_id, {_CLEAN_TOKS} AS w FROM documents),
+            grams AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) >= 3
+                         THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                         ELSE [] END)) AS shingle
+                FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+                WHERE n_inter * 1.0 / (sa.set_size + sb.set_size - n_inter) >= 0.3),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+                SELECT a AS node, b AS peer FROM edges
+                UNION
+                SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a),
+            comp AS (SELECT node, least(node, min(peer)) AS component
+                     FROM reach GROUP BY node)
+            SELECT component, count(*) AS n_members, min(node) AS keep_id,
+                   list(node ORDER BY node) FILTER (WHERE node <> component) AS drop_ids
+            FROM comp GROUP BY component
+        """,
+        "span_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE length(trim(text)) > 0),
+            spans AS (
+                SELECT doc_id, pos,
+                       array_to_string(t[pos * 15 + 1 : pos * 15 + 15], ' ') AS span
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(0,
+                                 cast(ceil(len(t) / 15.0) AS BIGINT) - 1)) AS pos
+                      FROM toks)),
+            ranked AS (
+                SELECT doc_id, pos, span,
+                       row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+                FROM spans)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos), '')
+                       AS dedup_text,
+                   count(*) AS n_spans,
+                   count(*) FILTER (WHERE rn = 1) AS n_spans_kept
+            FROM ranked GROUP BY doc_id
+        """,
+        "doc_pagerank": _pagerank_oracle_sql(iters=5, damping=0.85),
         # minhash_lsh_pairs / simhash_candidates / ann_topk_lsh /
-        # langid_heuristic / media_features: intentionally no oracle (hash-permutation /
+        # media_features: intentionally no oracle (hash-permutation /
         # LSH internals are not SQL-expressible) → rows-only driver check;
         # pytest asserts recall vs the exact operators instead.
     }
+
+
+def _langid_oracle_sql() -> str:
+    """Stopword-panel language ID in SQL — the panels are imported from
+    the operator module so oracle and engine can never drift."""
+    from crawl4ai_spark.operators.textstats import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    hit_cols = ",\n                   ".join(
+        "len(list_filter(["
+        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        + f"], w -> list_contains(t, w))) AS {lang}"
+        for lang in langs
+    )
+    # argmax with lexicographic-min tie-break: langs tested in sorted order
+    case = " ".join(f"WHEN {lang} = m THEN '{lang}'" for lang in langs)
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            FROM documents),
+        hits AS (
+            SELECT doc_id,
+                   {hit_cols}
+            FROM toks)
+        SELECT doc_id, CASE {case} END AS lang_pred
+        FROM (SELECT *, greatest({", ".join(langs)}) AS m FROM hits)
+    """
+
+
+def _pagerank_oracle_sql(iters: int, damping: float) -> str:
+    """Unrolled PageRank over the deterministic doc-link graph
+    (i → (i·131 + k) mod N, k ∈ 1..3), mirroring operators/graph.pagerank
+    including the per-iteration round(·, 9)."""
+    prologue = """
+        WITH edges AS (
+            SELECT doc_id AS src,
+                   (doc_id * 131 + k) % (SELECT count(*) FROM documents) AS dst
+            FROM documents, unnest([1, 2, 3]) AS u(k)),
+        e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, round(1.0 / (SELECT count(*) FROM nodes), 9) AS rank
+               FROM nodes)"""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+        r{i} AS (
+            SELECT nd.node,
+                   round((SELECT {1.0 - damping} / count(*) FROM nodes)
+                         + {damping} * coalesce(f.inflow, 0.0), 9) AS rank
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / d.outdeg) AS inflow
+                FROM e JOIN r{i - 1} r ON e.src = r.node
+                       JOIN outdeg d ON e.src = d.src
+                GROUP BY e.dst) f USING (node))""")
+    return (
+        prologue
+        + ","
+        + ",".join(its)
+        + f"\n        SELECT node, round(rank, 6) AS rank FROM r{iters}"
+    )

@@ -426,3 +426,76 @@ def simhash_candidate_pairs(
     return cand.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+# ── cross-document span dedup (C4-style) ─────────────────────────────────
+
+
+def span_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 15,
+) -> DataFrame:
+    """Explode each document into non-overlapping ``span_tokens``-token
+    spans with their position: ``(id, pos, span)``. Whitespace
+    tokenization (the corpus-wide oracle contract, textstats.py); the
+    final partial span is kept. Pure native array slicing — map-only."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(toks, i * span_tokens + 1, span_tokens), " "),
+    )
+    return (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("id"), F.posexplode(spans).alias("pos", "span"))
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 15,
+) -> DataFrame:
+    """C4-style cross-document span deduplication (Raffel et al. 2020
+    deduplicate repeated three-sentence spans; here the span unit is a
+    fixed token window so it is corpus-agnostic): every span that occurs
+    more than once in the corpus is kept only at its first occurrence
+    (minimum ``(id, pos)``) and dropped everywhere else; each document
+    is then reconstructed from its surviving spans in order.
+
+    Scale shape: one hash shuffle keyed on the span to pick the keeper
+    (``min(struct(id, pos))`` — map-side partial agg, no window over the
+    whole corpus), a join back to the span rows, and one groupBy(id) to
+    reassemble. Linear in corpus size; hot spans (boilerplate) cost one
+    skewed reduce key each, not a pairwise blowup.
+
+    Returns ``(id, dedup_text, n_spans, n_spans_kept)``.
+    """
+    rows = span_rows(docs, id_col, text_col, span_tokens)
+    keepers = rows.groupBy("span").agg(F.min(F.struct("id", "pos")).alias("keep"))
+    kept = rows.join(keepers, "span").withColumn(
+        "_keep",
+        (F.col("keep.id") == F.col("id")) & (F.col("keep.pos") == F.col("pos")),
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("_keep").cast("int")).alias("n_spans_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("pos", "span"))
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .select("id", "dedup_text", "n_spans", "n_spans_kept")
+    )

@@ -1,0 +1,189 @@
+"""Distributed graph operators for corpus curation at 100 TB scale.
+
+Two classic web-corpus primitives the reference's single-node engine
+cannot express but a training-data pipeline needs once near-dup *pairs*
+exist (operators/dedup.py) and a crawl link graph exists
+(frontier/bfs.py):
+
+- **connected_components** — turn near-duplicate pairs into duplicate
+  *clusters* (pick one canonical doc per cluster, drop the rest). The
+  alternating large-star / small-star algorithm (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  literature, cf. PAPERS.md): converges in O(log² n) rounds, each round
+  two hash-shuffles (groupBy min + join), *no* ``collect_list`` of
+  neighborhoods, so a 10⁹-node / skewed-degree graph never materializes
+  a hot neighborhood in one task.
+- **pagerank** — damped PageRank over a (src, dst) edge table, the
+  standard authority prior for crawl scheduling / domain-authority
+  scoring (reference scorers get a static domain weight table,
+  scorers.py; this computes one from the observed link graph). Each
+  iteration is one join + one aggregation on the same key — AQE reuses
+  the exchange — and ranks are rounded per-iteration so results are
+  bitwise reproducible across partitionings (float sum order varies;
+  rounding at 1e-9 absorbs it).
+
+Both iterate driver-side over DataFrames with ``localCheckpoint`` per
+round to truncate lineage (without it, round k's plan replays rounds
+1..k-1 — the classic iterative-DataFrame trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ── connected components (large-star / small-star) ───────────────────────
+
+
+def _canonical(edges: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected edge set as (a < b) pairs, self-loops dropped."""
+    lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
+    return (
+        edges.select(lo.alias("a"), hi.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _both_directions(edges: DataFrame) -> DataFrame:
+    return edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (or small-star) round.
+
+    For every node u with neighborhood Γ(u): m = min(Γ(u) ∪ {u});
+    large-star links every neighbor v > u to m, small-star links every
+    v ≤ u (plus u itself) to m. Expressed as groupBy-min + re-join —
+    neighborhoods are never collected into one row.
+    """
+    nbr = _both_directions(edges)
+    mins = nbr.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    joined = nbr.join(mins, "u")
+    if large:
+        emitted = joined.where(F.col("v") > F.col("u")).select("v", "m")
+    else:
+        emitted = joined.where(F.col("v") <= F.col("u")).select("v", "m").unionAll(
+            mins.select(F.col("u").alias("v"), "m")
+        )
+    return _canonical(emitted, "v", "m")
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-independent hash) of the edge set — one cheap job."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+    ).head()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """``(node, component)`` labeling of the undirected graph in ``pairs``
+    — component = the minimum node id reachable. Only nodes that appear
+    in at least one edge are emitted (singletons are trivially their own
+    component; union them in from the corpus table if needed).
+
+    Alternating large-star/small-star until the edge set is stable; on
+    convergence the graph is a union of stars whose centers are the
+    component minima, so the final labeling is one groupBy-min.
+    """
+    edges = _canonical(pairs, src, dst).localCheckpoint(eager=True)
+    fp = _edge_fingerprint(edges)
+    for _ in range(max_rounds):
+        edges = _star_round(edges, large=True).localCheckpoint(eager=True)
+        edges = _star_round(edges, large=False).localCheckpoint(eager=True)
+        nxt = _edge_fingerprint(edges)
+        if nxt == fp:
+            break
+        fp = nxt
+    nbr = _both_directions(edges)
+    labels = nbr.groupBy("u").agg(F.min("v").alias("_mn"))
+    return labels.select(
+        F.col("u").alias("node"),
+        F.least(F.col("_mn"), F.col("u")).alias("component"),
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Near-dup pairs → ``(component, n_members, keep_id, drop_ids)``:
+    the per-cluster curation decision (keep the minimum id, list the
+    rest). ``drop_ids`` is sorted for determinism."""
+    cc = connected_components(pairs, src, dst)
+    return cc.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.min("node").alias("keep_id"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("node") != F.col("component"), F.col("node")))
+        ).alias("drop_ids"),
+    )
+
+
+# ── PageRank ─────────────────────────────────────────────────────────────
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Damped PageRank: r₀ = 1/N; r_{k+1}(v) = (1−d)/N + d·Σ_{(u,v)∈E}
+    r_k(u)/outdeg(u). N counts distinct nodes on either side; dangling
+    mass is not redistributed (documented — the crawl-prior use case
+    only needs relative order). Ranks are rounded to ``round_digits``
+    each iteration so the result is independent of partitioning /
+    float-sum order. Returns ``(node, rank)``.
+
+    Plan shape: ``nodes`` and ``contribs`` hash-partition on the same
+    key across iterations; ``outdeg`` is computed once and re-joined
+    (broadcast when small). ``localCheckpoint`` per iteration keeps the
+    lineage O(1).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
+        ["src", "dst"]
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    base = (1.0 - damping) / n
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(round(1.0 / n, round_digits)))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("w"))
+            .groupBy("node")
+            .agg(F.sum("w").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    round_digits,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

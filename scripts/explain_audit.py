@@ -72,6 +72,20 @@ CHECKS = {
         ("BroadcastNestedLoopJoin", "1-row corpus constants broadcast, not shuffled"),
         ("ArrowEvalPython", "head extraction as one Arrow UDF pass"),
     ],
+    "span_dedup": [
+        ("Generate", "native posexplode of the span arrays (no Python tokenizer)"),
+        ("!ArrowEvalPython", "whole pipeline JVM-side"),
+        ("SortAggregate", "keeper = min(struct(id,pos)) with map-side partial (one row per span per map partition crosses the wire)"),
+    ],
+    "dup_clusters": [
+        ("Scan ExistingRDD", "converged edge set is localCheckpoint-ed — final labeling does not replay the star rounds"),
+        ("ObjectHashAggregate", "drop_ids collect_list as object hash agg"),
+        ("!ArrowEvalPython", "pure JVM"),
+    ],
+    "doc_pagerank": [
+        ("Scan ExistingRDD", "O(1) lineage — each iteration reads the previous checkpoint, not the replayed chain"),
+        ("!ArrowEvalPython", "rank arithmetic native"),
+    ],
 }
 
 

@@ -1,0 +1,171 @@
+"""Graph operators: connected components, PageRank, and C4-style span
+dedup. Truth oracles are driver-side pure-Python implementations
+(union-find, dense-matrix power iteration) on small deterministic
+graphs — the Spark results must match exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.dedup import span_dedup, span_rows
+from crawl4ai_spark.operators.graph import (
+    connected_components,
+    duplicate_clusters,
+    pagerank,
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _pagerank_py(edges, iters=5, damping=0.85, digits=9):
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: round(1.0 / n, digits) for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        inflow = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += r[s] / out[s]
+        r = {v: round(base + damping * inflow[v], digits) for v in nodes}
+    return r
+
+
+# deterministic test graph: two chains, a triangle, a star, crossing edges
+EDGES = [
+    (1, 2), (2, 3), (3, 4),            # chain → comp 1
+    (10, 11), (11, 12), (10, 12),      # triangle → comp 10
+    (20, 21), (20, 22), (20, 23),      # star → comp 20
+    (4, 40), (40, 41),                 # extends chain comp 1
+    (50, 51),                          # pair → comp 50
+]
+
+
+def test_connected_components_matches_union_find(spark):
+    df = spark.createDataFrame(EDGES, "id_a long, id_b long").repartition(5)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _union_find_components(EDGES)
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 64-node path exercises the O(log² n) round bound (a naive
+    # min-propagation needs 63 rounds; large/small-star must finish
+    # inside max_rounds=25)
+    chain = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = connected_components(df)
+    assert got.select("component").distinct().collect()[0][0] == 0
+    assert got.count() == 65
+    assert got.where(F.col("component") != 0).count() == 0
+
+
+def test_connected_components_direction_and_duplicate_invariant(spark):
+    fwd = spark.createDataFrame(EDGES, "id_a long, id_b long")
+    rev = spark.createDataFrame(
+        [(b, a) for a, b in EDGES] + EDGES, "id_a long, id_b long"
+    )
+    assert sorted(map(tuple, connected_components(fwd).collect())) == sorted(
+        map(tuple, connected_components(rev).collect())
+    )
+
+
+def test_duplicate_clusters_keep_drop(spark):
+    df = spark.createDataFrame(EDGES, "id_a long, id_b long")
+    rows = {r["component"]: r for r in duplicate_clusters(df).collect()}
+    assert rows[1]["keep_id"] == 1
+    assert rows[1]["drop_ids"] == [2, 3, 4, 40, 41]
+    assert rows[20]["n_members"] == 4
+    assert rows[50]["drop_ids"] == [51]
+
+
+def test_pagerank_matches_dense_reference(spark):
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1), (2, 4),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=6).collect()}
+    want = _pagerank_py(edges, iters=6)
+    assert got == pytest.approx(want, abs=1e-9)
+    # probability mass conserved (no dangling nodes in this graph)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    edges = [(i, (i * 7 + 3) % 23) for i in range(23)] + [(i, (i + 1) % 23) for i in range(23)]
+    edges = [(a, b) for a, b in edges if a != b]
+    a = pagerank(spark.createDataFrame(edges, "src long, dst long").repartition(1), iters=5)
+    b = pagerank(spark.createDataFrame(edges, "src long, dst long").repartition(13), iters=5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ── span dedup ───────────────────────────────────────────────────────────
+
+
+def _doc(words):
+    return " ".join(words)
+
+
+def test_span_rows_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, _doc([f"w{i}" for i in range(7)]))], "doc_id long, text string"
+    )
+    rows = span_rows(docs, span_tokens=3).collect()
+    assert [(r["pos"], r["span"]) for r in sorted(rows)] == [
+        (0, "w0 w1 w2"),
+        (1, "w3 w4 w5"),
+        (2, "w6"),
+    ]
+
+
+def test_span_dedup_keeps_first_occurrence_only(spark):
+    shared = [f"s{i}" for i in range(3)]
+    docs = spark.createDataFrame(
+        [
+            (1, _doc(shared + ["a1", "a2", "a3"])),
+            (2, _doc(["b1", "b2", "b3"] + shared)),
+            (3, _doc(shared)),
+        ],
+        "doc_id long, text string",
+    ).repartition(3)
+    out = {r["id"]: r for r in span_dedup(docs, span_tokens=3).collect()}
+    # doc 1 holds the first occurrence (min (id, pos)) → keeps both spans
+    assert out[1]["dedup_text"] == "s0 s1 s2 a1 a2 a3"
+    assert (out[1]["n_spans"], out[1]["n_spans_kept"]) == (2, 2)
+    # doc 2's copy sits at pos 1 → dropped
+    assert out[2]["dedup_text"] == "b1 b2 b3"
+    assert (out[2]["n_spans"], out[2]["n_spans_kept"]) == (2, 1)
+    # doc 3 is nothing but the shared span → empty after dedup
+    assert out[3]["dedup_text"] == ""
+    assert (out[3]["n_spans"], out[3]["n_spans_kept"]) == (1, 0)
+
+
+def test_span_dedup_unique_corpus_is_identity(spark):
+    docs = spark.createDataFrame(
+        [(i, _doc([f"d{i}w{j}" for j in range(10)])) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = span_dedup(docs, span_tokens=4)
+    assert out.where(F.col("n_spans") != F.col("n_spans_kept")).count() == 0
+    joined = out.join(docs, out["id"] == docs["doc_id"])
+    assert joined.where(F.col("dedup_text") != F.col("text")).count() == 0
