@@ -421,3 +421,95 @@ def test_bmp_decoder_roundtrip():
     gw, gh, gc, pix = bmp_decode(bytes(header + dib + body))
     assert (gw, gh, gc) == (w, h, 3)
     assert list(pix) == [v for p in px for v in p]
+
+
+def test_wav_decoder_features():
+    import math
+
+    from crawl4ai_spark.operators.multimodal import audio_feature_decoder, synth_wav
+
+    rate, n = 8000, 400
+    wav = synth_wav(n, rate=rate, seed=3)
+    f = audio_feature_decoder(wav, {})
+    assert len(f) == 16
+    assert f[0] == float(rate) and f[1] == 1.0 and f[2] == float(n)
+    assert abs(f[3] - 1000.0 * n / rate) < 1e-3      # duration_ms
+    assert 0.0 < f[5] <= 1.0                         # rms of normalized samples
+    assert 0.0 <= f[6] <= 1.0                        # zero-crossing rate
+    assert abs(sum(f[8:16]) - 1.0) < 1e-5            # histogram normalized
+    assert not any(math.isnan(v) for v in f)
+
+
+def test_wav_decoder_known_square_wave():
+    """A full-scale ±16384 square wave has rms = peak = 0.5 and a zero
+    crossing at every sample boundary."""
+    import io
+    import struct
+    import wave
+
+    from crawl4ai_spark.operators.multimodal import audio_feature_decoder
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"".join(
+            struct.pack("<h", 16384 if i % 2 == 0 else -16384) for i in range(100)
+        ))
+    f = audio_feature_decoder(buf.getvalue(), {})
+    assert abs(f[5] - 0.5) < 1e-6 and abs(f[7] - 0.5) < 1e-6
+    assert f[6] == 1.0
+
+
+def test_y4m_decoder_frame_sampling():
+    from crawl4ai_spark.operators.multimodal import synth_y4m, y4m_decode
+
+    w, h, n = 6, 4, 7
+    clip = synth_y4m(w, h, n, seed=5)
+    gw, gh, fps, lumas = y4m_decode(clip, frame_stride=1)
+    assert (gw, gh, fps) == (w, h, 25.0)
+    assert len(lumas) == n and all(len(p) == w * h for p in lumas)
+    # stride 3 samples frames 0, 3, 6
+    _, _, _, sampled = y4m_decode(clip, frame_stride=3)
+    assert len(sampled) == 3
+    assert sampled[0] == lumas[0] and sampled[1] == lumas[3] and sampled[2] == lumas[6]
+
+
+def test_jpeg_gif_dimension_probes():
+    import struct
+
+    from crawl4ai_spark.operators.multimodal import gif_probe, image_feature_decoder, jpeg_probe
+
+    # minimal JPEG: SOI, APP0 stub, SOF0 (h=30, w=20, 3 components)
+    sof = b"\xff\xc0" + struct.pack(">H", 8 + 3 * 3) + b"\x08" + struct.pack(">HH", 30, 20) + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    jpeg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof
+    assert jpeg_probe(jpeg) == (20, 30, 3)
+    gif = b"GIF89a" + struct.pack("<HH", 40, 25) + b"\x00\x00\x00"
+    assert gif_probe(gif) == (40, 25, 3)
+    fj = image_feature_decoder(jpeg, {})
+    assert fj[0] == 20.0 and fj[1] == 30.0 and fj[2] == 3.0 and len(fj) == 16
+    fg = image_feature_decoder(gif, {})
+    assert fg[0] == 40.0 and fg[1] == 25.0
+
+
+def test_real_codecs_through_pipeline_on_synth_table(spark):
+    """synth_media_table's even ids carry real PNG/WAV/y4m payloads: the
+    distributed stage must decode them with the format-true feature
+    layout, while odd ids keep the fallback (all decode_ok)."""
+    from crawl4ai_spark.operators.multimodal import extract_media_features, synth_media_table
+
+    media = synth_media_table(spark, n=24)
+    got = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert all(r.decode_ok for r in got.values())
+    for i, r in got.items():
+        assert len(r.features) == 16
+        if i % 2 == 0:
+            if r.kind == "image":     # [w, h, channels, ...]
+                assert r.features[0] == float(8 + i % 4) and r.features[2] == 3.0
+            elif r.kind == "audio":   # [rate, ch, n_frames, ...]
+                assert r.features[0] == 8000.0 and r.features[2] == float(160 + (i % 5) * 40)
+            else:                     # [w, h, n_sampled, fps, stride, ...]
+                assert r.features[0] == float(4 + 2 * (i % 3))
+                assert r.features[3] == 25.0 and r.features[4] == 2.0
+                assert r.features[2] == float(-(-(3 + i % 4) // 2))  # ceil(n/stride)
