@@ -791,6 +791,44 @@ def _q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token budget per doc via the GPT-2 pre-tokenizer
+    regex (textstats.bpe_token_count_col) — pure JVM regexp_count."""
+    from crawl4ai_spark.operators.textstats import bpe_token_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"))
+
+
+def _q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pass: quality gate (≥ 0.75) →
+    language gate (en) → exact-dedup keep-first among survivors →
+    token budget. The cheap map-side predicates prune before the one
+    dedup shuffle — the order the 100 TB pipeline wants."""
+    from crawl4ai_spark.operators.textstats import (
+        langid_best,
+        quality_score_col,
+        token_count_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        quality_score_col(F.col("text")).alias("quality"),
+        langid_best(F.col("text")).alias("lang_pred"),
+    )
+    surv = scored.where((F.col("quality") >= 0.75) & (F.col("lang_pred") == "en"))
+    firsts = (
+        surv.groupBy(F.md5("text").alias("m"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return surv.join(firsts, "doc_id", "left_semi").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens"), "quality"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -833,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "span_dedup": _q_span_dedup,
         "doc_pagerank": _q_doc_pagerank,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "curated_corpus": _q_curated_corpus,
     }
 
 
@@ -842,6 +882,16 @@ _CLEAN_TOKS = (
     "'[^a-z0-9 ]', '', 'g')), '\\s+'), t -> length(t) > 2)"
 )
 _NTOK = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+
+# quality score expression shared by quality_scores and curated_corpus
+# (must equal textstats.quality_score_col)
+_QUALITY_SQL = f"""round(  least(({_NTOK}) / 100.0, 1.0) * 0.4
+                 + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
+                       ELSE 0.0 END) * 10.0) * 0.3
+                 + greatest(0.0, 1.0 - abs((CASE WHEN ({_NTOK}) > 0
+                       THEN length(text) * 1.0 / ({_NTOK}) ELSE 0.0 END) - 5.0) / 5.0) * 0.3
+           , 6)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -900,14 +950,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "quality_scores": f"""
-            SELECT doc_id,
-                   round(  least(({_NTOK}) / 100.0, 1.0) * 0.4
-                         + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
-                               THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
-                               ELSE 0.0 END) * 10.0) * 0.3
-                         + greatest(0.0, 1.0 - abs((CASE WHEN ({_NTOK}) > 0
-                               THEN length(text) * 1.0 / ({_NTOK}) ELSE 0.0 END) - 5.0) / 5.0) * 0.3
-                   , 6) AS quality
+            SELECT doc_id, {_QUALITY_SQL} AS quality
             FROM documents
         """,
         "term_df_top20": f"""
@@ -1291,6 +1334,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked GROUP BY doc_id
         """,
         "doc_pagerank": _pagerank_oracle_sql(iters=5, damping=0.85),
+        "bpe_token_counts": f"""
+            SELECT doc_id, {_bpe_count_sql()} AS n_bpe_tokens FROM documents
+        """,
+        "curated_corpus": _curated_corpus_oracle_sql(),
         # minhash_lsh_pairs / simhash_candidates / ann_topk_lsh /
         # media_features: intentionally no oracle (hash-permutation /
         # LSH internals are not SQL-expressible) → rows-only driver check;
@@ -1298,9 +1345,10 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _langid_oracle_sql() -> str:
-    """Stopword-panel language ID in SQL — the panels are imported from
-    the operator module so oracle and engine can never drift."""
+def _langid_fragments() -> tuple[str, str, str]:
+    """(hit_cols, case_expr, langs_csv) for the stopword-panel language
+    ID — the panels are imported from the operator module so oracle and
+    engine can never drift."""
     from crawl4ai_spark.operators.textstats import LANG_STOPWORDS
 
     langs = sorted(LANG_STOPWORDS)
@@ -1312,6 +1360,11 @@ def _langid_oracle_sql() -> str:
     )
     # argmax with lexicographic-min tie-break: langs tested in sorted order
     case = " ".join(f"WHEN {lang} = m THEN '{lang}'" for lang in langs)
+    return hit_cols, case, ", ".join(langs)
+
+
+def _langid_oracle_sql() -> str:
+    hit_cols, case, langs = _langid_fragments()
     return rf"""
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
@@ -1321,7 +1374,39 @@ def _langid_oracle_sql() -> str:
                    {hit_cols}
             FROM toks)
         SELECT doc_id, CASE {case} END AS lang_pred
-        FROM (SELECT *, greatest({", ".join(langs)}) AS m FROM hits)
+        FROM (SELECT *, greatest({langs}) AS m FROM hits)
+    """
+
+
+def _bpe_count_sql() -> str:
+    """regexp token count sharing the engine's BPE_SPLIT_RE verbatim
+    (apostrophes doubled for the SQL literal)."""
+    from crawl4ai_spark.operators.textstats import BPE_SPLIT_RE
+
+    return f"len(regexp_extract_all(text, '{BPE_SPLIT_RE.replace(chr(39), chr(39) * 2)}'))"
+
+
+def _curated_corpus_oracle_sql() -> str:
+    hit_cols, case, langs = _langid_fragments()
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            FROM documents),
+        hits AS (
+            SELECT doc_id, text,
+                   {hit_cols}
+            FROM toks),
+        langed AS (
+            SELECT doc_id, text, CASE {case} END AS lang_pred
+            FROM (SELECT *, greatest({langs}) AS m FROM hits)),
+        scored AS (
+            SELECT doc_id, text, lang_pred, {_QUALITY_SQL} AS quality FROM langed),
+        surv AS (
+            SELECT * FROM scored WHERE quality >= 0.75 AND lang_pred = 'en'),
+        firsts AS (
+            SELECT min(doc_id) AS doc_id FROM surv GROUP BY md5(text))
+        SELECT doc_id, ({_NTOK}) AS n_tokens, quality
+        FROM surv WHERE doc_id IN (SELECT doc_id FROM firsts)
     """
 
 

@@ -54,6 +54,23 @@ def token_count_col(text_col: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer pattern (public: the BPE pre-split regex of
+# Radford et al. 2019), minus the trailing-space lookahead — RE2-class
+# engines (DuckDB's oracle side) have no lookahead, and both Java regex
+# and RE2 evaluate this alternation leftmost-first, so engine and oracle
+# count identically. Groups: contractions, space+letters, space+digits,
+# space+other, whitespace runs.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_col(text_col: Column) -> Column:
+    """Sub-word-ish token count via the GPT-2 pre-tokenizer regex —
+    the 'BPE-ish' budget estimate for LLM training pipelines (a real BPE
+    merge table refines these pieces but never crosses their borders, so
+    the count upper-bounds real BPE length piece-wise)."""
+    return F.regexp_count(text_col, F.lit(BPE_SPLIT_RE))
+
+
 def clean_terms_col(text_col: Column) -> Column:
     """Reference-style cleaned terms: lowercase, alnum-only, len > 2."""
     cleaned = F.regexp_replace(F.lower(text_col), WORD_CHARS_RE, "")

@@ -513,3 +513,21 @@ def test_real_codecs_through_pipeline_on_synth_table(spark):
                 assert r.features[0] == float(4 + 2 * (i % 3))
                 assert r.features[3] == 25.0 and r.features[4] == 2.0
                 assert r.features[2] == float(-(-(3 + i % 4) // 2))  # ceil(n/stride)
+
+
+def test_bpe_token_count_gpt2ish_segmentation(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.textstats import bpe_token_count_col
+
+    texts = ["it's here", "hello world", "", "a1b2", "x  y", "foo-bar, baz!"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(bpe_token_count_col(F.col("text"))).collect()]
+    import re
+
+    # cross-check against Python's re on the same strings (\p classes
+    # approximated with ASCII-equivalent classes; inputs are ASCII)
+    pat = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+")
+    assert got == [len(pat.findall(t)) for t in texts]
+    # contraction split: [it]['s][ here]
+    assert got[0] == 3
