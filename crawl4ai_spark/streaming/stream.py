@@ -107,3 +107,59 @@ def run_windowed_events_batch_equivalent(
         [tuple(r) for r in spark.sql("SELECT * FROM windowed_events_test").collect()]
     )
     return streamed, batch
+
+
+def streaming_dedup_first_seen(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("url_fp",),
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Cross-micro-batch exact dedup: the first row per key survives,
+    later arrivals (any batch) are dropped by the state store. With a
+    ``ts_col``, state is bounded by the watermark
+    (``dropDuplicatesWithinWatermark`` — at 10⁹ keys unbounded dedup
+    state is the thing that kills a long-running stream). Works on a
+    batch frame too (plain dropDuplicates), which is the test oracle."""
+    keys = list(key_cols)
+    if df.isStreaming and ts_col is not None:
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+            ts_col, watermark
+        )
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+HOST_TOTALS_SCHEMA = "host string, n_pages long, total_bytes long"
+_HOST_STATE_SCHEMA = "n long, b long"
+
+
+def host_running_totals(
+    pages: DataFrame, host_col: str = "host", bytes_col: str = "n_bytes"
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-host
+    cumulative page count + byte volume across micro-batches — the
+    live-crawl monitoring view the reference's dispatcher keeps in
+    process memory (async_dispatcher.py result aggregation), here as
+    distributed keyed state that survives restarts via the checkpoint.
+    Emits one updated row per host per batch."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdfs, state):
+        import pandas as pd
+
+        n, b = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            b += int(pdf[bytes_col].fillna(0).sum())
+        state.update((n, b))
+        yield pd.DataFrame({"host": [key[0]], "n_pages": [n], "total_bytes": [b]})
+
+    return pages.groupBy(host_col).applyInPandasWithState(
+        update_totals,
+        HOST_TOTALS_SCHEMA,
+        _HOST_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -108,3 +108,82 @@ def test_results_stream_matches_batch_and_hides_staging(spark, site_dir, tmp_pat
     )
     q2.awaitTermination(300)
     assert spark.sql("SELECT * FROM results_stream_test2").count() == n_committed + 3
+
+
+def test_streaming_dedup_first_seen_across_microbatches(spark, tmp_path):
+    """Cross-micro-batch dedup: a key arriving again in a LATER batch is
+    dropped by the state store (this is what the batch anti-join cannot
+    do for a live stream). Two parquet files + maxFilesPerTrigger=1 force
+    two micro-batches."""
+    from crawl4ai_spark.streaming.stream import streaming_dedup_first_seen
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:00:10")],
+        "url_fp string, ts string",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [("b", "2024-01-01 00:01:00"), ("c", "2024-01-01 00:01:05")],
+        "url_fp string, ts string",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("url_fp string, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    deduped = streaming_dedup_first_seen(stream, ("url_fp",), ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = [r.url_fp for r in spark.sql("SELECT url_fp FROM dedup_stream_test").collect()]
+    assert sorted(got) == ["a", "b", "c"]  # b exactly once despite 2 arrivals
+
+    # batch path is the oracle: same operator, same answer
+    batch = spark.read.parquet(str(src / "*"))
+    got_batch = [r.url_fp for r in streaming_dedup_first_seen(batch, ("url_fp",)).collect()]
+    assert sorted(got_batch) == ["a", "b", "c"]
+
+
+def test_host_running_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState keyed state accumulates across micro-batches:
+    the last emitted row per host carries the whole-stream cumulative totals."""
+    from crawl4ai_spark.streaming.stream import host_running_totals
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("h1", 100), ("h1", 50), ("h2", 10)], "host string, n_bytes long"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [("h1", 7), ("h3", 1)], "host string, n_bytes long"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("host string, n_bytes long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        host_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("host_totals_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT host, max(n_pages) AS n, max(total_bytes) AS b "
+        "FROM host_totals_test GROUP BY host"
+    ).collect()
+    got = {r.host: (r.n, r.b) for r in rows}
+    assert got == {"h1": (3, 157), "h2": (1, 10), "h3": (1, 1)}
