@@ -169,3 +169,19 @@ def test_span_dedup_unique_corpus_is_identity(spark):
     assert out.where(F.col("n_spans") != F.col("n_spans_kept")).count() == 0
     joined = out.join(docs, out["id"] == docs["doc_id"])
     assert joined.where(F.col("dedup_text") != F.col("text")).count() == 0
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(7, 60, 40), (11, 80, 120), (13, 30, 200)])
+def test_connected_components_random_graphs_match_union_find(spark, seed, n_nodes, n_edges):
+    """Seeded random graphs across density regimes (forest-like, ~critical,
+    dense multigraph with self-loops/dups) — Spark CC must equal the
+    union-find oracle exactly on every one."""
+    import random
+
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(7)
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _union_find_components(edges)
