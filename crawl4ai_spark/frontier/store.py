@@ -189,7 +189,10 @@ class WaveStore:
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             return None
-        return self.spark.read.option("basePath", os.path.join(self.root, TABLES_DIR, name)).parquet(*paths)
+        # leaf wave=K dirs read as roots: no partition inference, so the
+        # dir name never collides with the data wave column the wave-scoped
+        # tables already carry (COLUMN_ALREADY_EXISTS warning otherwise)
+        return self.spark.read.parquet(*paths)
 
     def read_latest(self, name: str) -> DataFrame | None:
         """Latest committed snapshot of a snapshot-style table (host_state)."""

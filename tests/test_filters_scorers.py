@@ -197,7 +197,16 @@ def test_multimodal_plumbing(spark):
     feats = extract_media_features(media).collect()
     assert len(feats) == 30
     assert all(r.decode_ok for r in feats)
-    assert all(len(r.features) == 16 and abs(sum(r.features) - 1.0) < 1e-3 for r in feats)
+    # even ids = real payloads → real decoders: 16-dim vector whose LAST 8
+    # entries are the normalized histogram (leading slots carry w/h/rate…);
+    # odd ids = opaque bytes → byte-histogram fallback: all 16 sum to 1
+    assert all(len(r.features) == 16 for r in feats)
+    assert all(
+        abs(sum(r.features[-8:]) - 1.0) < 1e-3 for r in feats if r.media_id % 2 == 0
+    )
+    assert all(
+        abs(sum(r.features) - 1.0) < 1e-3 for r in feats if r.media_id % 2 == 1
+    )
     # deterministic across runs
     feats2 = extract_media_features(media).collect()
     assert {r.media_id: r.sha256 for r in feats} == {r.media_id: r.sha256 for r in feats2}
