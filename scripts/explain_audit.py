@@ -86,6 +86,17 @@ CHECKS = {
         ("Scan ExistingRDD", "O(1) lineage — each iteration reads the previous checkpoint, not the replayed chain"),
         ("!ArrowEvalPython", "rank arithmetic native"),
     ],
+    "bpe_token_counts": [
+        ("regexp_extract_all", "GPT-2 pre-tokenizer as JVM regex (regexp_count compiles to size(regexp_extract_all))"),
+        ("!ArrowEvalPython", "no Python in the token path"),
+        ("!Exchange", "map-only (zero shuffle)"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>", "pruned scan"),
+    ],
+    "curated_corpus": [
+        ("!ArrowEvalPython", "quality/langid gates are pure column algebra"),
+        ("HashAggregate", "keep-first dedup as min(doc_id) hash agg"),
+        ("LeftSemi", "survivors join back by key only (text never re-shuffles)"),
+    ],
 }
 
 
