@@ -224,6 +224,20 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_above(emb, threshold=0.35, round_to=4)
 
 
+def _q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH embedding near-dup pairs — the scale path for
+    which cosine_pairs is the all-pairs oracle (rows-only; pytest pins
+    precision-1 subset + recall vs the exact operator)."""
+    from crawl4ai_spark.operators.similarity import cosine_neardup_lsh_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    # 16 bands × 4 planes: ≥0.9 collision probability at cos ≥ 0.35
+    # (the same threshold cosine_pairs verifies exactly)
+    return cosine_neardup_lsh_pairs(
+        emb, threshold=0.35, bands=16, planes_per_band=4, round_to=4
+    )
+
+
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only; pytest checks recall
     against brute force)."""
@@ -847,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _q_simhash_candidates,
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
+        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "langid_heuristic": _q_langid_heuristic,
         "bm25_scores": _q_bm25_scores,
@@ -1339,9 +1354,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curated_corpus": _curated_corpus_oracle_sql(),
         # minhash_lsh_pairs / simhash_candidates / ann_topk_lsh /
-        # media_features: intentionally no oracle (hash-permutation /
-        # LSH internals are not SQL-expressible) → rows-only driver check;
-        # pytest asserts recall vs the exact operators instead.
+        # cosine_neardup_lsh / media_features: intentionally no oracle
+        # (hash-permutation / LSH internals are not SQL-expressible) →
+        # rows-only driver check; pytest asserts recall vs the exact
+        # operators instead.
     }
 
 

@@ -126,6 +126,117 @@ def ann_topk_lsh(
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
+def hyperplane_banded_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    bands: int = 8,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) — banded random-hyperplane LSH, the pair-search
+    analog of :func:`hyperplane_signatures` (which serves point queries).
+
+    One band = ``planes_per_band`` sign bits; two vectors at angle θ share
+    a band's bucket with probability (1 − θ/π)^planes_per_band, and
+    collide in ≥1 of ``bands`` independent bands with probability
+    1 − (1 − p)^bands — the same S-curve construction as MinHash banding
+    (``dedup.lsh_banded_buckets``), tuned for cosine instead of Jaccard.
+    Single projection pass: all bands' planes evaluated in one JVM-side
+    projection, then ``posexplode`` fans out the band rows."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((bands * planes_per_band, dim))
+    vec = F.col(vec_col).cast("array<double>")
+    band_buckets = []
+    for b in range(bands):
+        bucket = None
+        for r in range(planes_per_band):
+            i = b * planes_per_band + r
+            bit = (_dot(vec, F.array(*[F.lit(float(w)) for w in planes[i]])) > 0).cast(
+                "int"
+            ) * (1 << r)
+            bucket = bit if bucket is None else bucket + bit
+        band_buckets.append(bucket)
+    return embeddings.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
+    )
+
+
+def cosine_neardup_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    bands: int = 8,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: banded hyperplane LSH
+    candidates, exact-cosine verified — the 10⁹-vector path for which
+    :func:`cosine_pairs_above` (all-pairs self-join) is the small-scale
+    oracle. Output ⊆ the exact answer (precision 1 by construction);
+    recall is the banding S-curve, pinned by test.
+
+    ``max_bucket_size`` mirrors the MinHash/SimHash degenerate-bucket cap:
+    a bucket of B mutual near-dups yields B²/2 candidates, so capped
+    buckets drop out of the self-join and recall degrades gracefully
+    (pairs usually still collide in another band). Audit with
+    :func:`lsh_pair_bucket_stats` before capping — no silent truncation.
+    """
+    if dim is None:
+        head = embeddings.select(vec_col).head()
+        dim = len(head[0]) if head else 0
+    banded = hyperplane_banded_buckets(
+        embeddings, dim, bands, planes_per_band, seed, id_col, vec_col
+    )
+    if max_bucket_size is not None:
+        sizes = lsh_pair_bucket_stats(banded, min_size=2)
+        keep = sizes.where(F.col("size") <= max_bucket_size).select("band", "bucket")
+        banded = banded.join(keep, ["band", "bucket"], "left_semi")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a." + id_col) < F.col("b." + id_col)),
+        )
+        .select(
+            F.col("a." + id_col).alias("id_a"), F.col("b." + id_col).alias("id_b")
+        )
+        .distinct()
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine_sim", F.round(sim, round_to))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def lsh_pair_bucket_stats(banded: DataFrame, min_size: int = 2) -> DataFrame:
+    """(band, bucket, size) audit view for the near-dup bucket cap."""
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("size"))
+        .where(F.col("size") >= min_size)
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 16,

@@ -531,3 +531,58 @@ def test_bpe_token_count_gpt2ish_segmentation(spark):
     assert got == [len(pat.findall(t)) for t in texts]
     # contraction split: [it]['s][ here]
     assert got[0] == 3
+
+
+def test_cosine_neardup_lsh_precision_recall_and_cap(spark):
+    """Banded hyperplane LSH near-dup pairs: output ⊆ exact all-pairs
+    answer (precision 1 by construction — candidates are exact-verified),
+    recall high on genuinely-near pairs (clustered vectors), and the
+    degenerate-bucket cap bounds candidate blowup with an audit view."""
+    import numpy as np
+
+    from crawl4ai_spark.operators.similarity import (
+        cosine_neardup_lsh_pairs,
+        cosine_pairs_above,
+        hyperplane_banded_buckets,
+        lsh_pair_bucket_stats,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((6, 24))
+    rows, vid = [], 0
+    for c in range(6):
+        for _ in range(12):
+            v = centers[c] + 0.08 * rng.standard_normal(24)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs_above(df, 0.9).collect()}
+    approx = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_lsh_pairs(df, threshold=0.9, dim=24).collect()
+    }
+    assert approx <= exact  # precision 1: every emitted pair is verified
+    assert exact, "test corpus must contain near pairs"
+    assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
+
+    # degenerate bucket: 40 copies of one vector → B²/2 candidates uncapped;
+    # the cap drops the clique while a distinct near pair (two clustered
+    # vectors from above) still collides in its own bucket
+    clone = [float(x) for x in centers[0]]
+    rows2 = [(i, clone) for i in range(40)] + [
+        (100, rows[0][1]),
+        (101, rows[1][1]),
+    ]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_lsh_pairs(
+            df2, threshold=0.9, dim=24, max_bucket_size=10
+        ).collect()
+    }
+    assert (100, 101) in capped
+    assert all(not (a < 40 and b < 40) for a, b in capped)
+    # audit view reports the oversized clique buckets before capping
+    stats = lsh_pair_bucket_stats(hyperplane_banded_buckets(df2, dim=24)).collect()
+    assert any(r.size >= 40 for r in stats)
