@@ -287,6 +287,16 @@ def _q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style kept set (rows-only: k-means cells are not
+    SQL-expressible; pytest pins the kept set vs a numpy recomputation
+    of the paper's upper-triangular rule)."""
+    from crawl4ai_spark.operators.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=16, threshold=0.35).select("vec_id")
+
+
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only; pytest checks recall
     against brute force)."""
@@ -913,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "langid_heuristic": _q_langid_heuristic,
         "bm25_scores": _q_bm25_scores,
@@ -1425,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curated_corpus": _curated_corpus_oracle_sql(),
         # minhash_lsh_pairs / simhash_candidates / ann_topk_lsh /
+        # semantic_dedup /
         # cosine_neardup_lsh / media_features: intentionally no oracle
         # (hash-permutation / LSH internals are not SQL-expressible) →
         # rows-only driver check; pytest asserts recall vs the exact

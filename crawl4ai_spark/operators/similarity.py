@@ -449,3 +449,75 @@ def cosine_cluster_chunks(
     return docs.select(
         F.col(id_col), F.posexplode(udf(F.col(text_col))).alias("section_index", "section")
     )
+
+
+def semantic_dedup_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Within-cell near-dup pairs (id_a < id_b, cosine ≥ threshold) over an
+    ``ivf_assign`` output. The self-join carries the cell key, so candidate
+    count is Σ|cell|²/2, not n²/2 — the SemDeDup decomposition (Abbas et
+    al. 2023, public): pick k ≈ n / target_cell_size so per-cell work stays
+    bounded as the corpus grows."""
+    a = assigned.select(
+        F.col("ivf_cell"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = assigned.select(
+        F.col("ivf_cell"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, ["ivf_cell"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(sim, round_to))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 16,
+    threshold: float = 0.95,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means cells (coarse
+    quantizer trained on a bounded deterministic sample), within-cell
+    cosine pairs ≥ threshold, then the paper's upper-triangular drop rule:
+    a row is dropped iff it has ANY smaller-id near-dup in its cell
+    (whether or not that row itself survives). Keep-lowest-id is the same
+    representative convention the exact-dedup and C4 span paths use, so
+    "keep one per group" semantics agree across the dedup family; on
+    chains (a~b, b~c, a≁c) this drops more than a connected-component
+    representative would — use ``graph.connected_components`` over
+    ``semantic_dedup_pairs`` when component-exact semantics matter.
+
+    Returns the kept rows (original columns). Approximation vs all-pairs:
+    near-dup pairs split across cell boundaries are not seen (recall of
+    the cell decomposition is pinned by test against the exact all-pairs
+    operator on clustered data).
+
+    100 TB shape: train is O(sample) on the driver; assign is one map
+    stage; the pair join shuffles by cell only; the drop set is a
+    broadcast-sized anti-join when drops are rare (the common case for
+    high thresholds) — no global sort, no driver loop over rows.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings, k=k, seed=seed, vec_col=vec_col
+        )
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    pairs = semantic_dedup_pairs(assigned, threshold, id_col, vec_col)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(dropped, [id_col], "left_anti")

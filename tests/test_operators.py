@@ -586,3 +586,51 @@ def test_cosine_neardup_lsh_precision_recall_and_cap(spark):
     # audit view reports the oversized clique buckets before capping
     stats = lsh_pair_bucket_stats(hyperplane_banded_buckets(df2, dim=24)).collect()
     assert any(r.size >= 40 for r in stats)
+
+
+def test_semantic_dedup_matches_numpy_rule(spark):
+    """Kept set equals the SemDeDup upper-triangular rule recomputed in
+    numpy over the same cell assignment; distinct cluster centers all
+    survive; result is deterministic across runs."""
+    import numpy as np
+
+    from crawl4ai_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in range(4):
+        for _ in range(15):
+            v = centers[c] + 0.05 * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_centroids(df, k=4)
+    kept = sorted(r.vec_id for r in semantic_dedup(df, centroids=cents, threshold=0.98).collect())
+    kept2 = sorted(r.vec_id for r in semantic_dedup(df, centroids=cents, threshold=0.98).collect())
+    assert kept == kept2  # deterministic
+
+    # numpy reference: same cells, same upper-triangular drop rule
+    cells = {r.vec_id: r.ivf_cell for r in ivf_assign(df, cents).collect()}
+    vecs = {i: np.asarray(v) for i, v in rows}
+    expect = []
+    for i, _ in rows:
+        dropped = False
+        for j, _ in rows:
+            if j < i and cells[j] == cells[i]:
+                a, b = vecs[i], vecs[j]
+                sim = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+                if sim >= 0.98:
+                    dropped = True
+                    break
+        if not dropped:
+            expect.append(i)
+    assert kept == expect
+    # every cluster keeps at least its first member; tight clusters shrink
+    assert len(kept) < 60 and all(any(cells[i] == c for i in kept) for c in set(cells.values()))
