@@ -130,6 +130,24 @@ def _find_all(root: Node, tag: str) -> list[tuple[Node, list[Node]]]:
     return [(n, a) for n, a in _iter_with_ancestors(root) if n.tag == tag]
 
 
+def _drop_tags_balanced(html: str, drop_tags: frozenset) -> bool:
+    """True when every drop tag present opens and closes the same number
+    of times — the precondition under which pruning drop-tag subtrees
+    from a tolerant full parse equals parse-time dropping (an unclosed
+    ``<iframe>`` swallows the rest of the document at parse time; a
+    post-prune would not). Conservative: a self-closing ``<svg/>`` counts
+    as an unmatched open and triggers the two-parse fallback."""
+    lower = html.lower()
+    for tag in drop_tags:
+        if tag not in lower:
+            continue
+        if len(re.findall(rf"<{tag}\b", lower)) != len(
+            re.findall(rf"</{tag}\s*>", lower)
+        ):
+            return False
+    return True
+
+
 # ──────────────────────────────────────────────────────────────────────────
 # media
 # ──────────────────────────────────────────────────────────────────────────
@@ -545,6 +563,29 @@ def scrape_page(
             "success": False,
         }
     root = parse_html(html, drop_tags=frozenset())
+
+    # snapshot tables before any battery mutation: same result as
+    # re-parsing the original html with DROP_TAGS (what extract_tables
+    # does), without the second full parse — tables under a DROP_TAGS
+    # ancestor are skipped and DROP_TAGS subtrees inside a table pruned.
+    # Equivalence to parse-time dropping holds only when every drop tag
+    # is properly closed (an *unclosed* <iframe> swallows the rest of the
+    # document at parse time, while post-pruning the tolerant full tree
+    # would not), so a cheap open/close-count guard falls back to the
+    # two-parse path on misnested input.
+    table_snapshots: list[Node] | None = None
+    if include_tables and "table" not in set(excluded_tags or ()):
+        from crawl4ai_spark.extraction.markdown import DROP_TAGS
+
+        if _drop_tags_balanced(html, DROP_TAGS):
+            table_snapshots = []
+            for t, ancestors in _find_all(root, "table"):
+                if any(a.tag in DROP_TAGS for a in ancestors):
+                    continue
+                snap = t.clone()
+                _remove_where(snap, lambda n: n.tag in DROP_TAGS)
+                table_snapshots.append(snap)
+
     base_domain = get_base_domain(url)
     exclude_domains = set(exclude_domains or ())
     if exclude_social_media_links:
@@ -598,11 +639,15 @@ def scrape_page(
     if include_tables and "table" not in set(excluded_tags or ()):
         # reference: table extraction strategy feeds media["tables"]
         # (content_scraping_strategy.py:849-858)
-        from crawl4ai_spark.extraction.tables import extract_tables
+        if table_snapshots is not None:
+            from crawl4ai_spark.extraction.tables import extract_table_data
 
-        media["tables"] = [
-            t for t in extract_tables(html) if t.get("is_data_table")
-        ]
+            candidates = (extract_table_data(s) for s in table_snapshots)
+        else:  # misnested drop tags: re-parse with parse-time dropping
+            from crawl4ai_spark.extraction.tables import extract_tables
+
+            candidates = iter(extract_tables(html))
+        media["tables"] = [t for t in candidates if t.get("is_data_table")]
 
     if remove_forms:
         _remove_where(root, lambda n: n.tag == "form")
@@ -649,7 +694,9 @@ def bm25_contextual_scores(query: str, docs: list[str], k1: float = 1.5, b: floa
     the same conventions the reference gets from the ``rank_bm25``
     library (``async_url_seeder.py:1703-1748`` _calculate_bm25_score →
     BM25Okapi defaults k1=1.5 b=0.75 epsilon=0.25; negative IDFs floored
-    at ε·avg-idf) and the same normalization: empty input → zeros,
+    at ε·avg-idf) and the same normalization: empty query/doc list →
+    zeros, *all-empty* docs → zeros (the reference's explicit pre-BM25
+    guard, async_url_seeder.py:1718-1721 — not the 0.5 all-equal case),
     all-equal scores → 0.5 each.
     """
     import math

@@ -266,7 +266,12 @@ def _table_rows(items: list[dict]) -> list[dict]:
     ]
 
 
-def _rich_link_rows(items: list[dict], contextual: list | None, query_provided: bool) -> list[dict]:
+def _rich_link_rows(
+    items: list[dict],
+    contextual: list | None,
+    query_provided: bool,
+    score_links: bool = True,
+) -> list[dict]:
     from crawl4ai_spark.extraction.scrape import link_total_score
 
     out = []
@@ -278,11 +283,13 @@ def _rich_link_rows(items: list[dict], contextual: list | None, query_provided: 
                 "text": d["text"],
                 "title": d["title"],
                 "base_domain": d["base_domain"],
-                "intrinsic_score": d["intrinsic_score"],
+                # None when scoring is off (reference Link.intrinsic_score
+                # stays unset unless config.score_links, models.py:373-383)
+                "intrinsic_score": d["intrinsic_score"] if score_links else None,
                 "contextual_score": ctx,
                 "total_score": link_total_score(
                     d["intrinsic_score"], ctx,
-                    score_links_enabled=True, query_provided=query_provided,
+                    score_links_enabled=score_links, query_provided=query_provided,
                 ),
             }
         )
@@ -311,6 +318,11 @@ def make_scrape_udf(query: str | None = None, fit: bool = False, **scrape_option
     """
     from crawl4ai_spark.extraction.scrape import bm25_contextual_scores, scrape_page
 
+    # score_links is a legitimate scrape_page option the loop defaults on
+    # (rich link structs need intrinsic scores); an explicit False disables
+    # scoring and the per-link struct carries None scores + neutral total.
+    score_links = bool(scrape_options.pop("score_links", True))
+
     if fit:
         from crawl4ai_spark.extraction.content_filter import fit_markdown as _fit
 
@@ -320,12 +332,12 @@ def make_scrape_udf(query: str | None = None, fit: bool = False, **scrape_option
         for h, u in zip(html, url):
             doc = _decode(h)
             u = u or ""
-            scraped = scrape_page(doc, u, score_links=True, **scrape_options)
+            scraped = scrape_page(doc, u, score_links=score_links, **scrape_options)
             meta = scraped["metadata"] or extract_head_meta(doc)
             internal = scraped["links"]["internal"]
             external = scraped["links"]["external"]
             ctx_i = ctx_e = None
-            if query is not None:
+            if query is not None and score_links:
                 # one BM25 batch over the page's whole link set (the
                 # reference normalizes across the scored batch too)
                 all_ctx = bm25_contextual_scores(
@@ -343,8 +355,8 @@ def make_scrape_udf(query: str | None = None, fit: bool = False, **scrape_option
                         "tables": _table_rows(scraped["media"].get("tables", [])),
                     },
                     "links": {
-                        "internal": _rich_link_rows(internal, ctx_i, query is not None),
-                        "external": _rich_link_rows(external, ctx_e, query is not None),
+                        "internal": _rich_link_rows(internal, ctx_i, query is not None, score_links),
+                        "external": _rich_link_rows(external, ctx_e, query is not None, score_links),
                     },
                     "markdown": generate_markdown_result(scraped["cleaned_html"], u),
                     "fit_markdown": _fit(scraped["cleaned_html"]) if fit else None,

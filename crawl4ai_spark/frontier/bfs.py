@@ -186,9 +186,21 @@ def _wave_work(fetched: DataFrame, mode: str, config: CrawlConfig) -> DataFrame:
         df = fetched.withColumn("links_raw", udf_extract_links(html_in, F.col("url")))
         extract_col = F.lit(None).cast("string").alias("extract")  # placeholder, pruned
         df = df.withColumn("extract", extract_col)
+        if config.fit_markdown:
+            # links mode has no cleaned_html; filter raw html like "full"
+            from crawl4ai_spark.extraction.udfs import udf_fit_markdown
+
+            fit_col = udf_fit_markdown(html_in)
     elif mode == "scrape":
         from crawl4ai_spark.extraction.udfs import make_scrape_udf
 
+        misplaced = {"query", "fit", "fit_markdown"} & set(config.scrape_options)
+        if misplaced:
+            raise ValueError(
+                f"scrape_options {sorted(misplaced)} belong on CrawlConfig "
+                "itself (CrawlConfig.query / CrawlConfig.fit_markdown), not "
+                "in scrape_options"
+            )
         scrape = make_scrape_udf(
             query=config.query, fit=config.fit_markdown, **config.scrape_options
         )

@@ -166,15 +166,14 @@ def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     bottom_up = height > 0
     height = abs(height)
     row_bytes = (width * 3 + 3) & ~3
-    out = bytearray(width * height * 3)
-    for y in range(height):
-        src_row = (height - 1 - y) if bottom_up else y
-        off = pixel_off + src_row * row_bytes
-        for x in range(width):
-            b, g, r = payload[off + x * 3 : off + x * 3 + 3]
-            i = (y * width + x) * 3
-            out[i : i + 3] = bytes((r, g, b))
-    return width, height, 3, bytes(out)
+    import numpy as np
+
+    # vectorized: strip per-row padding, flip bottom-up rows, BGR→RGB
+    data = np.frombuffer(payload, np.uint8, count=row_bytes * height, offset=pixel_off)
+    rows = data.reshape(height, row_bytes)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return width, height, 3, rows[:, :, ::-1].tobytes()
 
 
 def jpeg_probe(payload: bytes) -> tuple[int, int, int]:
@@ -186,19 +185,27 @@ def jpeg_probe(payload: bytes) -> tuple[int, int, int]:
 
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
-    pos = 2
-    while pos + 4 <= len(payload):
+    pos, n = 2, len(payload)
+    while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
-        marker = payload[pos + 1]
+        while pos < n and payload[pos] == 0xFF:  # spec: optional fill bytes
+            pos += 1
+        if pos >= n:
+            break
+        marker = payload[pos]
+        pos += 1
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
-            pos += 2
             continue
-        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker in (0xD9, 0xDA):  # EOI / SOS: SOF must have preceded
+            break
+        if pos + 2 > n:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):  # SOFn
-            height, width = struct.unpack(">HH", payload[pos + 5 : pos + 9])
-            return width, height, payload[pos + 9]
-        pos += 2 + seglen
+            height, width = struct.unpack(">HH", payload[pos + 3 : pos + 7])
+            return width, height, payload[pos + 7]
+        pos += seglen
     raise ValueError("JPEG without SOF")
 
 

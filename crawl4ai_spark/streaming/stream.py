@@ -25,10 +25,12 @@ def results_stream(spark: SparkSession, store_dir: str, schema=None) -> DataFram
     commit appears as new micro-batch input.
 
     Marker-consistent by construction: the WaveStore writes each wave to a
-    dot-prefixed staging dir (invisible to Spark's file listing) and
-    renames it into place only at commit, so this file source can never
-    observe an uncommitted wave — the stream's visibility IS the commit
-    marker's, with no filtering logic here.
+    sibling ``<root>/staging/<table>/wave=K`` dir — *outside* this streamed
+    ``tables/results`` path — and ``os.rename``s it into place only at
+    commit, so this file source can never observe an uncommitted wave —
+    the stream's visibility IS the commit rename's, with no filtering
+    logic here. (Keep staging outside the tables tree: a dot-prefix inside
+    it is NOT reliably invisible to Spark's listing.)
 
     ``schema`` defaults to the schema of the already-committed files
     (readStream requires one up front); pass it explicitly to tail a

@@ -357,3 +357,61 @@ def test_fit_markdown_drops_boilerplate_not_raw(spark, tmp_path):
     assert "central article text" in row.raw_markdown
     assert "central article text" in row.fit_markdown
     assert row.fit_markdown != row.raw_markdown
+
+
+def test_scrape_options_score_links_and_reserved_keys(spark, tmp_path):
+    """scrape_options={"score_links": False} is a legitimate scrape_page
+    option and must not collide with the loop's own kwargs (it used to
+    raise TypeError: multiple values for 'score_links'); reserved keys
+    get a clear error instead of a worker-side crash."""
+    import pytest
+
+    html = '<html><body><a href="http://s.test/docs/a">deep guide</a></body></html>'
+    pages = spark.createDataFrame(
+        [("http://s.test/", html.encode())], "url string, html binary"
+    )
+    seeds = spark.createDataFrame([("http://s.test/",)], "url string")
+    config = CrawlConfig(
+        max_depth=0, content_mode="scrape", use_bloom=False,
+        scrape_options={"score_links": False},
+    )
+    run_crawl(spark, pages, seeds, str(tmp_path / "store_nosl"), config)
+    store = WaveStore(spark, str(tmp_path / "store_nosl"))
+    row = store.read_table("results").where(F.col("status") == "fetched").head()
+    link = row.links.internal[0]
+    # scoring off: intrinsic unset, total falls back to the neutral 5.0
+    # (reference calculate_total_score without score_links)
+    assert link.intrinsic_score is None
+    assert link.total_score == 5.0
+
+    # misplaced CrawlConfig fields in scrape_options: clear driver-side error
+    bad = CrawlConfig(
+        max_depth=0, content_mode="scrape", use_bloom=False,
+        scrape_options={"query": "x"},
+    )
+    with pytest.raises(ValueError, match="CrawlConfig.query"):
+        run_crawl(spark, pages, seeds, str(tmp_path / "store_bad"), bad)
+
+
+def test_fit_markdown_in_links_mode(spark, tmp_path):
+    """CrawlConfig(fit_markdown=True) must be honored in the default
+    'links' content mode too (it used to be silently NULL)."""
+    body = (
+        "<html><body>"
+        '<nav class="menu"><a href="/a">x</a><a href="/b">y</a><a href="/c">z</a></nav>'
+        "<article><p>"
+        + "This is the long central article text that carries the page. " * 8
+        + "</p></article>"
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("http://f.test/a", body.encode())], "url string, html binary"
+    )
+    seeds = spark.createDataFrame([("http://f.test/a",)], "url string")
+    store_dir = str(tmp_path / "store_fit_links")
+    config = CrawlConfig(max_depth=0, content_mode="links", fit_markdown=True, use_bloom=False)
+    run_crawl(spark, pages, seeds, store_dir, config)
+    store = WaveStore(spark, store_dir)
+    row = store.read_table("results").select("fit_markdown").head()
+    assert row.fit_markdown is not None
+    assert "central article text" in row.fit_markdown

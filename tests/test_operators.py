@@ -485,6 +485,15 @@ def test_jpeg_gif_dimension_probes():
     sof = b"\xff\xc0" + struct.pack(">H", 8 + 3 * 3) + b"\x08" + struct.pack(">HH", 30, 20) + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
     jpeg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof
     assert jpeg_probe(jpeg) == (20, 30, 3)
+    # spec-valid fill bytes (extra 0xFF) before a marker must be skipped,
+    # not parsed as a standalone 0xFF marker + bogus segment length
+    padded = b"\xff\xd8" + b"\xff\xff\xff\xe0" + struct.pack(">H", 4) + b"JF" + b"\xff\xff" + sof
+    assert jpeg_probe(padded) == (20, 30, 3)
+    # EOI before any SOF ends the walk cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SOF"):
+        jpeg_probe(b"\xff\xd8\xff\xd9")
     gif = b"GIF89a" + struct.pack("<HH", 40, 25) + b"\x00\x00\x00"
     assert gif_probe(gif) == (40, 25, 3)
     fj = image_feature_decoder(jpeg, {})

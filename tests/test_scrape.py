@@ -225,3 +225,28 @@ def test_include_tables_in_media():
     # default off
     r3 = scrape_page(html, "http://site.com/")
     assert "tables" not in r3["media"]
+
+
+def test_table_snapshot_equals_reparse_on_drop_tags():
+    """The single-parse table snapshot must match extract_tables (which
+    re-parses with parse-time dropping) — including the misnested case
+    where an unclosed drop tag swallows the rest of the document."""
+    from crawl4ai_spark.extraction.tables import extract_tables
+
+    well_formed = (
+        "<body><p>intro words for context here</p>"
+        "<table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>x<script>junk()</script></td><td>1</td></tr>"
+        "<tr><td>y</td><td>2</td></tr></table>"
+        "<iframe src='/ad'></iframe></body>"
+    )
+    # unclosed iframe inside a cell: parse-time dropping swallows the rest
+    misnested = (
+        "<body><table><tr><th>a</th><th>b</th></tr>"
+        "<tr><td><iframe>x</td><td>1</td></tr>"
+        "<tr><td>2</td><td>3</td></tr></table></body>"
+    )
+    for html in (well_formed, misnested):
+        got = scrape_page(html, "http://site.com/", include_tables=True)["media"]["tables"]
+        want = [t for t in extract_tables(html) if t.get("is_data_table")]
+        assert got == want, html
