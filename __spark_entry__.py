@@ -395,6 +395,46 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_llm_extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM extraction orchestration (SURVEY §2.8 LLMExtractionStrategy;
+    rows-only: the model is the deterministic contract-faithful fake —
+    this env has no LLM service — while the Spark plumbing, token-budget
+    chunk merge, prompt construction, and response-parse ladder are real
+    and pytest-pinned in tests/test_llm_extract.py)."""
+    from crawl4ai_spark.extraction.llm_extract import (
+        llm_extract,
+        rule_based_completion_factory,
+    )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 100)
+    )
+    out = llm_extract(
+        docs,
+        rule_based_completion_factory,
+        content_col="text",
+        url_col=None,
+        extraction_type="block",
+        chunk_token_threshold=256,
+        overlap_rate=0.1,
+        word_token_rate=1.0,
+    )
+    blocks = F.from_json(
+        "extracted_content",
+        "array<struct<index:int,tags:array<string>,content:string,error:boolean>>",
+    )
+    return out.select(
+        "doc_id",
+        F.col("llm_usage.chunks").alias("n_chunks"),
+        F.size(blocks).alias("n_blocks"),
+        F.substring(F.element_at(blocks, 1).getField("content"), 1, 40).alias(
+            "first_block_prefix"
+        ),
+    )
+
+
 def _q_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML table extraction round-trip: render nation rows into per-region
     HTML tables, extract them back with the table operator (SURVEY §2.5)."""
@@ -939,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_revalidation": _q_cache_revalidation,
         "url_scoring": _q_url_scoring,
         "media_features": _q_media_features,
+        "llm_extract_blocks": _q_llm_extract_blocks,
         "regex_catalog": _q_regex_catalog,
         "media_extraction": _q_media_extraction,
         "cleaned_html_roundtrip": _q_cleaned_html_roundtrip,
@@ -1441,6 +1482,9 @@ def oracle_sql() -> dict[str, str]:
         # (hash-permutation / LSH internals are not SQL-expressible) →
         # rows-only driver check; pytest asserts recall vs the exact
         # operators instead.
+        # llm_extract_blocks: intentionally no oracle (prompt build +
+        # completion + parse ladder runs in Python by design; the fake
+        # model's outputs are pinned by tests/test_llm_extract.py).
     }
 
 
