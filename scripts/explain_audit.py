@@ -82,6 +82,21 @@ CHECKS = {
         ("BroadcastNestedLoopJoin", "1-row corpus constants broadcast, not shuffled"),
         ("ArrowEvalPython", "head extraction as one Arrow UDF pass"),
     ],
+    "ngram_jaccard_pairs": [
+        ("REPARTITION_BY_NUM", "raw docs repartitioned by id BEFORE the shingle explode — tokenizer runs cluster-wide and the lead window needs no second exchange (text bytes shuffled, not token rows)"),
+        ("xxhash64", "shingle hashing JVM-side — no Python in the hot path"),
+        ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
+    ],
+    "minhash_lsh_pairs": [
+        ("REPARTITION_BY_NUM", "shared shingle pipeline: repartition-before-explode (same as ngram)"),
+        ("MapInPandas", "signature reduction is one Arrow-batched numpy stage"),
+        ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
+    ],
+    "llm_extract_blocks": [
+        ("MapInPandas", "one Arrow-batched stage — completion client inits per partition, prompts batched per Arrow batch"),
+        ("!Exchange", "map-only: chunking, prompting, and parsing shuffle nothing"),
+        ("!BatchEvalPython", "no row-at-a-time Python UDF"),
+    ],
     "span_dedup": [
         ("Generate", "native posexplode of the span arrays (no Python tokenizer)"),
         ("!ArrowEvalPython", "whole pipeline JVM-side"),
