@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame, SparkSession
 COMMIT_DIR = "_commits"
 TABLES_DIR = "tables"
 STAGING_DIR = "staging"
+COMPACT_DIR = "compacted"
+TARGET_COMPACT_FILE_BYTES = 128 * 1024 * 1024  # ~one HDFS/S3-friendly split
 
 
 class WaveStore:
@@ -175,18 +177,146 @@ class WaveStore:
         with open(self._marker_path(wave)) as fh:
             return json.load(fh)
 
-    # ── readers (committed waves only) ───────────────────────────────
+    # ── compaction (the Iceberg rewrite-data-files maintenance analog) ─
 
-    def read_table(self, name: str, waves: list[int] | None = None) -> DataFrame | None:
-        """Union of a table's committed wave deltas (None → all committed)."""
-        if waves is None:
-            waves = self.committed_waves()
+    def _compact_path(self, name: str, upto: int) -> str:
+        return os.path.join(self.root, COMPACT_DIR, name, f"upto={upto}")
+
+    def _compact_marker_path(self, name: str) -> str:
+        return os.path.join(self.root, COMMIT_DIR, f"compact-{name}.json")
+
+    def compact_marker(self, name: str) -> dict | None:
+        try:
+            with open(self._compact_marker_path(name)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    @staticmethod
+    def _dir_bytes(path: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    def _delta_paths(self, name: str, waves: list[int]) -> list[str]:
         paths = [
             self._table_path(name, w)
             for w in waves
             if name in self.marker(w)["tables"] and self.marker(w)["counts"].get(name, 0) > 0
         ]
-        paths = [p for p in paths if os.path.exists(p)]
+        return [p for p in paths if os.path.exists(p)]
+
+    def compact(self, name: str, upto: int | None = None) -> dict:
+        """Fold a table's committed wave deltas ``(prev_upto, upto]`` —
+        plus the previous compact snapshot, if any — into ONE rewritten
+        snapshot dir sized to ~128 MB files. The small-files answer for
+        long crawls: ten thousand waves otherwise mean ten thousand tiny
+        parquet dirs per table, and every read/list scales with wave
+        count instead of data size (Iceberg's rewriteDataFiles action;
+        here the snapshot is a dir + marker under the same atomic
+        staging→rename→marker protocol as wave commits).
+
+        Incremental by construction: re-compacting reads the previous
+        snapshot + new deltas only, never re-reads folded waves. Folded
+        wave dirs stay on disk (crash-safe, and explicit
+        ``read_table(name, waves=[...])`` still works) until
+        :meth:`vacuum` reclaims them. Semantics: union-read (delta-style)
+        tables only — for snapshot-style tables (``host_state``) the
+        per-wave dirs ARE the history; compacting them changes
+        ``read_latest`` into a lie, so don't."""
+        committed = self.committed_waves()
+        if not committed:
+            raise ValueError("nothing committed to compact")
+        upto = committed[-1] if upto is None else upto
+        prev = self.compact_marker(name)
+        if prev and prev["upto"] >= upto:
+            return prev
+        lo = prev["upto"] if prev else -1
+        folded = [w for w in committed if lo < w <= upto]
+        paths = self._delta_paths(name, folded)
+        if prev and prev["rows"] > 0:
+            paths.insert(0, self._compact_path(name, prev["upto"]))
+        rows = 0
+        if paths:
+            src_bytes = sum(self._dir_bytes(p) for p in paths)
+            n_files = max(1, -(-src_bytes // TARGET_COMPACT_FILE_BYTES))
+            staging = os.path.join(self.root, STAGING_DIR, "_compact", name, f"upto={upto}")
+            df = self.spark.read.parquet(*paths)
+            df.repartition(n_files).write.mode("overwrite").parquet(staging)
+            rows = self._footer_row_count(staging)
+            final = self._compact_path(name, upto)
+            if os.path.exists(final):
+                import shutil
+
+                shutil.rmtree(final)  # orphan of a crashed compact replay
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            os.rename(staging, final)
+        marker = {
+            "table": name,
+            "upto": upto,
+            "rows": rows + (prev["rows"] if prev and not paths else 0),
+            "folded_waves": (prev["folded_waves"] if prev else []) + folded,
+            "compacted_at": time.time(),
+        }
+        tmp = self._compact_marker_path(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(marker, fh)
+        os.replace(tmp, self._compact_marker_path(name))  # atomic
+        return marker
+
+    def vacuum(self, name: str) -> list[str]:
+        """Delete wave-delta dirs folded into the CURRENT compact
+        snapshot, plus superseded compact snapshots. Irreversible: after
+        this, per-wave dir reads below ``upto`` are gone (rows keep their
+        ``wave`` column, so row-level history survives) and a NEW
+        ``results_stream`` checkpoint can no longer replay folded waves —
+        vacuum after downstream consumers are caught up, like any
+        snapshot-expiry."""
+        import shutil
+
+        cm = self.compact_marker(name)
+        if cm is None:
+            return []
+        removed = []
+        for w in self.committed_waves():
+            if w <= cm["upto"]:
+                p = self._table_path(name, w)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+                    removed.append(p)
+        base = os.path.join(self.root, COMPACT_DIR, name)
+        if os.path.isdir(base):
+            for d in os.listdir(base):
+                if d != f"upto={cm['upto']}":
+                    p = os.path.join(base, d)
+                    shutil.rmtree(p)
+                    removed.append(p)
+        return removed
+
+    # ── readers (committed waves only) ───────────────────────────────
+
+    def read_table(self, name: str, waves: list[int] | None = None) -> DataFrame | None:
+        """Union of a table's committed wave deltas (None → all
+        committed). The default read goes through the compact snapshot
+        when one exists — one big dir + the tail deltas committed since —
+        so read cost tracks data size, not wave count. Explicit ``waves``
+        always addresses the per-wave delta dirs (pre-vacuum)."""
+        if waves is None:
+            cm = self.compact_marker(name)
+            if cm is not None:
+                paths = (
+                    [self._compact_path(name, cm["upto"])] if cm["rows"] > 0 else []
+                )
+                paths += self._delta_paths(
+                    name, [w for w in self.committed_waves() if w > cm["upto"]]
+                )
+                if not paths:
+                    return None
+                return self.spark.read.parquet(*paths)
+            waves = self.committed_waves()
+        paths = self._delta_paths(name, waves)
         if not paths:
             return None
         # leaf wave=K dirs read as roots: no partition inference, so the

@@ -1,0 +1,142 @@
+"""WaveStore compaction/vacuum — the Iceberg rewrite-data-files +
+expire-snapshots analog for long crawls (small-files problem)."""
+import os
+
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.frontier.store import COMPACT_DIR, TABLES_DIR, WaveStore
+from tests.conftest import spark  # noqa: F401
+
+
+def _write_waves(spark, root, n_waves, rows_per_wave=10):  # noqa: F811
+    store = WaveStore(spark, root)
+    for w in range(n_waves):
+        df = spark.range(w * rows_per_wave, (w + 1) * rows_per_wave).select(
+            F.col("id").alias("url_fp"),
+            F.concat(F.lit("http://h.test/p"), F.col("id")).alias("url"),
+            F.lit(w).alias("wave"),
+        )
+        store.write_wave(w, {"results": df})
+    return store
+
+
+def _collected(store):
+    return sorted(
+        (r.url_fp, r.url, r.wave) for r in store.read_table("results").collect()
+    )
+
+
+def test_compact_preserves_read_and_folds_incrementally(spark, tmp_path):  # noqa: F811
+    store = _write_waves(spark, str(tmp_path / "s"), 4)
+    before = _collected(store)
+
+    m = store.compact("results", upto=2)
+    assert m["upto"] == 2 and m["rows"] == 30
+    assert sorted(m["folded_waves"]) == [0, 1, 2]
+    assert os.path.isdir(os.path.join(str(tmp_path / "s"), COMPACT_DIR, "results", "upto=2"))
+    # default read = snapshot + tail delta (wave 3), content identical
+    assert _collected(store) == before
+    # explicit wave addressing still hits the delta dirs
+    assert store.read_table("results", waves=[1]).count() == 10
+
+    # new waves after compaction are visible without recompacting
+    df = spark.range(40, 50).select(
+        F.col("id").alias("url_fp"),
+        F.concat(F.lit("http://h.test/p"), F.col("id")).alias("url"),
+        F.lit(4).alias("wave"),
+    )
+    store.write_wave(4, {"results": df})
+    assert store.read_table("results").count() == 50
+
+    # re-compact folds prev snapshot + new deltas only
+    m2 = store.compact("results")
+    assert m2["upto"] == 4 and m2["rows"] == 50
+    assert sorted(m2["folded_waves"]) == [0, 1, 2, 3, 4]
+    assert store.read_table("results").count() == 50
+    # idempotent when nothing new
+    assert store.compact("results")["compacted_at"] == m2["compacted_at"]
+
+
+def test_vacuum_reclaims_folded_dirs_reads_survive(spark, tmp_path):  # noqa: F811
+    root = str(tmp_path / "s")
+    store = _write_waves(spark, root, 3)
+    before = _collected(store)
+    store.compact("results", upto=1)
+    store.compact("results", upto=2)  # supersedes upto=1
+    removed = store.vacuum("results")
+    # wave dirs 0..2 and the superseded upto=1 snapshot are gone
+    assert len(removed) == 4
+    for w in range(3):
+        assert not os.path.exists(os.path.join(root, TABLES_DIR, "results", f"wave={w}"))
+    assert not os.path.exists(os.path.join(root, COMPACT_DIR, "results", "upto=1"))
+    assert _collected(store) == before
+    # a fresh reader (new store handle) sees the same data
+    assert _collected(WaveStore(spark, root)) == before
+
+
+def test_compact_reduces_file_count(spark, tmp_path):  # noqa: F811
+    root = str(tmp_path / "s")
+    store = WaveStore(spark, root)
+    for w in range(6):
+        df = spark.range(w * 100, (w + 1) * 100).repartition(8).select(
+            F.col("id").alias("url_fp"), F.lit(w).alias("wave")
+        )
+        store.write_wave(w, {"results": df})
+
+    def n_parquet_files():
+        total = 0
+        for dirpath, _dirs, files in os.walk(root):
+            if "staging" in dirpath:
+                continue
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    files_before = n_parquet_files()
+    store.compact("results")
+    store.vacuum("results")
+    assert store.read_table("results").count() == 600
+    # 6 waves × 8 files → a single ~tiny snapshot file
+    assert n_parquet_files() < files_before
+    assert n_parquet_files() == 1
+
+
+def test_orphan_compact_dir_without_marker_is_ignored(spark, tmp_path):  # noqa: F811
+    """Crash between snapshot rename and marker write: the orphan dir is
+    invisible (marker IS the commit point) and the retry overwrites it."""
+    root = str(tmp_path / "s")
+    store = _write_waves(spark, root, 2)
+    before = _collected(store)
+    # simulate: snapshot dir exists, no marker
+    orphan = os.path.join(root, COMPACT_DIR, "results", "upto=1")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    assert store.compact_marker("results") is None
+    assert _collected(store) == before  # reader ignores the orphan
+    m = store.compact("results", upto=1)  # retry overwrites it
+    assert m["rows"] == 20
+    assert _collected(store) == before
+
+
+def test_compact_empty_table_and_crawl_store_end_to_end(spark, tmp_path):  # noqa: F811
+    """Compaction over a real crawl loop's store: results and
+    frontier_delta fold without changing what resume-style readers see."""
+    from crawl4ai_spark.frontier.bfs import CrawlConfig, run_crawl
+    from crawl4ai_spark.synth.pages import generate_site, write_site_parquet
+
+    d = str(tmp_path / "site")
+    write_site_parquet(generate_site(n_hosts=2, cats=2, prods=3, seed=7), d)
+    pages = spark.read.parquet(os.path.join(d, "pages.parquet"))
+    seeds = pages.select("url").limit(2)
+    store_dir = str(tmp_path / "crawl_store")
+    run_crawl(spark, pages, seeds, store_dir, CrawlConfig(max_depth=2, use_bloom=False))
+
+    store = WaveStore(spark, store_dir)
+    res_before = sorted(r.url for r in store.read_table("results").collect())
+    fr_before = sorted(r.url for r in store.read_table("frontier_delta").collect())
+    for t in ("results", "frontier_delta", "metrics", "lineage"):
+        if store.read_table(t) is not None:
+            store.compact(t)
+            store.vacuum(t)
+    assert sorted(r.url for r in store.read_table("results").collect()) == res_before
+    assert sorted(r.url for r in store.read_table("frontier_delta").collect()) == fr_before
