@@ -50,7 +50,13 @@ def _q_crawl_wave(spark, sf_dir):
 
     from crawl4ai_spark.extraction.udfs import udf_full_extract
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # repartition the raw docs: the sf parquet is a single split, which
+    # would pin the Arrow UDF to one core — unrepresentative, since a real
+    # wave's extraction input arrives from the fetch-join exchange already
+    # spread across the cluster
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     pages = docs.select(
         "doc_id",
         F.concat(
@@ -75,7 +81,10 @@ def _q_crawl_wave_scrape(spark, sf_dir):
 
     from crawl4ai_spark.extraction.udfs import udf_scrape
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # same single-split repartition rationale as _q_crawl_wave
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     pages = docs.select(
         "doc_id",
         F.concat(
