@@ -420,11 +420,17 @@ def llm_fit_markdown(
 _CONTENT_RE = re.compile(r"<content>\n(.*)\n</content>", re.DOTALL)
 
 
+_UNESCAPE_MAP = {"b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t",
+                 '"': '"', "\\": "\\"}
+
+
 def _unescape_prompt_chunk(s: str) -> str:
-    for esc, raw in (("\\b", "\b"), ("\\f", "\f"), ("\\n", "\n"),
-                     ("\\r", "\r"), ("\\t", "\t")):
-        s = s.replace(esc, raw)
-    return s.replace('\\"', '"').replace("\\\\", "\\")
+    # single left-to-right pass — sequential .replace() calls corrupt a
+    # literal backslash followed by b/f/n/r/t (e.g. the text "C:\\bin")
+    return re.sub(
+        r"\\(.)", lambda m: _UNESCAPE_MAP.get(m.group(1), m.group(1)), s,
+        flags=re.DOTALL,
+    )
 
 
 def rule_based_completion_factory(init_marker: str = "") -> CompletionFn:

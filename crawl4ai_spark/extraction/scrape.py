@@ -130,20 +130,30 @@ def _find_all(root: Node, tag: str) -> list[tuple[Node, list[Node]]]:
     return [(n, a) for n, a in _iter_with_ancestors(root) if n.tag == tag]
 
 
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+
+
 def _drop_tags_balanced(html: str, drop_tags: frozenset) -> bool:
-    """True when every drop tag present opens and closes the same number
-    of times — the precondition under which pruning drop-tag subtrees
-    from a tolerant full parse equals parse-time dropping (an unclosed
-    ``<iframe>`` swallows the rest of the document at parse time; a
-    post-prune would not). Conservative: a self-closing ``<svg/>`` counts
-    as an unmatched open and triggers the two-parse fallback."""
-    lower = html.lower()
+    """True when, scanning left to right, every drop-tag open is matched
+    by a LATER close — the precondition under which pruning drop-tag
+    subtrees from a tolerant full parse equals parse-time dropping (an
+    unclosed ``<iframe>`` swallows the rest of the document at parse
+    time; a post-prune would not). Comments are stripped first (both
+    parsers ignore them, so tokens inside must not sway the count), stray
+    closes are ignored (both parsers drop them), and the scan is
+    order-aware — a plain count would call ``</iframe>…<iframe>``
+    balanced. Conservative: a self-closing ``<svg/>`` counts as an
+    unmatched open and triggers the two-parse fallback."""
+    lower = _COMMENT_RE.sub("", html.lower())
     for tag in drop_tags:
         if tag not in lower:
             continue
-        if len(re.findall(rf"<{tag}\b", lower)) != len(
-            re.findall(rf"</{tag}\s*>", lower)
-        ):
+        events = [(m.start(), 1) for m in re.finditer(rf"<{tag}\b", lower)]
+        events += [(m.start(), -1) for m in re.finditer(rf"</{tag}\s*>", lower)]
+        depth = 0
+        for _, d in sorted(events):
+            depth = max(0, depth + d)  # floor: stray close is a no-op
+        if depth != 0:
             return False
     return True
 

@@ -402,6 +402,13 @@ def run_crawl(
     mode = config.content_mode or ("links" if config.links_only else "full")
     if mode not in ("links", "full", "scrape"):
         raise ValueError(f"unknown content_mode {mode!r}")
+    if config.score_from_links and mode != "scrape":
+        # only the scrape battery computes per-link scores; silently
+        # degrading best-first to constant-score order would be a trap
+        raise ValueError(
+            "CrawlConfig.score_from_links requires content_mode='scrape' "
+            f"(got {mode!r})"
+        )
     store = WaveStore(spark, store_dir)
     store.recover()  # drop stale staging dirs from a killed run
     # optional status_code column drives the throttle path (429/503 →
@@ -438,19 +445,22 @@ def run_crawl(
         shards = store.read_table("seen_bloom") if config.use_bloom else None
         wave = last + 1
         committed = store.committed_waves()
-        if all("metrics" in store.marker(w)["tables"] for w in committed):
+        scalars = (
+            [store.read_scalar("metrics", w, "n_attempted") for w in committed]
+            if all("metrics" in store.marker(w)["tables"] for w in committed)
+            else [None]
+        )
+        if any(s is None for s in scalars):
+            # a wave's metrics dir is gone (compacted+vacuumed store) or a
+            # wave predates the metrics table — recount, never assume 0
+            total_attempted = attempted.count() if attempted is not None else 0
+        else:
             # per-wave n_attempted scalars from the metrics deltas —
             # driver-side pyarrow reads, no Spark job on resume
-            total_attempted = sum(
-                int(store.read_scalar("metrics", w, "n_attempted") or 0)
-                for w in committed
-            )
-        else:
-            total_attempted = attempted.count() if attempted is not None else 0
+            total_attempted = sum(int(s) for s in scalars)
         seed_delta = None
         frontier_total = sum(
-            store.marker(w)["counts"].get("frontier_delta", 0)
-            for w in store.committed_waves()
+            store.marker(w)["counts"].get("frontier_delta", 0) for w in committed
         )
 
     summary = {"waves": [], "resumed_from": last}

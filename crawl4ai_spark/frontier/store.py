@@ -53,6 +53,9 @@ class WaveStore:
         self.spark = spark
         self.root = root
         self._pending: dict[int, dict[str, int]] = {}
+        # markers are immutable once written — memoize so resume over
+        # thousands of waves parses each JSON once, not once per use
+        self._markers: dict[int, dict] = {}
         os.makedirs(os.path.join(root, COMMIT_DIR), exist_ok=True)
 
     def recover(self) -> None:
@@ -111,12 +114,16 @@ class WaveStore:
         """Driver-side read of a single-column value from a tiny written
         table (e.g. the one-row metrics delta) — pyarrow, no Spark job.
         Reads staging before commit, the final path after. Returns the
-        first non-null value, or None if the table is empty."""
+        first non-null value, or None if the table is empty — or if the
+        per-wave dir no longer exists (vacuumed after compaction; callers
+        must treat None as "recompute", not zero)."""
         import pyarrow.parquet as pq
 
         path = self._staging_path(name, wave)
         if not os.path.exists(path):
             path = self._table_path(name, wave)
+        if not os.path.exists(path):
+            return None
         for fname in sorted(os.listdir(path)):
             if fname.endswith(".parquet"):
                 col = pq.read_table(os.path.join(path, fname), columns=[column])[column]
@@ -153,6 +160,7 @@ class WaveStore:
         with open(tmp, "w") as fh:
             json.dump(marker, fh)
         os.replace(tmp, self._marker_path(wave))  # atomic commit point
+        self._markers[wave] = marker
         return marker
 
     def write_wave(self, wave: int, tables: dict[str, DataFrame], meta: dict | None = None) -> dict:
@@ -174,8 +182,10 @@ class WaveStore:
         return waves[-1] if waves else None
 
     def marker(self, wave: int) -> dict:
-        with open(self._marker_path(wave)) as fh:
-            return json.load(fh)
+        if wave not in self._markers:
+            with open(self._marker_path(wave)) as fh:
+                self._markers[wave] = json.load(fh)
+        return self._markers[wave]
 
     # ── compaction (the Iceberg rewrite-data-files maintenance analog) ─
 
@@ -230,6 +240,14 @@ class WaveStore:
         if not committed:
             raise ValueError("nothing committed to compact")
         upto = committed[-1] if upto is None else upto
+        if upto > committed[-1]:
+            # a marker beyond the last committed wave would make waves
+            # committed later with numbers <= upto invisible to default
+            # reads and eligible for vacuum — irreversible loss
+            raise ValueError(
+                f"compact upto={upto} is beyond the last committed wave "
+                f"{committed[-1]}"
+            )
         prev = self.compact_marker(name)
         if prev and prev["upto"] >= upto:
             return prev
@@ -280,12 +298,13 @@ class WaveStore:
         if cm is None:
             return []
         removed = []
-        for w in self.committed_waves():
-            if w <= cm["upto"]:
-                p = self._table_path(name, w)
-                if os.path.exists(p):
-                    shutil.rmtree(p)
-                    removed.append(p)
+        # only waves the snapshot actually folded — never a dir the
+        # snapshot does not contain, whatever its number
+        for w in cm["folded_waves"]:
+            p = self._table_path(name, w)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+                removed.append(p)
         base = os.path.join(self.root, COMPACT_DIR, name)
         if os.path.isdir(base):
             for d in os.listdir(base):

@@ -88,7 +88,10 @@ def shingle_hash_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> Da
     observed on the sf0.1 bench).
     """
     assert 1 <= n <= 5  # n=1 → term sets (consistency_stats estimator)
-    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # "auto" on AQE-managed deployments
+        nparts = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.repartition(nparts, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(clean_terms_col(F.col(text_col))).alias("pos", "tok"),
@@ -310,14 +313,20 @@ def lsh_banded_buckets(
     )
 
 
-def lsh_bucket_stats(banded: DataFrame, min_size: int = 2) -> DataFrame:
-    """(band, bucket, size) — audit view for bucket-cap decisions (no
-    silent truncation: callers inspect what a cap would drop)."""
+def bucket_stats(df: DataFrame, keys: list[str], min_size: int = 2) -> DataFrame:
+    """(*keys, size) — the shared audit view behind every bucket-cap
+    decision (MinHash bands, SimHash chunks, hyperplane-LSH pair buckets):
+    no silent truncation — callers inspect what a cap would drop."""
     return (
-        banded.groupBy("band", "bucket")
+        df.groupBy(*keys)
         .agg(F.count("*").alias("size"))
         .where(F.col("size") >= min_size)
     )
+
+
+def lsh_bucket_stats(banded: DataFrame, min_size: int = 2) -> DataFrame:
+    """(band, bucket, size) — audit view for bucket-cap decisions."""
+    return bucket_stats(banded, ["band", "bucket"], min_size)
 
 
 def minhash_lsh_pairs(
@@ -397,13 +406,8 @@ def simhash_chunks(
 def simhash_chunk_stats(chunked: DataFrame, min_size: int = 2) -> DataFrame:
     """(chunk_idx, chunk, size) — audit view for the degenerate-chunk cap
     (the SimHash analog of :func:`lsh_bucket_stats`: near-empty /
-    boilerplate corpora share identical 16-bit chunks, so callers inspect
-    what a cap would drop — no silent truncation)."""
-    return (
-        chunked.groupBy("chunk_idx", "chunk")
-        .agg(F.count("*").alias("size"))
-        .where(F.col("size") >= min_size)
-    )
+    boilerplate corpora share identical 16-bit chunks)."""
+    return bucket_stats(chunked, ["chunk_idx", "chunk"], min_size)
 
 
 def simhash_candidate_pairs(

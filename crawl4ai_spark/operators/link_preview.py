@@ -101,7 +101,16 @@ def okapi_bm25(
         "term",
         F.when(F.col("raw") < 0, epsilon * F.col("avg_idf")).otherwise(F.col("raw")).alias("idf"),
     )
-    q_terms = [t for t in query.lower().split() if t]
+    # rank_bm25 iterates the query WITH multiplicity — "alpha alpha beta"
+    # adds alpha's term score twice — so weight each distinct term by its
+    # query count instead of deduplicating it away
+    from collections import Counter
+
+    q_mult = Counter(t for t in query.lower().split() if t)
+    q_terms = list(q_mult)
+    q_weight = F.create_map(
+        *[F.lit(x) for t, c in q_mult.items() for x in (t, float(c))]
+    )
     tf = (
         toks.where(F.col("term").isin(q_terms))
         .groupBy("id", "term")
@@ -114,7 +123,8 @@ def okapi_bm25(
         .select(
             "id",
             (
-                F.col("idf")
+                F.element_at(q_weight, F.col("term"))
+                * F.col("idf")
                 * F.col("tf")
                 * (k1 + 1)
                 / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))

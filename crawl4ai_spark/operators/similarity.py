@@ -189,7 +189,9 @@ def cosine_neardup_lsh_pairs(
     :func:`lsh_pair_bucket_stats` before capping — no silent truncation.
     """
     if dim is None:
-        head = embeddings.select(vec_col).head()
+        # skip NULL embeddings (audit rows from failed upstream encoders)
+        # instead of len(None)-crashing on an unlucky first row
+        head = embeddings.select(vec_col).where(F.col(vec_col).isNotNull()).head()
         dim = len(head[0]) if head else 0
     banded = hyperplane_banded_buckets(
         embeddings, dim, bands, planes_per_band, seed, id_col, vec_col
@@ -230,11 +232,9 @@ def cosine_neardup_lsh_pairs(
 
 def lsh_pair_bucket_stats(banded: DataFrame, min_size: int = 2) -> DataFrame:
     """(band, bucket, size) audit view for the near-dup bucket cap."""
-    return (
-        banded.groupBy("band", "bucket")
-        .agg(F.count("*").alias("size"))
-        .where(F.col("size") >= min_size)
-    )
+    from crawl4ai_spark.operators.dedup import bucket_stats
+
+    return bucket_stats(banded, ["band", "bucket"], min_size)
 
 
 def kmeans_centroids(

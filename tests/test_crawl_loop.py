@@ -415,3 +415,17 @@ def test_fit_markdown_in_links_mode(spark, tmp_path):
     row = store.read_table("results").select("fit_markdown").head()
     assert row.fit_markdown is not None
     assert "central article text" in row.fit_markdown
+
+
+def test_score_from_links_requires_scrape_mode(spark, tmp_path):
+    """score_from_links outside content_mode='scrape' must fail loudly,
+    not silently degrade best-first to constant-score order."""
+    import pytest
+
+    pages = spark.createDataFrame(
+        [("http://s.test/", b"<html><body>x</body></html>")], "url string, html binary"
+    )
+    seeds = spark.createDataFrame([("http://s.test/",)], "url string")
+    bad = CrawlConfig(max_depth=0, score_from_links=True, use_bloom=False)
+    with pytest.raises(ValueError, match="score_from_links"):
+        run_crawl(spark, pages, seeds, str(tmp_path / "s"), bad)

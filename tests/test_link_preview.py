@@ -103,3 +103,23 @@ def test_link_preview_head_data_map(spark):
     assert out["http://x.test/a"].head_data["title"] == "spark tuning"
     assert out["http://x.test/a"].head_data["description"] == "go fast"
     assert out["http://x.test/a"].contextual_score == 1.0
+
+
+def test_okapi_bm25_query_term_multiplicity(spark):
+    """rank_bm25 iterates the query WITH multiplicity: 'alpha alpha'
+    must score exactly 2x 'alpha' per doc (same term, weight doubled)."""
+    from crawl4ai_spark.operators.link_preview import okapi_bm25
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha delta"), (3, "epsilon zeta")],
+        "id long, text string",
+    )
+    single = {r.id: r.bm25_raw for r in okapi_bm25(docs, "alpha").collect()}
+    double = {r.id: r.bm25_raw for r in okapi_bm25(docs, "alpha alpha").collect()}
+    for i in (1, 2, 3):
+        assert abs(double[i] - 2 * single[i]) < 1e-9
+    # and a mixed query is the weighted sum of its parts
+    beta = {r.id: r.bm25_raw for r in okapi_bm25(docs, "beta").collect()}
+    mixed = {r.id: r.bm25_raw for r in okapi_bm25(docs, "alpha alpha beta").collect()}
+    for i in (1, 2, 3):
+        assert abs(mixed[i] - (2 * single[i] + beta[i])) < 1e-9

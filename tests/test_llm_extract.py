@@ -195,3 +195,17 @@ def test_llm_extract_schema_mode_plan_is_single_python_stage(spark):  # noqa: F8
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_escape_unescape_roundtrip_backslash_sequences():
+    from crawl4ai_spark.extraction.llm_extract import (
+        _unescape_prompt_chunk,
+        escape_json_string,
+    )
+
+    for text in (
+        "C:\\bin and D:\\tools",
+        'quote " tab\t nl\n end',
+        "\\\\double \\n literal",
+    ):
+        assert _unescape_prompt_chunk(escape_json_string(text)) == text

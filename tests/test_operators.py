@@ -643,3 +643,14 @@ def test_semantic_dedup_matches_numpy_rule(spark):
     assert kept == expect
     # every cluster keeps at least its first member; tight clusters shrink
     assert len(kept) < 60 and all(any(cells[i] == c for i in kept) for c in set(cells.values()))
+
+
+def test_cosine_neardup_lsh_null_embedding_dim_inference(spark):
+    from crawl4ai_spark.operators.similarity import cosine_neardup_lsh_pairs
+
+    rows = [(0, None), (1, [1.0, 0.0, 0.0]), (2, [0.99, 0.1, 0.0]), (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    pairs = cosine_neardup_lsh_pairs(df.where("embedding is not null"), threshold=0.8)
+    # dim inferred despite the NULL row being first in layout order
+    pairs2 = cosine_neardup_lsh_pairs(df, threshold=0.8)
+    assert pairs.count() >= 1 and pairs2.count() >= 1

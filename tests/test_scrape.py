@@ -250,3 +250,36 @@ def test_table_snapshot_equals_reparse_on_drop_tags():
         got = scrape_page(html, "http://site.com/", include_tables=True)["media"]["tables"]
         want = [t for t in extract_tables(html) if t.get("is_data_table")]
         assert got == want, html
+
+
+def test_drop_tags_balance_guard_comments_and_order():
+    """The single-parse guard must not be swayed by tokens inside
+    comments, and must be order-aware (a stray close before an unclosed
+    open is NOT balance) — both cases fall back to the re-parse path and
+    must still match extract_tables exactly."""
+    from crawl4ai_spark.extraction.markdown import DROP_TAGS
+    from crawl4ai_spark.extraction.scrape import _drop_tags_balanced
+    from crawl4ai_spark.extraction.tables import extract_tables
+
+    # close inside a comment + real unclosed open: counts would balance
+    commented = (
+        "<body><!-- </iframe> --><iframe>"
+        "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>"
+    )
+    assert _drop_tags_balanced(commented, DROP_TAGS) is False
+    # stray close BEFORE an unclosed open: same total counts, not balanced
+    reordered = (
+        "<body></iframe><p>x</p><iframe>"
+        "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>"
+    )
+    assert _drop_tags_balanced(reordered, DROP_TAGS) is False
+    # a fully-commented drop tag is fine (both parsers ignore comments)
+    ok = (
+        "<body><!-- <iframe></iframe> -->"
+        "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table></body>"
+    )
+    assert _drop_tags_balanced(ok, DROP_TAGS) is True
+    for html in (commented, reordered, ok):
+        got = scrape_page(html, "http://site.com/", include_tables=True)["media"]["tables"]
+        want = [t for t in extract_tables(html) if t.get("is_data_table")]
+        assert got == want, html

@@ -140,3 +140,49 @@ def test_compact_empty_table_and_crawl_store_end_to_end(spark, tmp_path):  # noq
             store.vacuum(t)
     assert sorted(r.url for r in store.read_table("results").collect()) == res_before
     assert sorted(r.url for r in store.read_table("frontier_delta").collect()) == fr_before
+
+
+def test_compact_upto_beyond_committed_raises(spark, tmp_path):  # noqa: F811
+    import pytest
+
+    store = _write_waves(spark, str(tmp_path / "s"), 2)
+    with pytest.raises(ValueError, match="beyond the last committed"):
+        store.compact("results", upto=999)
+
+
+def test_vacuum_only_removes_folded_waves(spark, tmp_path):  # noqa: F811
+    root = str(tmp_path / "s")
+    store = _write_waves(spark, root, 4)
+    store.compact("results", upto=1)
+    removed = store.vacuum("results")
+    assert len(removed) == 2  # waves 0 and 1 only
+    for w in (2, 3):
+        assert os.path.exists(os.path.join(root, TABLES_DIR, "results", f"wave={w}"))
+    assert store.read_table("results").count() == 40
+
+
+def test_resume_survives_metrics_vacuum(spark, tmp_path):  # noqa: F811
+    """read_scalar returns None for vacuumed dirs and resume recounts
+    instead of crashing (or silently assuming 0 attempted)."""
+    from crawl4ai_spark.frontier.bfs import CrawlConfig, run_crawl
+    from crawl4ai_spark.synth.pages import generate_site, write_site_parquet
+
+    d = str(tmp_path / "site")
+    write_site_parquet(generate_site(n_hosts=2, cats=2, prods=3, seed=7), d)
+    pages = spark.read.parquet(os.path.join(d, "pages.parquet"))
+    seeds = pages.select("url").limit(2)
+    store_dir = str(tmp_path / "crawl_store")
+    cfg = CrawlConfig(max_depth=1, use_bloom=False)
+    run_crawl(spark, pages, seeds, store_dir, cfg)
+
+    store = WaveStore(spark, store_dir)
+    n_before = store.read_table("results").count()
+    store.compact("metrics")
+    store.vacuum("metrics")
+    assert store.read_scalar("metrics", 0, "n_attempted") is None
+    # resume on the vacuumed store: no crash, nothing re-attempted
+    summary = run_crawl(spark, pages, seeds, store_dir, cfg)
+    assert WaveStore(spark, store_dir).read_table("results").count() == n_before
+    assert summary["waves"] == [] or all(
+        w.get("n_attempted", 0) == 0 for w in summary["waves"]
+    )
