@@ -186,3 +186,41 @@ def test_resume_survives_metrics_vacuum(spark, tmp_path):  # noqa: F811
     assert summary["waves"] == [] or all(
         w.get("n_attempted", 0) == 0 for w in summary["waves"]
     )
+
+
+def test_compaction_soak_random_schedules(spark, tmp_path):  # noqa: F811
+    """Seeded-random interleavings of write/compact/vacuum: the default
+    read must always equal the append-only history, whatever the
+    maintenance schedule."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        root = str(tmp_path / f"s{trial}")
+        store = WaveStore(spark, root)
+        expect = []
+        wave = 0
+        for _step in range(rng.randint(6, 10)):
+            op = rng.choice(["write", "write", "write", "compact", "vacuum"])
+            if op == "write":
+                lo = wave * 7
+                rows = [(lo + i, wave) for i in range(rng.randint(0, 5))]
+                df = spark.createDataFrame(
+                    rows or [(None, None)], "url_fp long, wave int"
+                )
+                if not rows:
+                    df = df.where("url_fp is not null")
+                store.write_wave(wave, {"results": df})
+                expect += rows
+                wave += 1
+            elif op == "compact" and store.committed_waves():
+                upto = rng.choice(store.committed_waves())
+                store.compact("results", upto=upto)
+            elif op == "vacuum":
+                store.vacuum("results")
+        got = (
+            sorted((r.url_fp, r.wave) for r in store.read_table("results").collect())
+            if store.read_table("results") is not None
+            else []
+        )
+        assert got == sorted(expect), f"trial {trial}"
