@@ -101,6 +101,11 @@ class CrawlConfig:
     # (requires content_mode="scrape"; reference link-preview-driven
     # best-first). Takes effect only when no explicit scorer is set.
     score_from_links: bool = False
+    # fold each delta table's wave dirs into one sized snapshot when the
+    # crawl finishes (WaveStore.compact + vacuum) — a 10^4-wave crawl
+    # otherwise leaves 10^4 tiny parquet dirs per table. Post-loop only:
+    # vacuum deletes files a live wave's lazy plans may still reference.
+    compact_on_finish: bool = False
     use_bloom: bool = True
     n_bloom_shards: int = 16
     bloom_fpp: float = 0.01
@@ -636,4 +641,14 @@ def run_crawl(
 
     summary["total_attempted"] = total_attempted
     summary["final_wave"] = wave - 1
+    if config.compact_on_finish and store.committed_waves():
+        compacted = {}
+        # delta-style tables only — host_state is snapshot-style (its
+        # per-wave dirs ARE the history read_latest walks)
+        for t in ("results", "frontier_delta", "seen_bloom", "metrics", "lineage"):
+            if store.read_table(t) is not None:
+                m = store.compact(t)
+                store.vacuum(t)
+                compacted[t] = m["rows"]
+        summary["compacted"] = compacted
     return summary

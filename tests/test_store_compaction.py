@@ -224,3 +224,31 @@ def test_compaction_soak_random_schedules(spark, tmp_path):  # noqa: F811
             else []
         )
         assert got == sorted(expect), f"trial {trial}"
+
+
+def test_compact_on_finish_config_and_resume(spark, tmp_path):  # noqa: F811
+    """CrawlConfig(compact_on_finish=True): the finished store is folded
+    (one snapshot per delta table, wave dirs vacuumed) and a resume run
+    on it neither crashes nor re-attempts anything."""
+    from crawl4ai_spark.frontier.bfs import CrawlConfig, run_crawl
+    from crawl4ai_spark.synth.pages import generate_site, write_site_parquet
+
+    d = str(tmp_path / "site")
+    write_site_parquet(generate_site(n_hosts=2, cats=2, prods=3, seed=7), d)
+    pages = spark.read.parquet(os.path.join(d, "pages.parquet"))
+    seeds = pages.select("url").limit(2)
+    store_dir = str(tmp_path / "crawl_store")
+    cfg = CrawlConfig(max_depth=1, use_bloom=True, compact_on_finish=True)
+    summary = run_crawl(spark, pages, seeds, store_dir, cfg)
+    assert summary["compacted"]["results"] > 0
+
+    store = WaveStore(spark, store_dir)
+    n_results = store.read_table("results").count()
+    # wave dirs folded away, snapshot present
+    assert not os.path.exists(
+        os.path.join(store_dir, TABLES_DIR, "results", "wave=0")
+    )
+    assert os.path.isdir(os.path.join(store_dir, COMPACT_DIR, "results"))
+    # resume over the compacted store
+    summary2 = run_crawl(spark, pages, seeds, store_dir, cfg)
+    assert WaveStore(spark, store_dir).read_table("results").count() == n_results
