@@ -125,3 +125,46 @@ def test_corpus_parity():
         ref_raw, _, _ = reference_markdown(html, page["url"])
         assert page["text"] == ref_raw, f"text != reference for {page['url']}"
         _assert_parity(html, page["url"])
+
+
+WIKI_FIXTURE = "/root/reference/tests/async/sample_wikipedia.html"
+
+
+def test_reference_wikipedia_fixture_parity():
+    """The reference's own 768 KB real-Wikipedia test fixture
+    (tests/async/sample_wikipedia.html, used by its content-extraction
+    suite) through both converters — byte-equal on all three outputs."""
+    import os
+
+    if not os.path.exists(WIKI_FIXTURE):
+        pytest.skip("reference fixture not present")
+    with open(WIKI_FIXTURE, encoding="utf-8", errors="replace") as fh:
+        html = fh.read()
+    base = "https://en.wikipedia.org/wiki/Test"
+    ours = generate_markdown_result(html, base)
+    raw, cited, refs = reference_markdown(html, base_url=base)
+    assert ours["raw_markdown"] == raw
+    assert ours["markdown_with_citations"] == cited
+    assert ours["references_markdown"] == refs
+    assert len(raw) > 10_000  # sanity: the page actually converted
+
+
+def test_reference_wikipedia_fixture_scrape_battery():
+    """Same real page through the scrape battery: structural sanity on a
+    document none of our fixtures synthesized."""
+    import os
+
+    if not os.path.exists(WIKI_FIXTURE):
+        pytest.skip("reference fixture not present")
+    from crawl4ai_spark.extraction.scrape import scrape_page
+
+    with open(WIKI_FIXTURE, encoding="utf-8", errors="replace") as fh:
+        html = fh.read()
+    r = scrape_page(html, "https://en.wikipedia.org/wiki/Test",
+                    score_links=True, include_tables=True)
+    assert r["success"]
+    assert len(r["links"]["internal"]) > 50
+    assert all(
+        l["intrinsic_score"] is not None for l in r["links"]["internal"][:10]
+    )
+    assert r["cleaned_html"] and "<script" not in r["cleaned_html"].lower()
