@@ -123,3 +123,19 @@ def test_okapi_bm25_query_term_multiplicity(spark):
     mixed = {r.id: r.bm25_raw for r in okapi_bm25(docs, "alpha alpha beta").collect()}
     for i in (1, 2, 3):
         assert abs(mixed[i] - (2 * single[i] + beta[i])) < 1e-9
+
+
+def test_calculate_total_score_reference_regression_cases():
+    """The four calculate_total_score cases from the reference's own
+    tests/test_merge_head_data_scoring.py (regression for its issue
+    #1749) — pinned verbatim against our link_total_score."""
+    from crawl4ai_spark.extraction.scrape import link_total_score
+
+    # intrinsic only → passthrough
+    assert link_total_score(5.0, None, score_links_enabled=True, query_provided=True) == 5.0
+    # scoring disabled → neutral 5.0 regardless of inputs
+    assert link_total_score(8.0, 0.5, score_links_enabled=False, query_provided=True) == 5.0
+    # both → 0.7·intrinsic + 0.3·(contextual·10): 5.6 + 1.5
+    assert abs(link_total_score(8.0, 0.5, score_links_enabled=True, query_provided=True) - 7.1) < 0.01
+    # nothing → 0.0
+    assert link_total_score(None, None, score_links_enabled=True, query_provided=False) == 0.0
