@@ -1,0 +1,35 @@
+"""Package the engine for `spark-submit --py-files` (the north-rule ship
+shape: one zip, no install step on the cluster).
+
+    python scripts/package_pyfiles.py            # -> dist/crawl4ai_spark.zip
+    spark-submit --py-files dist/crawl4ai_spark.zip your_job.py
+
+The zip holds the pure-Python package only (stdlib + numpy/pandas/pyarrow,
+all present on any PySpark executor image); no data files, no tests.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out_path: str | None = None) -> str:
+    out_path = out_path or os.path.join(REPO, "dist", "crawl4ai_spark.zip")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pkg = os.path.join(REPO, "crawl4ai_spark")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, dirnames, filenames in os.walk(pkg):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for fname in sorted(filenames):
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fname)
+                zf.write(full, os.path.relpath(full, REPO))
+    return out_path
+
+
+if __name__ == "__main__":
+    print(build(sys.argv[1] if len(sys.argv) > 1 else None))
