@@ -16,7 +16,8 @@ the reference's per-host cache.
 
 from __future__ import annotations
 
-from urllib.robotparser import RobotFileParser
+import re
+from urllib.robotparser import RobotFileParser, RuleLine
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -25,6 +26,33 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
 ROBOTS_TTL_DAYS = 7
+
+# Stock RuleLine percent-encodes "*", so a wildcard rule like
+# "Disallow: /private/*" NEVER matches anything — the reference patches
+# applies_to to treat "*" as a glob (utils.py:57-73). Replicated verbatim
+# for byte-level parity, INCLUDING its quirk: the trailing-"$" anchor
+# branch is dead code, because RuleLine quotes "$" to "%24" before the
+# patch sees it, so "$"-anchored rules match nothing (pinned by
+# test_robots_wildcard_and_anchor_rules). Module-level so driver and
+# executors (which import this module for the UDF) agree.
+_original_applies_to = RuleLine.applies_to
+
+
+def _patched_applies_to(self, filename):
+    if "*" in self.path or "%2A" in self.path or self.path in ("*", "%2A"):
+        pattern = self.path.replace("%2A", "*")
+        pattern = re.escape(pattern).replace("\\*", ".*")
+        pattern = "^" + pattern
+        if pattern.endswith("\\$"):
+            pattern = pattern[:-2] + "$"
+        try:
+            return bool(re.match(pattern, filename))
+        except re.error:
+            return _original_applies_to(self, filename)
+    return _original_applies_to(self, filename)
+
+
+RuleLine.applies_to = _patched_applies_to
 
 
 def _make_parser(rules_text: str) -> RobotFileParser | None:

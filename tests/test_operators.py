@@ -654,3 +654,39 @@ def test_cosine_neardup_lsh_null_embedding_dim_inference(spark):
     # dim inferred despite the NULL row being first in layout order
     pairs2 = cosine_neardup_lsh_pairs(df, threshold=0.8)
     assert pairs.count() >= 1 and pairs2.count() >= 1
+
+
+def test_robots_wildcard_and_anchor_rules(spark):
+    """Reference parity for its RuleLine monkey-patch (utils.py:57-73):
+    '*' globs and trailing '$' anchors — stock urllib percent-encodes '*'
+    so such rules silently never match."""
+    from crawl4ai_spark.operators.robots import attach_robots_verdict
+
+    rules = "\n".join([
+        "User-agent: *",
+        "Disallow: /*.png",
+        "Disallow: /doc/*.pdf$",
+        "Disallow: /private/*/tmp",
+        "Disallow: /literal",
+    ])
+    robots = spark.createDataFrame([("h.test", rules)], "host string, rules_text string")
+    urls = [
+        ("h.test", "http://h.test/img/x.png", False),     # '*' glob matches
+        ("h.test", "http://h.test/img/x.pngx", False),    # glob is prefix-anchored only
+        # reference quirk pinned: '$' is percent-quoted before the patch
+        # sees it, so '$'-anchored rules never match anything
+        ("h.test", "http://h.test/doc/a.pdf", True),
+        ("h.test", "http://h.test/private/a/tmp", False), # mid-path glob
+        ("h.test", "http://h.test/private/a/keep", True),
+        ("h.test", "http://h.test/literal/x", False),     # plain prefix rule intact
+        ("h.test", "http://h.test/ok", True),
+    ]
+    wave = spark.createDataFrame(
+        [(h, u) for h, u, _ in urls], "host string, url string"
+    )
+    got = {
+        r.url: r.robots_allowed
+        for r in attach_robots_verdict(wave, robots, apply_ttl=False).collect()
+    }
+    for _h, u, want in urls:
+        assert got[u] is want, u
