@@ -180,6 +180,24 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-session rollup — the
+    standard web-log grouping (operators/sessions.py; one hash shuffle on
+    user, window sort partition-local, no global window)."""
+    from crawl4ai_spark.operators.sessions import session_stats
+
+    events = _read(spark, sf_dir, "events")
+    return session_stats(events).select(
+        "user_id",
+        "session_seq",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("duration_s", 4).alias("duration_s"),
+        "n_event_types",
+    )
+
+
 def _q_politeness_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host budget rank analog (SURVEY §2.4) on the events table."""
     events = _read(spark, sf_dir, "events")
@@ -951,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "first_event_per_user": _q_first_event_per_user,
         "events_hourly": _q_events_hourly,
+        "session_stats": _q_session_stats,
         "politeness_rank_events": _q_politeness_rank_events,
         "exact_dup_groups": _q_exact_dup_groups,
         "token_stats": _q_token_stats,
@@ -1068,6 +1087,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events, round(avg(value), 4) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "session_stats": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, event_type,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events),
+            f AS (
+                SELECT *, CASE WHEN prev_ts IS NULL
+                                 OR epoch(ts) - epoch(prev_ts) > 1800.0
+                               THEN 1 ELSE 0 END AS is_new
+                FROM o),
+            s AS (
+                SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
+                FROM f)
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(CAST(epoch(max(ts)) - epoch(min(ts)) AS DOUBLE), 4) AS duration_s,
+                   count(DISTINCT event_type) AS n_event_types
+            FROM s GROUP BY 1, 2
         """,
         "politeness_rank_events": """
             SELECT user_id, event_id, round(value, 2) AS value, rk

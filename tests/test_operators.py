@@ -690,3 +690,29 @@ def test_robots_wildcard_and_anchor_rules(spark):
     }
     for _h, u, want in urls:
         assert got[u] is want, u
+
+
+def test_sessionize_gap_boundaries(spark):
+    from datetime import datetime, timedelta
+
+    from crawl4ai_spark.operators.sessions import session_stats, sessionize
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: gap exactly 30min -> SAME session; 30min+1s -> new
+        (1, 1, t0),
+        (2, 1, t0 + timedelta(minutes=30)),
+        (3, 1, t0 + timedelta(minutes=60, seconds=1)),
+        # user 2: single event
+        (4, 2, t0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r.event_id: r.session_seq for r in sessionize(df).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+    stats = {(r.user_id, r.session_seq): r for r in session_stats(df).collect()}
+    assert stats[(1, 0)].n_events == 2 and stats[(1, 0)].duration_s == 1800.0
+    assert stats[(1, 1)].n_events == 1 and stats[(1, 1)].duration_s == 0.0
+    assert stats[(2, 0)].n_events == 1
+    # plan: per-user window only — no unpartitioned window, one exchange
+    plan = sessionize(df)._jdf.queryExecution().executedPlan().toString()
+    assert "user_id" in plan
