@@ -198,6 +198,15 @@ def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash document fingerprints over the
+    corpus — k=5 word grams, window 4 (operators/textstats.py)."""
+    from crawl4ai_spark.operators.textstats import winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=5, window=4)
+
+
 def _q_politeness_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host budget rank analog (SURVEY §2.4) on the events table."""
     events = _read(spark, sf_dir, "events")
@@ -970,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_event_per_user": _q_first_event_per_user,
         "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "politeness_rank_events": _q_politeness_rank_events,
         "exact_dup_groups": _q_exact_dup_groups,
         "token_stats": _q_token_stats,
@@ -1087,6 +1097,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events, round(avg(value), 4) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "winnow_fingerprints": f"""
+            WITH toks AS (SELECT doc_id, {_CLEAN_TOKS} AS t FROM documents),
+            pos AS (
+                SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+                FROM toks WHERE len(t) >= 5
+            ),
+            grams AS (
+                SELECT doc_id, CAST(i AS INT) AS pos,
+                       md5(array_to_string(t[i:i+4], ' ')) AS h
+                FROM pos
+            ),
+            kept AS (
+                SELECT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS fingerprint,
+                       count(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS n
+                FROM grams)
+            SELECT DISTINCT doc_id, fingerprint FROM kept WHERE n = 4
         """,
         "session_stats": """
             WITH o AS (

@@ -173,3 +173,58 @@ def udf_simhash64(text: pd.Series) -> pd.Series:
             sim |= np.uint64(1) << np.uint64(b)
         out[i] = np.int64(sim.astype(np.int64))
     return pd.Series(out)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS local fingerprinting algorithm): hash every word k-gram,
+    slide a window of ``window`` consecutive hashes, keep each window's
+    minimum; the distinct kept hashes are the document's fingerprint set.
+
+    Guarantee: any shared token run of at least ``window + k - 1`` words
+    between two documents contributes at least one shared fingerprint —
+    the rolling-hash fingerprint family (C4 span dedup's keeper join uses
+    exact spans; winnowing gives the position-robust subset).
+
+    Returns (doc_id, fingerprint string) — one row per distinct kept
+    hash. The gram hash is md5 hex (engine-portable: the DuckDB oracle
+    reproduces it exactly; winnowing only needs a total order on hashes).
+
+    Scale shape: the same repartition-before-explode + lead-window
+    pipeline as the shingle operators — one exchange of the raw docs, all
+    window work partition-local per doc, then a distinct hash agg.
+    """
+    from pyspark.sql import Window as W
+
+    try:
+        nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        nparts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(nparts, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(clean_terms_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    grams = toks.select(
+        "doc_id", "pos", *[p.alias(f"t{i}") for i, p in enumerate(parts)]
+    ).where(F.col(f"t{k-1}").isNotNull())
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", *[F.col(f"t{i}") for i in range(k)])).alias("h"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    kept = hashed.select(
+        "doc_id",
+        F.min("h").over(win).alias("fingerprint"),
+        # windows shorter than `window` at the tail are not full windows
+        F.count("h").over(win).alias("_n"),
+    ).where(F.col("_n") == window)
+    return kept.select("doc_id", "fingerprint").distinct()

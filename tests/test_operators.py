@@ -716,3 +716,27 @@ def test_sessionize_gap_boundaries(spark):
     # plan: per-user window only — no unpartitioned window, one exchange
     plan = sessionize(df)._jdf.queryExecution().executedPlan().toString()
     assert "user_id" in plan
+
+
+def test_winnowing_guarantee_and_robustness(spark):
+    """Winnowing guarantee: two docs sharing a token run of at least
+    window+k-1 words share at least one fingerprint; disjoint docs share
+    none; and fingerprints are position-robust (prefix shift preserves
+    the shared set's non-emptiness)."""
+    from crawl4ai_spark.operators.textstats import winnow_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, "intro words before anything " + shared + " trailing words here"),
+        (2, shared + " completely different ending text follows now"),
+        (3, "nothing common with others whatsoever kiwi mango papaya lemon grape melon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=5, window=4)
+    by_doc = {
+        i: {r.fingerprint for r in fps.where(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2], "shared 10-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
