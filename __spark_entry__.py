@@ -198,6 +198,16 @@ def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase per user
+    (operators/sessions.py:funnel_steps — chained conditional min-aggs,
+    co-partitioned joins, no windows)."""
+    from crawl4ai_spark.operators.sessions import funnel_steps
+
+    events = _read(spark, sf_dir, "events")
+    return funnel_steps(events, ["view", "click", "purchase"])
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) rolling-hash document fingerprints over the
     corpus — k=5 word grams, window 4 (operators/textstats.py)."""
@@ -979,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_event_per_user": _q_first_event_per_user,
         "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
+        "funnel_view_click_purchase": _q_funnel_view_click_purchase,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "politeness_rank_events": _q_politeness_rank_events,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -1097,6 +1108,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events, round(avg(value), 4) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "funnel_view_click_purchase": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(ts) AS step_1_ts FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS step_2_ts
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.step_1_ts
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS step_3_ts
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.step_2_ts
+                   GROUP BY 1)
+            SELECT u.user_id, step_1_ts, step_2_ts, step_3_ts,
+                   CASE WHEN step_3_ts IS NOT NULL THEN 3
+                        WHEN step_2_ts IS NOT NULL THEN 2
+                        WHEN step_1_ts IS NOT NULL THEN 1
+                        ELSE 0 END AS funnel_depth
+            FROM u LEFT JOIN s1 USING (user_id)
+                   LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
         """,
         "winnow_fingerprints": f"""
             WITH toks AS (SELECT doc_id, {_CLEAN_TOKS} AS t FROM documents),

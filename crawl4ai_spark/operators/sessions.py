@@ -70,3 +70,43 @@ def session_stats(
     if "event_type" in events.columns:
         aggs.append(F.count_distinct("event_type").alias("n_event_types"))
     return s.groupBy(user_col, "session_seq").agg(*aggs)
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time each
+    step can be completed given the previous step happened strictly
+    before it (classic conversion funnel). Returns one row per user with
+    ``step_1_ts .. step_N_ts`` (NULL once the funnel breaks) and
+    ``funnel_depth`` (# of consecutive steps completed).
+
+    Shape: one conditional min-aggregation per step over the same
+    user-partitioned frame — N tiny hash aggs on the same key, joined on
+    user (co-partitioned: every join key is the same column, so after the
+    first shuffle the rest are exchange-free at cluster scale). No
+    windows, no per-row Python.
+    """
+    if not steps:
+        raise ValueError("funnel_steps requires at least one step")
+    base = events.select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
+    out = base.select("user_id").distinct()
+    prev_col = None
+    for i, step in enumerate(steps, start=1):
+        stage = base.where(F.col("et") == step)
+        if prev_col is not None:
+            stage = stage.join(
+                out.select("user_id", prev_col), "user_id"
+            ).where(F.col("ts") > F.col(prev_col))
+        agg = stage.groupBy("user_id").agg(F.min("ts").alias(f"step_{i}_ts"))
+        out = out.join(agg, "user_id", "left")
+        prev_col = f"step_{i}_ts"
+    depth = F.lit(0)
+    # ascending wrap → the DEEPEST completed step is the outermost test
+    for i in range(1, len(steps) + 1):
+        depth = F.when(F.col(f"step_{i}_ts").isNotNull(), F.lit(i)).otherwise(depth)
+    return out.withColumn("funnel_depth", depth)

@@ -740,3 +740,28 @@ def test_winnowing_guarantee_and_robustness(spark):
     assert by_doc[1] & by_doc[2], "shared 10-token run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_funnel_steps_ordering_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from crawl4ai_spark.operators.sessions import funnel_steps
+
+    t0 = datetime(2026, 1, 1)
+    m = lambda k: t0 + timedelta(minutes=k)
+    rows = [
+        # user 1: full ordered funnel
+        (1, m(0), "view"), (1, m(1), "click"), (1, m(2), "purchase"),
+        # user 2: purchase BEFORE click -> depth 2 only
+        (2, m(0), "view"), (2, m(1), "purchase"), (2, m(2), "click"),
+        # user 3: click without view -> depth 0
+        (3, m(0), "click"), (3, m(1), "purchase"),
+        # user 4: repeated steps, greedy-min still finds the chain
+        (4, m(0), "view"), (4, m(1), "view"), (4, m(2), "click"), (4, m(3), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.user_id: r for r in funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert got[1].funnel_depth == 3
+    assert got[2].funnel_depth == 2 and got[2].step_3_ts is None
+    assert got[3].funnel_depth == 0 and got[3].step_1_ts is None
+    assert got[4].funnel_depth == 3 and got[4].step_1_ts == m(0)
