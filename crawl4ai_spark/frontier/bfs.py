@@ -641,12 +641,15 @@ def run_crawl(
 
     summary["total_attempted"] = total_attempted
     summary["final_wave"] = wave - 1
-    if config.compact_on_finish and store.committed_waves():
-        compacted = {}
+    if config.compact_on_finish:
+        compacted: dict[str, int] = {}
+        committed_now = store.committed_waves()
         # delta-style tables only — host_state is snapshot-style (its
-        # per-wave dirs ARE the history read_latest walks)
+        # per-wave dirs ARE the history read_latest walks). Existence
+        # check from the commit markers (driver-side, no Spark reader
+        # construction per table).
         for t in ("results", "frontier_delta", "seen_bloom", "metrics", "lineage"):
-            if store.read_table(t) is not None:
+            if any(store.marker(w)["counts"].get(t, 0) > 0 for w in committed_now):
                 m = store.compact(t)
                 store.vacuum(t)
                 compacted[t] = m["rows"]

@@ -71,12 +71,14 @@ def shingles_col(text_col, n: int = 3):
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>")))
 
 
-def shingle_hash_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(doc_id, shingle:int64) — one row per distinct word-n-gram.
+def kgram_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, pos, gram) — one row per positioned word-n-gram: the
+    shared front end of every shingle-family operator (MinHash / Jaccard
+    shingles, winnowing fingerprints).
 
     Single-pass tokenization (posexplode evaluates the regex pipeline
     once per document), n-gram assembly via window ``lead`` over attribute
-    references, JVM-side xxhash64 — no Python, no expression blowup.
+    references — no Python, no expression blowup.
 
     The raw docs are hash-repartitioned by doc id BEFORE the explode:
     that exchange carries the compact text rows (strictly fewer bytes
@@ -87,7 +89,8 @@ def shingle_hash_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> Da
     splits (a single-split scan otherwise tokenizes on one core — 4×
     observed on the sf0.1 bench).
     """
-    assert 1 <= n <= 5  # n=1 → term sets (consistency_stats estimator)
+    if not 1 <= n <= 8:
+        raise ValueError(f"n-gram width must be in [1, 8], got {n}")
     try:
         nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except ValueError:  # "auto" on AQE-managed deployments
@@ -99,12 +102,25 @@ def shingle_hash_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> Da
     w = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
     grams = toks.select(
-        "doc_id", *[p.alias(f"t{i}") for i, p in enumerate(parts)]
+        "doc_id", "pos", *[p.alias(f"t{i}") for i, p in enumerate(parts)]
     ).where(F.col(f"t{n-1}").isNotNull())
     return grams.select(
         "doc_id",
-        F.xxhash64(F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)])).alias("shingle"),
-    ).distinct()
+        "pos",
+        F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)]).alias("gram"),
+    )
+
+
+def shingle_hash_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle:int64) — one row per distinct word-n-gram, hashed
+    JVM-side with xxhash64 (see :func:`kgram_rows` for the scale shape).
+    n=1 → term sets (the consistency_stats estimator)."""
+    assert 1 <= n <= 5
+    return (
+        kgram_rows(docs, id_col, text_col, n)
+        .select("doc_id", F.xxhash64("gram").alias("shingle"))
+        .distinct()
+    )
 
 
 def doc_shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

@@ -28,17 +28,19 @@ from pyspark.sql.types import BooleanType
 ROBOTS_TTL_DAYS = 7
 
 # Stock RuleLine percent-encodes "*", so a wildcard rule like
-# "Disallow: /private/*" NEVER matches anything — the reference patches
-# applies_to to treat "*" as a glob (utils.py:57-73). Replicated verbatim
-# for byte-level parity, INCLUDING its quirk: the trailing-"$" anchor
-# branch is dead code, because RuleLine quotes "$" to "%24" before the
-# patch sees it, so "$"-anchored rules match nothing (pinned by
-# test_robots_wildcard_and_anchor_rules). Module-level so driver and
-# executors (which import this module for the UDF) agree.
+# "Disallow: /private/*" NEVER matches anything — the reference
+# monkey-patches applies_to process-wide to treat "*" as a glob
+# (utils.py:57-73). Same SEMANTICS here — including the reference's quirk
+# that the trailing-"$" anchor branch is dead code (RuleLine quotes "$"
+# to "%24" before the patch sees it, pinned by
+# test_robots_wildcard_and_anchor_rules) — but applied per PARSER
+# INSTANCE in _make_parser rather than mutating the stdlib class:
+# unrelated urllib.robotparser users in the same process keep stock
+# behavior.
 _original_applies_to = RuleLine.applies_to
 
 
-def _patched_applies_to(self, filename):
+def _glob_applies_to(self, filename):
     if "*" in self.path or "%2A" in self.path or self.path in ("*", "%2A"):
         pattern = self.path.replace("%2A", "*")
         pattern = re.escape(pattern).replace("\\*", ".*")
@@ -52,13 +54,23 @@ def _patched_applies_to(self, filename):
     return _original_applies_to(self, filename)
 
 
-RuleLine.applies_to = _patched_applies_to
+def _bind_glob_rules(parser: RobotFileParser) -> None:
+    """Rebind applies_to on this parser's RuleLine instances only."""
+    from types import MethodType
+
+    entries = list(parser.entries)
+    if parser.default_entry is not None:
+        entries.append(parser.default_entry)
+    for entry in entries:
+        for rl in entry.rulelines:
+            rl.applies_to = MethodType(_glob_applies_to, rl)
 
 
 def _make_parser(rules_text: str) -> RobotFileParser | None:
     try:
         parser = RobotFileParser()
         parser.parse(rules_text.splitlines())
+        _bind_glob_rules(parser)
         return parser
     except Exception:
         return None

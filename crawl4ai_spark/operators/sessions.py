@@ -34,9 +34,12 @@ def sessionize(
     gap since the user's previous event exceeds ``gap_minutes``.
 
     Adds ``session_seq`` (0-based per-user session counter) and
-    ``session_id`` ("<user>-<seq>", unique across users).
+    ``session_id`` ("<user>-<seq>", unique across users). When an
+    ``event_id`` column exists it breaks timestamp ties for a
+    deterministic ordering; otherwise ordering is by timestamp alone.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    order = [ts_col] + (["event_id"] if "event_id" in events.columns else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     gap_s = _epoch_s(F.col(ts_col)) - _epoch_s(prev_ts)
     is_new = F.when(prev_ts.isNull(), F.lit(1)).otherwise(
@@ -95,16 +98,22 @@ def funnel_steps(
         raise ValueError("funnel_steps requires at least one step")
     base = events.select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
     out = base.select("user_id").distinct()
-    prev_col = None
+    prev_agg = None
+    step_aggs = []
     for i, step in enumerate(steps, start=1):
         stage = base.where(F.col("et") == step)
-        if prev_col is not None:
-            stage = stage.join(
-                out.select("user_id", prev_col), "user_id"
-            ).where(F.col("ts") > F.col(prev_col))
-        agg = stage.groupBy("user_id").agg(F.min("ts").alias(f"step_{i}_ts"))
+        if prev_agg is not None:
+            stage = stage.join(prev_agg, "user_id").where(
+                F.col("ts") > F.col(f"step_{i-1}_ts")
+            )
+        # each step's tiny per-user agg is consumed twice (next stage's
+        # gate + the final join) — persist so the plan stays linear in
+        # the number of steps instead of doubling per level
+        agg = stage.groupBy("user_id").agg(F.min("ts").alias(f"step_{i}_ts")).persist()
+        step_aggs.append(agg)
+        prev_agg = agg
+    for agg in step_aggs:
         out = out.join(agg, "user_id", "left")
-        prev_col = f"step_{i}_ts"
     depth = F.lit(0)
     # ascending wrap → the DEEPEST completed step is the outermost test
     for i in range(1, len(steps) + 1):

@@ -196,29 +196,18 @@ def winnow_fingerprints(
     hash. The gram hash is md5 hex (engine-portable: the DuckDB oracle
     reproduces it exactly; winnowing only needs a total order on hashes).
 
-    Scale shape: the same repartition-before-explode + lead-window
-    pipeline as the shingle operators — one exchange of the raw docs, all
-    window work partition-local per doc, then a distinct hash agg.
+    Scale shape: the shared positioned-k-gram pipeline
+    (``dedup.kgram_rows``: repartition-before-explode, lead-window gram
+    build), then partition-local window minima and a distinct hash agg.
     """
     from pyspark.sql import Window as W
 
-    try:
-        nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:
-        nparts = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.repartition(nparts, F.col(id_col)).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(clean_terms_col(F.col(text_col))).alias("pos", "tok"),
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    grams = toks.select(
-        "doc_id", "pos", *[p.alias(f"t{i}") for i, p in enumerate(parts)]
-    ).where(F.col(f"t{k-1}").isNotNull())
-    hashed = grams.select(
-        "doc_id",
-        "pos",
-        F.md5(F.concat_ws(" ", *[F.col(f"t{i}") for i in range(k)])).alias("h"),
+    from crawl4ai_spark.operators.dedup import kgram_rows
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    hashed = kgram_rows(docs, id_col, text_col, k).select(
+        "doc_id", "pos", F.md5("gram").alias("h")
     )
     win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
     kept = hashed.select(

@@ -18,7 +18,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def build(out_path: str | None = None) -> str:
     out_path = out_path or os.path.join(REPO, "dist", "crawl4ai_spark.zip")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    out_dir = os.path.dirname(out_path)
+    if out_dir:  # bare filename → current directory, nothing to create
+        os.makedirs(out_dir, exist_ok=True)
     pkg = os.path.join(REPO, "crawl4ai_spark")
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for dirpath, dirnames, filenames in os.walk(pkg):

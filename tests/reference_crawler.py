@@ -34,6 +34,11 @@ def reference_crawl(
     for host, rules in (robots_rules or {}).items():
         parser = RobotFileParser()
         parser.parse(rules.splitlines())
+        # same wildcard semantics as the engine (reference utils.py:57-73
+        # RuleLine glob patch) so fixtures with '*' rules stay comparable
+        from crawl4ai_spark.operators.robots import _bind_glob_rules
+
+        _bind_glob_rules(parser)
         parsers[host] = parser
 
     def allowed(url: str) -> bool:
