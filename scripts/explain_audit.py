@@ -97,6 +97,21 @@ CHECKS = {
         ("!Exchange", "map-only: chunking, prompting, and parsing shuffle nothing"),
         ("!BatchEvalPython", "no row-at-a-time Python UDF"),
     ],
+    "session_stats": [
+        ("windowspecdefinition(user_id", "session window partitioned per user — never a global window"),
+        ("HashAggregate", "per-session rollup as hash agg"),
+        ("!ArrowEvalPython", "pure column algebra"),
+    ],
+    "funnel_view_click_purchase": [
+        ("InMemoryTableScan", "each step's per-user agg persisted and reused (linear plan in step count)"),
+        ("!windowspecdefinition", "windowless: chained conditional min-aggs"),
+        ("!ArrowEvalPython", "pure column algebra"),
+    ],
+    "winnow_fingerprints": [
+        ("REPARTITION_BY_NUM", "shared kgram_rows front end: repartition-before-explode"),
+        ("HashAggregate", "distinct fingerprint set as hash agg"),
+        ("!ArrowEvalPython", "md5 + window minima JVM-side"),
+    ],
     "span_dedup": [
         ("Generate", "native posexplode of the span arrays (no Python tokenizer)"),
         ("!ArrowEvalPython", "whole pipeline JVM-side"),
