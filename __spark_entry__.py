@@ -1550,9 +1550,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a),
             comp AS (SELECT node, least(node, min(peer)) AS component
                      FROM reach GROUP BY node)
-            SELECT component, count(*) AS n_members, min(node) AS keep_id,
-                   list(node ORDER BY node) FILTER (WHERE node <> component) AS drop_ids
-            FROM comp GROUP BY component
+            SELECT component,
+                   count(*) OVER (PARTITION BY component) AS n_members,
+                   node,
+                   CAST(node = component AS INTEGER) AS is_keep
+            FROM comp
         """,
         "span_dedup": r"""
             WITH toks AS (

@@ -98,13 +98,23 @@ def connected_components(
     """
     edges = _canonical(pairs, src, dst).localCheckpoint(eager=True)
     fp = _edge_fingerprint(edges)
+    converged = False
     for _ in range(max_rounds):
         edges = _star_round(edges, large=True).localCheckpoint(eager=True)
         edges = _star_round(edges, large=False).localCheckpoint(eager=True)
         nxt = _edge_fingerprint(edges)
         if nxt == fp:
+            converged = True
             break
         fp = nxt
+    if not converged:
+        # A partially-converged labeling would silently mis-cluster —
+        # downstream keep/drop curation must not run on it.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "large-star/small-star rounds (edge fingerprint still moving); "
+            "raise max_rounds — O(log^2 n) rounds suffice for any graph"
+        )
     nbr = _both_directions(edges)
     labels = nbr.groupBy("u").agg(F.min("v").alias("_mn"))
     return labels.select(
@@ -116,16 +126,24 @@ def connected_components(
 def duplicate_clusters(
     pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:
-    """Near-dup pairs → ``(component, n_members, keep_id, drop_ids)``:
-    the per-cluster curation decision (keep the minimum id, list the
-    rest). ``drop_ids`` is sorted for determinism."""
+    """Near-dup pairs → one scalar row per cluster member:
+    ``(component, n_members, node, is_keep)`` — the per-member curation
+    decision (keep the minimum id of each component, drop the rest).
+
+    Deliberately row-per-member, NOT row-per-cluster with a collected
+    ``drop_ids`` array: at web scale one boilerplate cluster can hold
+    10⁷ members, and ``collect_list`` would materialize it in a single
+    task. ``n_members`` comes from an unbounded count window over
+    ``component`` — one hash shuffle, no per-cluster row blowup."""
+    from pyspark.sql import Window
+
     cc = connected_components(pairs, src, dst)
-    return cc.groupBy("component").agg(
-        F.count("*").alias("n_members"),
-        F.min("node").alias("keep_id"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("node") != F.col("component"), F.col("node")))
-        ).alias("drop_ids"),
+    w = Window.partitionBy("component")
+    return cc.select(
+        "component",
+        F.count("*").over(w).alias("n_members"),
+        "node",
+        (F.col("node") == F.col("component")).cast("int").alias("is_keep"),
     )
 
 

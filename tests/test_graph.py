@@ -92,11 +92,20 @@ def test_connected_components_direction_and_duplicate_invariant(spark):
 
 def test_duplicate_clusters_keep_drop(spark):
     df = spark.createDataFrame(EDGES, "id_a long, id_b long")
-    rows = {r["component"]: r for r in duplicate_clusters(df).collect()}
-    assert rows[1]["keep_id"] == 1
-    assert rows[1]["drop_ids"] == [2, 3, 4, 40, 41]
-    assert rows[20]["n_members"] == 4
-    assert rows[50]["drop_ids"] == [51]
+    rows = duplicate_clusters(df).collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    keeps = {c: [r["node"] for r in rs if r["is_keep"]] for c, rs in by_comp.items()}
+    drops = {c: sorted(r["node"] for r in rs if not r["is_keep"]) for c, rs in by_comp.items()}
+    assert keeps[1] == [1]
+    assert drops[1] == [2, 3, 4, 40, 41]
+    assert {r["n_members"] for r in by_comp[20]} == {4}
+    assert drops[50] == [51]
+    # every member row carries its cluster size; exactly one keep per cluster
+    for c, rs in by_comp.items():
+        assert {r["n_members"] for r in rs} == {len(rs)}
+        assert sum(r["is_keep"] for r in rs) == 1
 
 
 def test_pagerank_matches_dense_reference(spark):
