@@ -237,30 +237,12 @@ def lsh_pair_bucket_stats(banded: DataFrame, min_size: int = 2) -> DataFrame:
     return bucket_stats(banded, ["band", "bucket"], min_size)
 
 
-def kmeans_centroids(
-    embeddings: DataFrame,
-    k: int = 16,
-    dim: int | None = None,
-    iters: int = 8,
-    sample: int = 10_000,
-    seed: int = 42,
-    vec_col: str = "embedding",
-) -> np.ndarray:
-    """Driver-side Lloyd's k-means on a bounded sample → (k, dim) centroid
-    matrix. The IVF coarse quantizer: training is O(sample), assignment is
-    distributed column algebra. Deterministic end to end: the sample is
-    hash-ordered by the vector bytes (an unordered ``limit()`` is
-    layout-dependent — centroids would differ across runs/partitionings),
-    init is seeded, iters fixed."""
-    rows = (
-        embeddings.select(vec_col)
-        .withColumn("_h", F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed)))
-        .orderBy("_h")
-        .limit(sample)
-        .select(vec_col)
-        .collect()
-    )
-    data = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+def lloyd_kmeans(data: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd's k-means on unit-normalized rows → (k, dim) unit
+    centroids. Pure numpy, fully deterministic given (data order, k,
+    iters, seed). Shared by :func:`kmeans_centroids` and the DuckDB
+    oracle builder (``__spark_entry__._kmeans_centroids_offline``) so the
+    two can never drift."""
     norms = np.linalg.norm(data, axis=1, keepdims=True)
     data = data / np.clip(norms, 1e-12, None)
     rng = np.random.RandomState(seed)
@@ -274,6 +256,36 @@ def kmeans_centroids(
                 center = members.mean(axis=0)
                 centroids[c] = center / max(np.linalg.norm(center), 1e-12)
     return centroids
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    dim: int | None = None,
+    iters: int = 8,
+    sample: int = 10_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Driver-side Lloyd's k-means on a bounded sample → (k, dim) centroid
+    matrix. The IVF coarse quantizer: training is O(sample), assignment is
+    distributed column algebra. Deterministic end to end: the sample is
+    ordered by ``xxhash64(id, seed)`` with id tiebreak (an unordered
+    ``limit()`` is layout-dependent — centroids would differ across
+    runs/partitionings; the id-hash order is also recomputable off-Spark
+    via ``functions.fingerprint.xxhash64_longs``, which is what lets the
+    DuckDB oracle pin these centroids), init is seeded, iters fixed."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed).cast("long")))
+        .orderBy("_h", id_col)
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
+    data = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    return lloyd_kmeans(data, k, iters, seed)
 
 
 ASSIGN_LITERAL_MAX_K = 32
@@ -334,6 +346,7 @@ def ivf_topk(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int = 6,
 ) -> DataFrame:
     """IVF search: brute-force rerank restricted to the ``n_probe`` cells
     nearest the query. Recall/cost dial = (n_cells, n_probe)."""
@@ -342,7 +355,7 @@ def ivf_topk(
     probe_cells = np.argsort(-(centroids @ q))[:n_probe].tolist()
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     cand = assigned.where(F.col("ivf_cell").isin(probe_cells)).select(id_col, vec_col)
-    return cosine_topk(cand, query, k, id_col, vec_col)
+    return cosine_topk(cand, query, k, id_col, vec_col, round_to)
 
 
 # ── CosineStrategy: per-page chunk clustering ────────────────────────────

@@ -40,6 +40,9 @@ def rows_to_multiset(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # the centroid-literal oracles are data-dependent — point them at the
+    # same tables this run compares against
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as entrymod
     from crawl4ai_spark.session import get_spark

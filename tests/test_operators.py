@@ -765,3 +765,70 @@ def test_funnel_steps_ordering_semantics(spark):
     assert got[2].funnel_depth == 2 and got[2].step_3_ts is None
     assert got[3].funnel_depth == 0 and got[3].step_1_ts is None
     assert got[4].funnel_depth == 3 and got[4].step_1_ts == m(0)
+
+
+def test_xxhash64_longs_matches_spark(spark):
+    """The pure-Python xxhash64 fold (functions/fingerprint.py) must agree
+    with Spark's native xxhash64 on bigint inputs — single value and the
+    seed-chained two-value fold the kmeans sampler uses."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.fingerprint import xxhash64_longs
+
+    vals = [0, 1, -1, 42, 2**63 - 1, -(2**63), 2**62, -(2**62),
+            123456789, -987654321, 0xDEADBEEF, 7]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .select(
+            "v",
+            F.xxhash64("v").alias("h1"),
+            F.xxhash64("v", F.lit(42).cast("long")).alias("h2"),
+            F.xxhash64("v", F.lit(7).cast("long")).alias("h7"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r.h1 == xxhash64_longs(r.v)
+        assert r.h2 == xxhash64_longs(r.v, 42)
+        assert r.h7 == xxhash64_longs(r.v, 7)
+
+
+def test_kmeans_centroids_offline_replica_matches_spark(spark, tmp_path):
+    """__spark_entry__._kmeans_centroids_offline must reproduce
+    kmeans_centroids bit-for-bit from the parquet alone (this equality is
+    what makes the semantic_dedup / ivf_topk centroid-literal oracles
+    legitimate)."""
+    import os
+
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from crawl4ai_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.RandomState(7)
+    data = [(int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    # single-file parquet like the driver's testdata (duckdb reads the path
+    # as one file, not a Spark part-file directory)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {"vec_id": [r[0] for r in data], "embedding": [r[1] for r in data]}
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    want = kmeans_centroids(df, k=5, iters=4)
+    old = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = str(tmp_path)
+    try:
+        got, rows = entrymod._kmeans_centroids_offline(k=5, iters=4)
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_ORACLE_SF_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = old
+    assert len(rows) == 200
+    assert np.array_equal(want, got)
