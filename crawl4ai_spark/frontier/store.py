@@ -261,7 +261,11 @@ class WaveStore:
             src_bytes = sum(self._dir_bytes(p) for p in paths)
             n_files = max(1, -(-src_bytes // TARGET_COMPACT_FILE_BYTES))
             staging = os.path.join(self.root, STAGING_DIR, "_compact", name, f"upto={upto}")
-            df = self.spark.read.parquet(*paths)
+            # mergeSchema: a store written before a schema-widening code
+            # change (e.g. results growing cleaned_html/media columns) mixes
+            # narrow and wide wave schemas; a plain union read infers from
+            # one footer and silently drops the new columns
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
             df.repartition(n_files).write.mode("overwrite").parquet(staging)
             rows = self._footer_row_count(staging)
             final = self._compact_path(name, upto)
@@ -333,15 +337,17 @@ class WaveStore:
                 )
                 if not paths:
                     return None
-                return self.spark.read.parquet(*paths)
+                return self.spark.read.option("mergeSchema", "true").parquet(*paths)
             waves = self.committed_waves()
         paths = self._delta_paths(name, waves)
         if not paths:
             return None
         # leaf wave=K dirs read as roots: no partition inference, so the
         # dir name never collides with the data wave column the wave-scoped
-        # tables already carry (COLUMN_ALREADY_EXISTS warning otherwise)
-        return self.spark.read.parquet(*paths)
+        # tables already carry (COLUMN_ALREADY_EXISTS warning otherwise).
+        # mergeSchema: waves written by older code may be narrower — union
+        # must surface the widest schema, nulls for the missing columns
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_latest(self, name: str) -> DataFrame | None:
         """Latest committed snapshot of a snapshot-style table (host_state)."""

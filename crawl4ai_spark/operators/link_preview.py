@@ -76,7 +76,10 @@ def okapi_bm25(
     ln(n−df+0.5)−ln(df+0.5) with negative values floored at ε·avg-idf
     (average over the FULL vocabulary), score per query term
     idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)). Returns (id, bm25_raw);
-    docs containing no query term score 0.
+    docs containing no query term — including zero-token docs — score 0,
+    and zero-token docs count toward corpus_size/avgdl exactly as
+    ``BM25Okapi`` counts them (``len(corpus)`` / ``doc_len`` include
+    empty token lists).
 
     All-relational: two groupBy shuffles (term df, doc length/tf) and
     one-row broadcast cross joins for the corpus constants.
@@ -87,10 +90,13 @@ def okapi_bm25(
             F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"), lambda x: x != "")
         ).alias("term"),
     )
-    dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    ids = docs.select(F.col(id_col).alias("id"))
+    dl = ids.join(toks.groupBy("id").agg(F.count("*").alias("dl")), "id", "left").select(
+        "id", F.coalesce(F.col("dl"), F.lit(0)).alias("dl")
+    )
     stats = dl.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    )  # n = docs with ≥1 token (the BM25 corpus)
+    )  # n = ALL docs (rank_bm25 counts empty token lists in the corpus)
     dft = toks.groupBy("term").agg(F.count_distinct("id").alias("df"))
     idf_raw = dft.crossJoin(F.broadcast(stats)).select(
         "term",

@@ -88,34 +88,48 @@ def funnel_steps(
     ``step_1_ts .. step_N_ts`` (NULL once the funnel breaks) and
     ``funnel_depth`` (# of consecutive steps completed).
 
-    Shape: one conditional min-aggregation per step over the same
-    user-partitioned frame — N tiny hash aggs on the same key, joined on
-    user (co-partitioned: every join key is the same column, so after the
-    first shuffle the rest are exchange-free at cluster scale). No
-    windows, no per-row Python.
+    Shape: ONE hash shuffle — group by user, collect only the funnel-step
+    events as a ts-sorted array, then a single ``F.aggregate`` fold
+    extends the completed-prefix chain greedily (an event extends the
+    chain iff it is the next step and strictly later than the chain's
+    tail; processing in ts order makes the first extension the earliest
+    valid one, i.e. exactly "min ts of step i strictly after step i−1").
+    No joins, no windows, no persisted intermediates, no per-row Python.
+    Per-user memory is bounded by that user's OWN funnel-step event count
+    (non-step events are dropped before the collect), the same skew
+    exposure as the sessionize window.
     """
     if not steps:
         raise ValueError("funnel_steps requires at least one step")
-    base = events.select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
-    out = base.select("user_id").distinct()
-    prev_agg = None
-    step_aggs = []
+    n = len(steps)
+    # step index (1-based) or NULL for non-funnel events; collect_list
+    # drops the NULLs, so only step events reach the per-user array
+    si = F.lit(None).cast("int")
     for i, step in enumerate(steps, start=1):
-        stage = base.where(F.col("et") == step)
-        if prev_agg is not None:
-            stage = stage.join(prev_agg, "user_id").where(
-                F.col("ts") > F.col(f"step_{i-1}_ts")
+        si = F.when(F.col(type_col) == step, F.lit(i)).otherwise(si)
+    per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(si.isNotNull(), F.struct(F.col(ts_col).alias("ts"), si.alias("si")))
             )
-        # each step's tiny per-user agg is consumed twice (next stage's
-        # gate + the final join) — persist so the plan stays linear in
-        # the number of steps instead of doubling per level
-        agg = stage.groupBy("user_id").agg(F.min("ts").alias(f"step_{i}_ts")).persist()
-        step_aggs.append(agg)
-        prev_agg = agg
-    for agg in step_aggs:
-        out = out.join(agg, "user_id", "left")
-    depth = F.lit(0)
-    # ascending wrap → the DEEPEST completed step is the outermost test
-    for i in range(1, len(steps) + 1):
-        depth = F.when(F.col(f"step_{i}_ts").isNotNull(), F.lit(i)).otherwise(depth)
-    return out.withColumn("funnel_depth", depth)
+        ).alias("_ev")
+    )
+    # invariant: the chain only ever fills slots 1..depth in order, so the
+    # accumulator is just the completed prefix (array<timestamp>); acc is
+    # the fold's bound variable — O(1) access, no expression re-evaluation
+    chain = F.aggregate(
+        F.col("_ev"),
+        F.array().cast("array<timestamp>"),
+        lambda acc, e: F.when(
+            (e["si"] == F.size(acc) + 1)
+            & ((F.size(acc) == 0) | (e["ts"] > F.element_at(acc, -1))),
+            F.concat(acc, F.array(e["ts"])),
+        ).otherwise(acc),
+    )
+    out = per_user.select("user_id", chain.alias("_chain"))
+    for i in range(1, n + 1):
+        out = out.withColumn(
+            f"step_{i}_ts",
+            F.when(F.size("_chain") >= i, F.element_at("_chain", i)),
+        )
+    return out.withColumn("funnel_depth", F.size("_chain")).drop("_ev", "_chain")

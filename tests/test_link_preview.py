@@ -139,3 +139,40 @@ def test_calculate_total_score_reference_regression_cases():
     assert abs(link_total_score(8.0, 0.5, score_links_enabled=True, query_provided=True) - 7.1) < 0.01
     # nothing → 0.0
     assert link_total_score(None, None, score_links_enabled=True, query_provided=False) == 0.0
+
+
+def test_okapi_bm25_zero_token_docs_in_corpus_and_output(spark):
+    """rank_bm25 counts empty token lists in corpus_size/avgdl and scores
+    them 0; okapi_bm25 must emit those docs (score 0) and include them in
+    the corpus stats rather than silently excluding them."""
+    from crawl4ai_spark.operators.link_preview import okapi_bm25
+
+    rows = [(1, "spark table scan"), (2, ""), (3, None), (4, "scan scan merge")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.bm25_raw for r in okapi_bm25(df, "scan").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2] == 0.0 and got[3] == 0.0
+    # python recomputation with rank_bm25's exact semantics (n=4 docs,
+    # avgdl over all four including the empty ones)
+    import math
+
+    corpus = [r[1].lower().split() if r[1] else [] for r in rows]
+    n = len(corpus)
+    avgdl = sum(len(c) for c in corpus) / n
+    df_scan = sum(1 for c in corpus if "scan" in c)
+    idf = {}
+    vocab = {t for c in corpus for t in c}
+    neg = []
+    for t in vocab:
+        d = sum(1 for c in corpus if t in c)
+        v = math.log(n - d + 0.5) - math.log(d + 0.5)
+        idf[t] = v
+        if v < 0:
+            neg.append(t)
+    avg_idf = sum(idf.values()) / len(idf)
+    for t in neg:
+        idf[t] = 0.25 * avg_idf
+    for i, c in enumerate(corpus):
+        tf = c.count("scan")
+        want = idf["scan"] * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(c) / avgdl)) if tf else 0.0
+        assert abs(got[rows[i][0]] - want) < 1e-9, (rows[i][0], got[rows[i][0]], want)

@@ -832,3 +832,23 @@ def test_kmeans_centroids_offline_replica_matches_spark(spark, tmp_path):
             os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = old
     assert len(rows) == 200
     assert np.array_equal(want, got)
+
+
+def test_funnel_steps_leaves_no_cached_frames(spark):
+    """funnel_steps is a single-shuffle fold — it must not persist
+    anything (the old N-step-agg shape leaked one cache entry per step)."""
+    from datetime import datetime, timedelta
+
+    from crawl4ai_spark.operators.sessions import funnel_steps
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    t0 = datetime(2026, 1, 1)
+    rows = [(u, t0 + timedelta(minutes=k), e)
+            for u in range(5)
+            for k, e in enumerate(["view", "click", "purchase"])]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = funnel_steps(df, ["view", "click", "purchase"]).collect()
+    assert len(got) == 5 and all(r.funnel_depth == 3 for r in got)
+    assert jsc.getPersistentRDDs().size() == before

@@ -252,3 +252,32 @@ def test_compact_on_finish_config_and_resume(spark, tmp_path):  # noqa: F811
     # resume over the compacted store
     summary2 = run_crawl(spark, pages, seeds, store_dir, cfg)
     assert WaveStore(spark, store_dir).read_table("results").count() == n_results
+
+
+def test_read_and_compact_merge_mixed_wave_schemas(spark, tmp_path):
+    """A store written before a schema-widening change (results growing
+    new columns) must surface the widest schema on union reads and
+    compaction, with nulls for the missing columns — not silently drop
+    them based on whichever footer Spark infers from."""
+    from crawl4ai_spark.frontier.store import WaveStore
+
+    store = WaveStore(spark, str(tmp_path / "store"))
+    narrow = spark.createDataFrame([(1, "http://a/")], "url_fp long, url string")
+    wide = spark.createDataFrame(
+        [(2, "http://b/", "<p>b</p>")], "url_fp long, url string, cleaned_html string"
+    )
+    store.write_table("results", 0, narrow)
+    store.commit(0)
+    store.write_table("results", 1, wide)
+    store.commit(1)
+
+    got = store.read_table("results")
+    assert "cleaned_html" in got.columns
+    rows = {r.url_fp: r for r in got.collect()}
+    assert rows[1].cleaned_html is None and rows[2].cleaned_html == "<p>b</p>"
+
+    store.compact("results")
+    got2 = store.read_table("results")
+    assert "cleaned_html" in got2.columns
+    rows2 = {r.url_fp: r for r in got2.collect()}
+    assert rows2[1].cleaned_html is None and rows2[2].cleaned_html == "<p>b</p>"
