@@ -165,6 +165,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     prefix_filter: bool | None = None,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -177,6 +178,21 @@ def ngram_jaccard_pairs(
     - **count path** (low t): full inverted-index self-join + pair-count
       aggregation — the prefix bound filters almost nothing below ~0.25,
       so the straight hash-join/hash-agg plan is cheaper.
+
+    ``max_shingle_freq`` (count path only): a shingle present in G docs
+    contributes G²/2 join rows, so one boilerplate shingle (cookie
+    banner, footer) can dominate the self-join at corpus scale. When
+    set, shingles with global frequency above the cap are excluded from
+    candidate *generation* — a pair is still emitted if it shares ANY
+    sub-cap shingle, and its Jaccard is then exact-verified over the
+    FULL shingle sets (array_intersect), so emitted values never change;
+    only pairs whose every common shingle is boilerplate are missed
+    (graceful recall loss, the same contract as the MinHash/SimHash
+    bucket caps). Default None = exhaustive; audit what a cap would
+    drop with :func:`shingle_freq_stats` (no silent caps). The prefix
+    path needs no cap — its rarest-first prefix index already excludes
+    high-frequency shingles from the join unless a doc consists of
+    almost nothing else.
     """
     # three consumers read the shingle rows (per-doc sets, global shingle
     # frequencies, the prefix index / join sides) — persist so the
@@ -210,6 +226,27 @@ def ngram_jaccard_pairs(
         )
         a = index.alias("a")
         b = index.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+        return _verify_pairs(candidates, base, threshold)
+    if max_shingle_freq is not None:
+        # capped count path: candidates from the frequency-bounded
+        # inverted index, exact verification over the full sets
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("gfreq"))
+        bounded = sh.join(
+            freq.where(F.col("gfreq") <= max_shingle_freq).select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+        a = bounded.alias("a")
+        b = bounded.alias("b")
         candidates = (
             a.join(
                 b,
@@ -343,6 +380,19 @@ def bucket_stats(df: DataFrame, keys: list[str], min_size: int = 2) -> DataFrame
 def lsh_bucket_stats(banded: DataFrame, min_size: int = 2) -> DataFrame:
     """(band, bucket, size) — audit view for bucket-cap decisions."""
     return bucket_stats(banded, ["band", "bucket"], min_size)
+
+
+def shingle_freq_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_freq: int = 2,
+) -> DataFrame:
+    """(shingle, size) — global shingle document frequencies ≥ min_freq:
+    the audit view behind ``ngram_jaccard_pairs(max_shingle_freq=...)``
+    (what would a cap at G drop? every shingle with size > G)."""
+    return bucket_stats(shingle_hash_rows(docs, id_col, text_col, n), ["shingle"], min_freq)
 
 
 def minhash_lsh_pairs(

@@ -852,3 +852,45 @@ def test_funnel_steps_leaves_no_cached_frames(spark):
     got = funnel_steps(df, ["view", "click", "purchase"]).collect()
     assert len(got) == 5 and all(r.funnel_depth == 3 for r in got)
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_ngram_jaccard_count_path_shingle_freq_cap(spark):
+    """1,000 docs all sharing one boilerplate shingle: the capped count
+    path must (a) keep every pair that shares a sub-cap shingle, with
+    EXACT jaccard over the full sets, (b) drop pairs whose only common
+    shingle is the boilerplate one, and (c) expose the would-be-dropped
+    shingle in the audit view."""
+    from crawl4ai_spark.operators.dedup import ngram_jaccard_pairs, shingle_freq_stats
+
+    boiler = "accept all cookies"
+    rows = []
+    # 996 unrelated docs that share ONLY the boilerplate shingle
+    for i in range(996):
+        rows.append((i, f"{boiler} unique{i} words{i} here{i} now{i}"))
+    # two true near-dup pairs sharing plenty of sub-cap shingles
+    rows.append((2001, boiler + " spark frontier crawl wave page link host"))
+    rows.append((2002, boiler + " spark frontier crawl wave page link budget"))
+    rows.append((2003, boiler + " alpha beta gamma delta epsilon zeta eta"))
+    rows.append((2004, boiler + " alpha beta gamma delta epsilon zeta theta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.1, prefix_filter=False, max_shingle_freq=100
+        ).collect()
+    }
+    # the near-dup pairs survive; nothing that only shares the boilerplate
+    assert set(capped) == {(2001, 2002), (2003, 2004)}
+    # jaccard is exact over the FULL sets: 8 shingles each (1 boilerplate-
+    # spanning window differs... compute from the uncapped exact path)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs.where(F.col("doc_id") >= 2001), threshold=0.1, prefix_filter=False
+        ).collect()
+    }
+    assert capped == {p: exact[p] for p in capped}
+    # audit view: the boilerplate shingle's frequency is visible pre-cap
+    stats = shingle_freq_stats(docs, min_freq=500).collect()
+    assert len(stats) >= 1 and max(r.size for r in stats) == 1000
