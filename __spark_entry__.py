@@ -427,13 +427,39 @@ def _q_url_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only: binary payload decode is stubbed
-    behind DecoderRegistry with a deterministic fake)."""
+    """Multimodal plumbing over the FULL fixture incl. the odd-id opaque
+    payloads (rows-only: sha256/byte-level outputs exercise the
+    poison-tolerance fallback path, not SQL-recomputable)."""
     from crawl4ai_spark.operators.multimodal import extract_media_features, synth_media_table
 
     media = synth_media_table(spark, 64)
     return extract_media_features(media).select(
         "media_id", "kind", "n_bytes", "sha256", "decode_ok"
+    )
+
+
+def _q_media_features_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec decode features on the even-id rows, whose payloads are
+    REAL deterministic PNG / PCM WAV / y4m bytes generated from closed-
+    form parameters (multimodal.synth_media_table) — so width / height /
+    duration / frame-count are exactly recomputable by the oracle from
+    the id alone: the engine path goes bytes → stdlib codec → features,
+    the oracle re-derives the same numbers analytically in SQL."""
+    from crawl4ai_spark.operators.multimodal import extract_media_features, synth_media_table
+
+    media = synth_media_table(spark, 64).where(F.col("media_id") % 2 == 0)
+    feats = extract_media_features(media)
+    e = lambda i: F.element_at("features", i).cast("double")  # noqa: E731
+    img_or_vid = F.col("kind").isin("image", "video")
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+        F.when(img_or_vid, e(1)).alias("width"),
+        F.when(img_or_vid, e(2)).alias("height"),
+        F.when(F.col("kind") == "audio", e(4)).alias("duration_ms"),
+        # audio: PCM sample count; video: stride-2 sampled frame count
+        F.when(F.col("kind") != "image", e(3)).alias("n_units"),
     )
 
 
@@ -1029,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_revalidation": _q_cache_revalidation,
         "url_scoring": _q_url_scoring,
         "media_features": _q_media_features,
+        "media_features_decoded": _q_media_features_decoded,
         "llm_extract_blocks": _q_llm_extract_blocks,
         "regex_catalog": _q_regex_catalog,
         "media_extraction": _q_media_extraction,
@@ -1534,6 +1561,33 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "langid_heuristic": _langid_oracle_sql(),
+        # synth_media_table's even-id payloads are generated from closed-
+        # form parameters (PNG w=8+i%4 h=6+i%3; WAV n=160+(i%5)*40 @8 kHz;
+        # y4m w=4+2*(i%3) h=4 frames=3+i%4, stride-2 sampling) — the
+        # oracle re-derives the decoded features analytically from the id
+        "media_features_decoded": """
+            SELECT media_id,
+                   CASE media_id % 3 WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio'
+                                     ELSE 'video' END AS kind,
+                   1 AS decode_ok,
+                   CASE media_id % 3
+                        WHEN 0 THEN CAST(8 + media_id % 4 AS DOUBLE)
+                        WHEN 2 THEN CAST(4 + 2 * (media_id % 3) AS DOUBLE)
+                   END AS width,
+                   CASE media_id % 3
+                        WHEN 0 THEN CAST(6 + media_id % 3 AS DOUBLE)
+                        WHEN 2 THEN CAST(4 AS DOUBLE)
+                   END AS height,
+                   CASE media_id % 3
+                        WHEN 1 THEN CAST((160 + (media_id % 5) * 40) / 8.0 AS DOUBLE)
+                   END AS duration_ms,
+                   CASE media_id % 3
+                        WHEN 1 THEN CAST(160 + (media_id % 5) * 40 AS DOUBLE)
+                        WHEN 2 THEN CAST((3 + media_id % 4 + 1) // 2 AS DOUBLE)
+                   END AS n_units
+            FROM (SELECT unnest(range(0, 64, 2)) AS media_id)
+        """,
         "dup_clusters": f"""
             WITH RECURSIVE toks AS (SELECT doc_id, {_CLEAN_TOKS} AS w FROM documents),
             grams AS (
