@@ -103,8 +103,10 @@ CHECKS = {
         ("!ArrowEvalPython", "pure column algebra"),
     ],
     "funnel_view_click_purchase": [
-        ("InMemoryTableScan", "each step's per-user agg persisted and reused (linear plan in step count)"),
-        ("!windowspecdefinition", "windowless: chained conditional min-aggs"),
+        ("ObjectHashAggregate", "ONE shuffle: per-user ts-sorted collect of the funnel events"),
+        ("aggregate(", "chain computed as a single fold over the sorted array"),
+        ("!InMemoryTableScan", "no persisted intermediates (old shape leaked one cache entry per step)"),
+        ("!windowspecdefinition", "windowless"),
         ("!ArrowEvalPython", "pure column algebra"),
     ],
     "winnow_fingerprints": [
@@ -119,7 +121,9 @@ CHECKS = {
     ],
     "dup_clusters": [
         ("Scan ExistingRDD", "converged edge set is localCheckpoint-ed — final labeling does not replay the star rounds"),
-        ("ObjectHashAggregate", "drop_ids collect_list as object hash agg"),
+        ("windowspecdefinition(component", "n_members = count window over component — scalar rows, no per-cluster collect_list"),
+        ("!collect_list", "no unbounded cluster-membership arrays anywhere in the plan"),
+        ("!ObjectHashAggregate", "no object-hash collect aggregation"),
         ("!ArrowEvalPython", "pure JVM"),
     ],
     "doc_pagerank": [
