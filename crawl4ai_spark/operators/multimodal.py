@@ -232,20 +232,32 @@ def image_feature_decoder(payload: bytes, meta: dict) -> list[float]:
     """
     import numpy as np
 
-    if payload[:2] == b"\xff\xd8" or payload[:6] in (b"GIF87a", b"GIF89a"):
-        w, h, c = jpeg_probe(payload) if payload[:2] == b"\xff\xd8" else gif_probe(payload)
+    if payload[:2] == b"\xff\xd8":
+        # real baseline decode first (operators/jpeg.py); progressive /
+        # arithmetic / truncated streams fall back to the header probe
+        try:
+            from crawl4ai_spark.operators.jpeg import jpeg_decode
+
+            w, h, c, pix = jpeg_decode(payload)
+        except ValueError:
+            w, h, c = jpeg_probe(payload)
+            pix = None
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, c = gif_probe(payload)
+        pix = None
+    elif payload[:8] == _PNG_MAGIC:
+        w, h, c, pix = png_decode(payload)
+    elif payload[:2] == b"BM":
+        w, h, c, pix = bmp_decode(payload)
+    else:
+        return fake_histogram_decoder(payload, meta)
+    if pix is None:  # dimension probe only: byte-level stats
         arr = np.frombuffer(payload, dtype=np.uint8).astype("float64")
         hist = np.bincount(arr.astype(np.uint8) >> 5, minlength=8).astype("float64")
         hist = hist / hist.sum()
         feats = [float(w), float(h), float(c), float(arr.mean()), 0.0, 0.0, 0.0,
                  float(arr.std()), *hist.tolist()]
         return [float(np.float32(v)) for v in feats]
-    if payload[:8] == _PNG_MAGIC:
-        w, h, c, pix = png_decode(payload)
-    elif payload[:2] == b"BM":
-        w, h, c, pix = bmp_decode(payload)
-    else:
-        return fake_histogram_decoder(payload, meta)
     arr = np.frombuffer(pix, dtype=np.uint8).reshape(h * w, c).astype("float64")
     means = [float(arr[:, i].mean()) for i in range(c)] + [0.0] * (4 - c)
     if c >= 3:
@@ -516,8 +528,14 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
         kind = ("image", "audio", "video")[i % 3]
         if i % 2 == 0:
             if kind == "image":
-                payload = synth_png(8 + i % 4, 6 + i % 3, seed=i)
-                mime = "image/png"
+                if i % 12 == 0:
+                    payload = synth_png(8 + i % 4, 6 + i % 3, seed=i)
+                    mime = "image/png"
+                else:  # even image ids alternate PNG / baseline JPEG
+                    from crawl4ai_spark.operators.jpeg import synth_jpeg
+
+                    payload = synth_jpeg(16, 16, seed=i)
+                    mime = "image/jpeg"
             elif kind == "audio":
                 payload = synth_wav(160 + (i % 5) * 40, seed=i)
                 mime = "audio/wav"

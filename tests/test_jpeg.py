@@ -1,0 +1,306 @@
+"""Baseline-JPEG decoder tests: a minimal independent ENCODER lives here
+(canonical Huffman from DHT specs, quant=1, direct coefficient encoding)
+so the decoder is exercised over real marker streams, and expected pixels
+are recomputed with the textbook T.81 double-sum IDCT — not the decoder's
+matrix form."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from crawl4ai_spark.operators.jpeg import jpeg_decode
+
+# ── independent zigzag (diagonal walk per T.81 figure A.6) ───────────────
+
+
+def _zigzag_order():
+    order = []
+    for s in range(15):
+        cells = [(i, s - i) for i in range(s + 1) if i < 8 and 0 <= s - i < 8]
+        if s % 2 == 0:
+            cells = cells[::-1]  # even diagonals walk bottom-left → top-right
+        order.extend(cells)
+    assert order[:6] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2)]
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+
+def _textbook_idct(coeffs: np.ndarray) -> np.ndarray:
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        0.25 * cu * cv * coeffs[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[x, y] = acc
+    return out
+
+
+# ── minimal baseline encoder ─────────────────────────────────────────────
+
+_DC_BITS = [0] * 7 + [12] + [0] * 8
+_DC_VALS = bytes(range(12))
+_AC_SYMS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_BITS = [0] * 7 + [len(_AC_SYMS)] + [0] * 8
+
+
+def _canonical_codes(bits, vals):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per spec
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _encode_block(bw, coeffs, pred, dc_codes, ac_codes):
+    zz = [int(coeffs[r][c]) for r, c in _ZIGZAG]
+    diff = zz[0] - pred
+    t = _category(diff)
+    length, code = dc_codes[t]
+    bw.put(code, length)
+    if t:
+        mag = diff if diff >= 0 else diff + (1 << t) - 1
+        bw.put(mag, t)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]
+            bw.put(code, length)
+            run -= 16
+        s = _category(zz[k])
+        length, code = ac_codes[(run << 4) | s]
+        bw.put(code, length)
+        mag = zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1
+        bw.put(mag, s)
+        run = 0
+    if last_nz < 63:
+        length, code = ac_codes[0x00]
+        bw.put(code, length)
+    return zz[0]
+
+
+def build_jpeg(width, height, comps, coeff_fn, dri=0, sof=0xC0):
+    """comps: [(comp_id, h_i, v_i)]; coeff_fn(ci, block_row, block_col) →
+    8×8 integer coefficient matrix (natural order), quantization all-1s."""
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMS)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + b"\x01" * 64
+    sofdata = b"\x08" + struct.pack(">HH", height, width) + bytes([len(comps)])
+    for cid, hi, vi in comps:
+        sofdata += bytes([cid, (hi << 4) | vi, 0])
+    out += bytes([0xFF, sof]) + struct.pack(">H", 2 + len(sofdata)) + sofdata
+    dht = b"\x00" + bytes(_DC_BITS) + _DC_VALS + b"\x10" + bytes(_AC_BITS) + _AC_SYMS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", dri)
+    sos = bytes([len(comps)])
+    for cid, _hi, _vi in comps:
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    rst = 0
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            bw.flush()
+            out += bytes(bw.out)
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, (_cid, hi, vi) in enumerate(comps):
+            for by in range(vi):
+                for bx in range(hi):
+                    block = coeff_fn(ci, my * vi + by, mx * hi + bx)
+                    preds[ci] = _encode_block(bw, block, preds[ci], dc_codes, ac_codes)
+    bw.flush()
+    out += bytes(bw.out) + b"\xff\xd9"
+    return bytes(out)
+
+
+def _flat(level):
+    """Coefficient matrix for a flat block of pixel value `level`."""
+    m = [[0] * 8 for _ in range(8)]
+    m[0][0] = 8 * (level - 128)
+    return m
+
+
+# ── tests ────────────────────────────────────────────────────────────────
+
+
+def test_flat_grayscale_exact():
+    data = build_jpeg(8, 8, [(1, 1, 1)], lambda ci, r, c: _flat(200))
+    w, h, ch, pix = jpeg_decode(data)
+    assert (w, h, ch) == (8, 8, 1)
+    assert set(pix) == {200}
+
+
+def test_multi_block_dc_chain_and_crop():
+    levels = {(0, 0): 10, (0, 1): 130, (1, 0): 255, (1, 1): 77}
+    data = build_jpeg(13, 11, [(1, 1, 1)], lambda ci, r, c: _flat(levels[(r, c)]))
+    w, h, ch, pix = jpeg_decode(data)
+    assert (w, h, ch) == (13, 11, 1)
+    a = np.frombuffer(pix, dtype=np.uint8).reshape(11, 13)
+    assert a[0, 0] == 10 and a[0, 12] == 130 and a[10, 0] == 255 and a[10, 12] == 77
+
+
+def test_ac_coefficients_match_textbook_idct():
+    coeffs = np.zeros((8, 8), dtype=int)
+    coeffs[0][0] = 160
+    coeffs[0][3] = -55
+    coeffs[2][1] = 31
+    coeffs[7][7] = 12
+    coeffs[5][0] = -200
+    data = build_jpeg(8, 8, [(1, 1, 1)], lambda ci, r, c: coeffs.tolist())
+    w, h, ch, pix = jpeg_decode(data)
+    want = np.clip(np.rint(_textbook_idct(coeffs.astype(float)) + 128), 0, 255)
+    got = np.frombuffer(pix, dtype=np.uint8).reshape(8, 8)
+    assert np.array_equal(got, want)
+
+
+def test_color_444_flat_ycbcr_to_rgb():
+    y, cb, cr = 120, 90, 180
+    blocks = [_flat(y), _flat(cb), _flat(cr)]
+    data = build_jpeg(
+        8, 8, [(1, 1, 1), (2, 1, 1), (3, 1, 1)], lambda ci, r, c: blocks[ci]
+    )
+    w, h, ch, pix = jpeg_decode(data)
+    assert (w, h, ch) == (8, 8, 3)
+    r_ = round(y + 1.402 * (cr - 128))
+    g_ = round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    b_ = round(y + 1.772 * (cb - 128))
+    a = np.frombuffer(pix, dtype=np.uint8).reshape(8, 8, 3)
+    assert (a[:, :, 0] == r_).all() and (a[:, :, 1] == g_).all() and (a[:, :, 2] == b_).all()
+
+
+def test_color_420_upsampling_grid():
+    """2×2 luma blocks per MCU with distinct flat values; flat chroma at
+    128 (zero chroma contribution) → RGB equals the per-quadrant luma."""
+    ylv = {(0, 0): 60, (0, 1): 100, (1, 0): 160, (1, 1): 220}
+
+    def coeff(ci, r, c):
+        if ci == 0:
+            return _flat(ylv[(r, c)])
+        return _flat(128)
+
+    data = build_jpeg(16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)], coeff)
+    w, h, ch, pix = jpeg_decode(data)
+    assert (w, h, ch) == (16, 16, 3)
+    a = np.frombuffer(pix, dtype=np.uint8).reshape(16, 16, 3)
+    for (r, c), lv in ylv.items():
+        quad = a[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
+        assert (quad == lv).all(), (r, c, lv, quad[0, 0])
+
+
+def test_restart_interval_resync():
+    levels = {(0, 0): 40, (0, 1): 90, (0, 2): 140, (0, 3): 190}
+    data = build_jpeg(
+        32, 8, [(1, 1, 1)], lambda ci, r, c: _flat(levels[(r, c)]), dri=1
+    )
+    assert b"\xff\xd0" in data and b"\xff\xd1" in data and b"\xff\xd2" in data
+    w, h, ch, pix = jpeg_decode(data)
+    a = np.frombuffer(pix, dtype=np.uint8).reshape(8, 32)
+    for (r, c), lv in levels.items():
+        assert (a[:, c * 8 : c * 8 + 8] == lv).all()
+
+
+def test_progressive_rejected():
+    data = build_jpeg(8, 8, [(1, 1, 1)], lambda ci, r, c: _flat(100), sof=0xC2)
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode(data)
+
+
+def test_byte_stuffing_roundtrip():
+    """Coefficients chosen to force 0xFF bytes in the entropy stream —
+    the encoder stuffs 0x00, the decoder must unstuff."""
+    rng = np.random.RandomState(3)
+    found = False
+    for trial in range(40):
+        coeffs = np.zeros((8, 8), dtype=int)
+        coeffs[0][0] = int(rng.randint(-1000, 1000))
+        for _ in range(12):
+            coeffs[rng.randint(8)][rng.randint(8)] = int(rng.randint(-80, 80))
+        data = build_jpeg(8, 8, [(1, 1, 1)], lambda ci, r, c: coeffs.tolist())
+        scan = data[data.find(b"\xff\xda") :]
+        if b"\xff\x00" in scan:
+            found = True
+            w, h, ch, pix = jpeg_decode(data)
+            want = np.clip(np.rint(_textbook_idct(coeffs.astype(float)) + 128), 0, 255)
+            got = np.frombuffer(pix, dtype=np.uint8).reshape(8, 8)
+            assert np.array_equal(got, want)
+    assert found, "no trial produced a stuffed byte — adjust generator"
+
+
+def test_image_feature_decoder_uses_real_jpeg_pixels():
+    """multimodal.image_feature_decoder must route decodable JPEGs through
+    the pixel path (PNG-style per-channel means), keeping the probe
+    fallback for header-only streams."""
+    from crawl4ai_spark.operators.multimodal import image_feature_decoder
+
+    y = 120
+    blocks = [_flat(y), _flat(128), _flat(128)]
+    data = build_jpeg(
+        8, 8, [(1, 1, 1), (2, 1, 1), (3, 1, 1)], lambda ci, r, c: blocks[ci]
+    )
+    feats = image_feature_decoder(data, {})
+    assert feats[0] == 8.0 and feats[1] == 8.0 and feats[2] == 3.0
+    # flat gray image: all three channel means equal the luma, std 0
+    assert feats[3] == float(y) and feats[4] == float(y) and feats[5] == float(y)
+    assert feats[7] == 0.0

@@ -515,7 +515,13 @@ def test_real_codecs_through_pipeline_on_synth_table(spark):
         assert len(r.features) == 16
         if i % 2 == 0:
             if r.kind == "image":     # [w, h, channels, ...]
-                assert r.features[0] == float(8 + i % 4) and r.features[2] == 3.0
+                if i % 12 == 0:       # PNG rows
+                    assert r.features[0] == float(8 + i % 4) and r.features[2] == 3.0
+                else:                 # baseline-JPEG rows (16x16 flat quads)
+                    assert r.features[0] == 16.0 and r.features[1] == 16.0
+                    assert r.features[2] == 3.0
+                    base = (i * 29) % 200 + 20
+                    assert r.features[3] == float(base + 15)  # mean of 4 quads
             elif r.kind == "audio":   # [rate, ch, n_frames, ...]
                 assert r.features[0] == 8000.0 and r.features[2] == float(160 + (i % 5) * 40)
             else:                     # [w, h, n_sampled, fps, stride, ...]
