@@ -470,175 +470,187 @@ def run_crawl(
 
     summary = {"waves": [], "resumed_from": last}
 
-    while wave < config.max_waves:
-        t0 = time.time()
-        pending = frontier_all.select(*FRONTIER_COLS)
-        if attempted_keys is not None:
-            pending = pending.join(attempted_keys, "url_fp", "left_anti")
+    from concurrent.futures import ThreadPoolExecutor
 
-        remaining = None
-        if config.max_pages is not None:
-            remaining = config.max_pages - total_attempted
-            if remaining <= 0:
-                break
+    pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="wave-writer")
+    try:
+        while wave < config.max_waves:
+            t0 = time.time()
+            pending = frontier_all.select(*FRONTIER_COLS)
+            if attempted_keys is not None:
+                pending = pending.join(attempted_keys, "url_fp", "left_anti")
 
-        if config.strategy == "dfs":
-            order = dfs_order()
-        elif config.fairness_boost is not None:
-            order = fair_wave_order(wave, config.fairness_boost)
-        else:
-            order = None
-        ranked = rank_by_host_budget(
-            pending,
-            host_budgets,
-            config.default_budget,
-            host_state=host_state,
-            global_limit=remaining,
-            order=order,
-            salt_partitions=config.salt_partitions,
-            # |pending| from accumulated footer counts (attempted ⊆
-            # frontier, both unique by url_fp) — lets the global cap elide
-            # its windows entirely once pending fits the remaining budget
-            pending_hint=(
-                frontier_total - total_attempted if frontier_total is not None else None
-            ),
-        )
-        wave_sel = ranked.where(F.col("selected")).drop("selected")
-        wave_sel = attach_robots_verdict(wave_sel, robots, config.user_agent)
-        fetched = wave_sel.join(pages_slim, "url", "left")
-        throttle_cond = (
-            F.col("status_code").isin(429, 503)
-            if has_status
-            else F.lit(False)
-        )
-        fetched = fetched.withColumn(
-            "status",
-            F.when(~F.col("robots_allowed"), F.lit("robots_denied"))
-            .when(F.col("html").isNull(), F.lit("missing"))
-            .when(throttle_cond, F.lit("throttled"))
-            .otherwise(F.lit("fetched")),
-        )
-        if has_status:
-            fetched = fetched.drop("status_code")
-        # one pass over html, then everything runs off this narrow cache
-        work = _wave_work(fetched, mode, config).persist()
+            remaining = None
+            if config.max_pages is not None:
+                remaining = config.max_pages - total_attempted
+                if remaining <= 0:
+                    break
 
-        t_phase = time.time()
-        results = _result_rows(work, wave, mode)
-        results_written = store.write_table("results", wave, results)
-        t_phase = _tick("extract+results_write", t_phase)
-        n_selected = store.pending_count(wave, "results")
-        if n_selected == 0:
-            # An empty wave can mean "done" OR "every pending host is in
-            # backoff cooldown" — only stop when no host is cooling down
-            # (cooldown_waves == -1 retired hosts never come back, so a
-            # frontier of only-retired hosts is terminal, matching the
-            # reference's give-up-after-max_retries). Otherwise fall
-            # through and commit the empty wave so cooldowns tick down.
-            cooling = (
-                host_state is not None
-                and host_state.where(F.col("cooldown_waves") > 0).limit(1).count() > 0
+            if config.strategy == "dfs":
+                order = dfs_order()
+            elif config.fairness_boost is not None:
+                order = fair_wave_order(wave, config.fairness_boost)
+            else:
+                order = None
+            ranked = rank_by_host_budget(
+                pending,
+                host_budgets,
+                config.default_budget,
+                host_state=host_state,
+                global_limit=remaining,
+                order=order,
+                salt_partitions=config.salt_partitions,
+                # |pending| from accumulated footer counts (attempted ⊆
+                # frontier, both unique by url_fp) — lets the global cap elide
+                # its windows entirely once pending fits the remaining budget
+                pending_hint=(
+                    frontier_total - total_attempted if frontier_total is not None else None
+                ),
             )
-            if not cooling or pending.limit(1).count() == 0:
-                work.unpersist()
-                break
-
-        fresh = _discover(work.where(F.col("status") == "fetched"), wave, config, mode)
-        fresh = _anti_join_seen(fresh, frontier_all.select("url_fp"), shards, config)
-
-        fresh_cached = None
-        if config.max_pages is not None:
-            # tiered global top-k (see flag_global_top_k): the narrow
-            # discovery frame is persisted so the elision count and the
-            # frontier write share one computation of discover+anti-join
-            fresh_cached = fresh.persist()
-            fresh = flag_global_top_k(
-                fresh_cached,
-                wave_order(),
-                max(config.max_pages - total_attempted, 0),
-                n_rows=fresh_cached.count(),
+            wave_sel = ranked.where(F.col("selected")).drop("selected")
+            wave_sel = attach_robots_verdict(wave_sel, robots, config.user_agent)
+            fetched = wave_sel.join(pages_slim, "url", "left")
+            throttle_cond = (
+                F.col("status_code").isin(429, 503)
+                if has_status
+                else F.lit(False)
             )
-            fresh = fresh.where(F.col("_topk")).drop("_topk")
-
-        frontier_delta = fresh if seed_delta is None else seed_delta.unionByName(fresh)
-        frontier_written = store.write_table("frontier_delta", wave, frontier_delta)
-        n_fresh = store.pending_count(wave, "frontier_delta")
-        t_phase = _tick("discover+frontier_write", t_phase)
-
-        outcomes = (
-            work.groupBy("host")
-            .agg(
-                F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("n_ok"),
-                # 429/503-equivalents from the pages table's status_code
-                # column (0 everywhere when the column is absent) — drives
-                # the RateLimiter backoff state machine per wave
-                F.sum(F.when(F.col("status") == "throttled", 1).otherwise(0)).alias("n_throttled"),
+            fetched = fetched.withColumn(
+                "status",
+                F.when(~F.col("robots_allowed"), F.lit("robots_denied"))
+                .when(F.col("html").isNull(), F.lit("missing"))
+                .when(throttle_cond, F.lit("throttled"))
+                .otherwise(F.lit("fetched")),
             )
-        )
-        host_state_written = store.write_table(
-            "host_state", wave, update_host_state(host_state, outcomes)
-        )
-        t_phase = _tick("host_state", t_phase)
+            if has_status:
+                fetched = fetched.drop("status_code")
+            # one pass over html, then everything runs off this narrow cache
+            work = _wave_work(fetched, mode, config).persist()
 
-        # lineage/bloom derive from the already-written bytes, not a
-        # recomputation of the wave lineage
-        lineage = (
-            results_written.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
-            .agg(F.count("*").alias("rows_out"))
-            .withColumn("wave", F.lit(wave))
-            .withColumn("table", F.lit("results"))
-        )
-        store.write_table("lineage", wave, lineage)
-        t_phase = _tick("lineage", t_phase)
-        if config.use_bloom:
-            store.write_table(
-                "seen_bloom",
-                wave,
-                build_bloom_shards(frontier_written, config.n_bloom_shards, config.bloom_fpp),
+            t_phase = time.time()
+            results = _result_rows(work, wave, mode)
+            outcomes = (
+                work.groupBy("host")
+                .agg(
+                    F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("n_ok"),
+                    # 429/503-equivalents from the pages table's status_code
+                    # column (0 everywhere when the column is absent) — drives
+                    # the RateLimiter backoff state machine per wave
+                    F.sum(F.when(F.col("status") == "throttled", 1).otherwise(0)).alias("n_throttled"),
+                )
             )
-            t_phase = _tick("bloom", t_phase)
-        # throttle count folded into the metrics job: summed from the
-        # already-written host_state bytes (the per-wave results-table
-        # count() job this replaces was pure overhead), then read back
-        # driver-side from the single-row metrics parquet — no extra job
-        metrics = host_state_written.agg(
-            F.coalesce(F.sum("wave_throttled"), F.lit(0)).alias("n_throttled")
-        ).select(
-            F.lit(wave).cast("long").alias("wave"),
-            (F.lit(n_selected) - F.col("n_throttled")).alias("n_attempted"),
-            F.col("n_throttled"),
-            F.lit(n_fresh).cast("long").alias("n_new_frontier"),
-            F.lit(time.time() - t0).alias("wall_sec"),
-        )
-        store.write_table("metrics", wave, metrics)
-        # throttled rows are recorded but NOT attempted: they stay pending
-        # (retried after the host cooldown) and don't burn max_pages
-        n_throttled_rows = (
-            int(store.read_scalar("metrics", wave, "n_throttled") or 0)
-            if has_status
-            else 0
-        )
-        marker = store.commit(wave, meta={"config": str(config)})
-        summary["waves"].append(marker["counts"] | {"wave": wave})
+            # results and host_state depend only on the persisted `work`
+            # frame and on nothing downstream — submit their write jobs from
+            # driver threads so they overlap the discover+frontier job: the
+            # wave's fixed cost is max(), not sum(), of the three (first
+            # touch of a `work` block is serialized by BlockManager's
+            # per-block locks, so the cache is still computed once)
+            f_results = pool.submit(store.write_table, "results", wave, results)
+            f_host = pool.submit(
+                store.write_table, "host_state", wave, update_host_state(host_state, outcomes)
+            )
 
-        work.unpersist()
-        if fresh_cached is not None:
-            fresh_cached.unpersist()
-        if seed_delta is not None:
-            seed_delta.unpersist()
+            fresh = _discover(work.where(F.col("status") == "fetched"), wave, config, mode)
+            fresh = _anti_join_seen(fresh, frontier_all.select("url_fp"), shards, config)
 
-        # reload state from committed storage (cheap: metadata-only plans)
-        frontier_all = store.read_table("frontier_delta")
-        results_all = store.read_table("results")
-        attempted_keys = results_all.where(F.col("status") != "throttled").select("url_fp")
-        host_state = store.read_latest("host_state")
-        shards = store.read_table("seen_bloom") if config.use_bloom else None
-        total_attempted += n_selected - n_throttled_rows
-        frontier_total = (frontier_total or 0) + n_fresh
-        wave += 1
-        seed_delta = None
+            fresh_cached = None
+            if config.max_pages is not None:
+                # tiered global top-k (see flag_global_top_k): the narrow
+                # discovery frame is persisted so the elision count and the
+                # frontier write share one computation of discover+anti-join
+                fresh_cached = fresh.persist()
+                fresh = flag_global_top_k(
+                    fresh_cached,
+                    wave_order(),
+                    max(config.max_pages - total_attempted, 0),
+                    n_rows=fresh_cached.count(),
+                )
+                fresh = fresh.where(F.col("_topk")).drop("_topk")
 
+            frontier_delta = fresh if seed_delta is None else seed_delta.unionByName(fresh)
+            frontier_written = store.write_table("frontier_delta", wave, frontier_delta)
+            n_fresh = store.pending_count(wave, "frontier_delta")
+            f_results.result()
+            host_state_written = f_host.result()
+            n_selected = store.pending_count(wave, "results")
+            t_phase = _tick("results+frontier+host_state (3 concurrent jobs)", t_phase)
+            if n_selected == 0:
+                # An empty wave can mean "done" OR "every pending host is in
+                # backoff cooldown" — only stop when no host is cooling down
+                # (cooldown_waves == -1 retired hosts never come back, so a
+                # frontier of only-retired hosts is terminal, matching the
+                # reference's give-up-after-max_retries). Otherwise fall
+                # through and commit the empty wave so cooldowns tick down.
+                # (The empty wave's discover ran above — over zero fetched
+                # rows — and its staged, uncommitted dirs are reclaimed by
+                # the next run's recover().)
+                cooling = (
+                    host_state is not None
+                    and host_state.where(F.col("cooldown_waves") > 0).limit(1).count() > 0
+                )
+                if not cooling or pending.limit(1).count() == 0:
+                    work.unpersist()
+                    if fresh_cached is not None:
+                        fresh_cached.unpersist()
+                    break
+
+            # lineage derives from the already-written parquet footers,
+            # driver-side (store.write_lineage) — zero Spark jobs
+            store.write_lineage(wave, "results")
+            t_phase = _tick("lineage", t_phase)
+            if config.use_bloom:
+                store.write_table(
+                    "seen_bloom",
+                    wave,
+                    build_bloom_shards(frontier_written, config.n_bloom_shards, config.bloom_fpp),
+                )
+                t_phase = _tick("bloom", t_phase)
+            # throttle count folded into the metrics job: summed from the
+            # already-written host_state bytes (the per-wave results-table
+            # count() job this replaces was pure overhead), then read back
+            # driver-side from the single-row metrics parquet — no extra job
+            metrics = host_state_written.agg(
+                F.coalesce(F.sum("wave_throttled"), F.lit(0)).alias("n_throttled")
+            ).select(
+                F.lit(wave).cast("long").alias("wave"),
+                (F.lit(n_selected) - F.col("n_throttled")).alias("n_attempted"),
+                F.col("n_throttled"),
+                F.lit(n_fresh).cast("long").alias("n_new_frontier"),
+                F.lit(time.time() - t0).alias("wall_sec"),
+            )
+            store.write_table("metrics", wave, metrics)
+            # throttled rows are recorded but NOT attempted: they stay pending
+            # (retried after the host cooldown) and don't burn max_pages
+            n_throttled_rows = (
+                int(store.read_scalar("metrics", wave, "n_throttled") or 0)
+                if has_status
+                else 0
+            )
+            marker = store.commit(wave, meta={"config": str(config)})
+            summary["waves"].append(marker["counts"] | {"wave": wave})
+
+            work.unpersist()
+            if fresh_cached is not None:
+                fresh_cached.unpersist()
+            if seed_delta is not None:
+                seed_delta.unpersist()
+
+            # reload state from committed storage (cheap: metadata-only plans)
+            frontier_all = store.read_table("frontier_delta")
+            results_all = store.read_table("results")
+            attempted_keys = results_all.where(F.col("status") != "throttled").select("url_fp")
+            host_state = store.read_latest("host_state")
+            shards = store.read_table("seen_bloom") if config.use_bloom else None
+            total_attempted += n_selected - n_throttled_rows
+            frontier_total = (frontier_total or 0) + n_fresh
+            wave += 1
+            seed_delta = None
+
+    finally:
+        # always drain the writer threads — an exception raised between
+        # submit and result must not leave write jobs running against a
+        # session the caller is about to stop
+        pool.shutdown(wait=True)
     summary["total_attempted"] = total_attempted
     summary["final_wave"] = wave - 1
     if config.compact_on_finish:

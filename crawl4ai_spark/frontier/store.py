@@ -53,6 +53,7 @@ class WaveStore:
         self.spark = spark
         self.root = root
         self._pending: dict[int, dict[str, int]] = {}
+        self._pending_schemas: dict[int, dict[str, str]] = {}
         # markers are immutable once written — memoize so resume over
         # thousands of waves parses each JSON once, not once per use
         self._markers: dict[int, dict] = {}
@@ -105,7 +106,51 @@ class WaveStore:
         path = self._staging_path(name, wave)
         df.write.mode("overwrite").parquet(path)
         self._pending.setdefault(wave, {})[name] = self._footer_row_count(path)
+        # schema recorded in the commit marker: read_table unions many
+        # wave dirs and only pays a distributed mergeSchema footer sweep
+        # when the recorded schemas actually differ (schema-widening code
+        # change mid-store); uniform stores read plan-only
+        self._pending_schemas.setdefault(wave, {})[name] = df.schema.json()
         return self.spark.read.parquet(path)
+
+    def write_lineage(self, wave: int, source: str = "results", name: str = "lineage") -> None:
+        """Per-partition lineage of an already-written wave table, derived
+        from its parquet FOOTERS driver-side (pyarrow) — replaces a Spark
+        read+groupBy+write round-trip that was pure per-wave overhead.
+        Output files map 1:1 to the write's partitions (empty partitions
+        produce no file, matching the old groupBy's absent groups)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        src = self._staging_path(source, wave)
+        if not os.path.exists(src):
+            src = self._table_path(source, wave)
+        pids, rows = [], []
+        for fname in sorted(os.listdir(src)):
+            if not fname.endswith(".parquet"):
+                continue
+            n = pq.ParquetFile(os.path.join(src, fname)).metadata.num_rows
+            if n:
+                try:  # part-00007-<uuid>.snappy.parquet → partition 7
+                    pids.append(int(fname.split("-")[1]))
+                except (IndexError, ValueError):
+                    pids.append(len(pids))
+                rows.append(n)
+        tbl = pa.table(
+            {
+                "partition_id": pa.array(pids, pa.int32()),
+                "rows_out": pa.array(rows, pa.int64()),
+                "wave": pa.array([wave] * len(pids), pa.int32()),
+                "table": pa.array([source] * len(pids), pa.string()),
+            }
+        )
+        path = self._staging_path(name, wave)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+        self._pending.setdefault(wave, {})[name] = tbl.num_rows
+        self._pending_schemas.setdefault(wave, {})[name] = self.spark.read.parquet(
+            path
+        ).schema.json()
 
     def pending_count(self, wave: int, name: str) -> int:
         return self._pending.get(wave, {}).get(name, 0)
@@ -153,6 +198,7 @@ class WaveStore:
             "wave": wave,
             "tables": sorted(counts),
             "counts": counts,
+            "schemas": self._pending_schemas.pop(wave, {}),
             "meta": meta or {},
             "committed_at": time.time(),
         }
@@ -254,18 +300,21 @@ class WaveStore:
         lo = prev["upto"] if prev else -1
         folded = [w for w in committed if lo < w <= upto]
         paths = self._delta_paths(name, folded)
+        schemas = self._delta_schemas(name, folded)
         if prev and prev["rows"] > 0:
             paths.insert(0, self._compact_path(name, prev["upto"]))
+            schemas.insert(0, prev.get("schema_json"))
         rows = 0
+        schema_json = prev.get("schema_json") if prev else None
         if paths:
             src_bytes = sum(self._dir_bytes(p) for p in paths)
             n_files = max(1, -(-src_bytes // TARGET_COMPACT_FILE_BYTES))
             staging = os.path.join(self.root, STAGING_DIR, "_compact", name, f"upto={upto}")
-            # mergeSchema: a store written before a schema-widening code
-            # change (e.g. results growing cleaned_html/media columns) mixes
-            # narrow and wide wave schemas; a plain union read infers from
-            # one footer and silently drops the new columns
-            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            # schema-aware union (see _read_union): plain read when the
+            # recorded wave schemas agree, mergeSchema sweep when a
+            # schema-widening code change mixed narrow and wide waves
+            df = self._read_union(paths, schemas)
+            schema_json = df.schema.json()
             df.repartition(n_files).write.mode("overwrite").parquet(staging)
             rows = self._footer_row_count(staging)
             final = self._compact_path(name, upto)
@@ -280,6 +329,7 @@ class WaveStore:
             "upto": upto,
             "rows": rows + (prev["rows"] if prev and not paths else 0),
             "folded_waves": (prev["folded_waves"] if prev else []) + folded,
+            "schema_json": schema_json,
             "compacted_at": time.time(),
         }
         tmp = self._compact_marker_path(name) + ".tmp"
@@ -320,6 +370,20 @@ class WaveStore:
 
     # ── readers (committed waves only) ───────────────────────────────
 
+    def _delta_schemas(self, name: str, waves: list[int]) -> list[str | None]:
+        return [self.marker(w).get("schemas", {}).get(name) for w in waves]
+
+    def _read_union(self, paths: list[str], schemas: list[str | None]) -> DataFrame:
+        """Union read of wave dirs. When every recorded schema is known
+        and identical (the steady state), a plain read suffices — one
+        footer, no distributed mergeSchema sweep, so per-wave read cost
+        does not grow with wave count. Unknown (pre-schema-marker store)
+        or genuinely mixed schemas take the mergeSchema path so widening
+        never silently drops columns."""
+        if len(paths) == 1 or (all(schemas) and len(set(schemas)) == 1):
+            return self.spark.read.parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
     def read_table(self, name: str, waves: list[int] | None = None) -> DataFrame | None:
         """Union of a table's committed wave deltas (None → all
         committed). The default read goes through the compact snapshot
@@ -329,25 +393,25 @@ class WaveStore:
         if waves is None:
             cm = self.compact_marker(name)
             if cm is not None:
+                tail = [w for w in self.committed_waves() if w > cm["upto"]]
                 paths = (
                     [self._compact_path(name, cm["upto"])] if cm["rows"] > 0 else []
                 )
-                paths += self._delta_paths(
-                    name, [w for w in self.committed_waves() if w > cm["upto"]]
-                )
+                schemas = (
+                    [cm.get("schema_json")] if cm["rows"] > 0 else []
+                ) + self._delta_schemas(name, tail)
+                paths += self._delta_paths(name, tail)
                 if not paths:
                     return None
-                return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+                return self._read_union(paths, schemas)
             waves = self.committed_waves()
         paths = self._delta_paths(name, waves)
         if not paths:
             return None
         # leaf wave=K dirs read as roots: no partition inference, so the
         # dir name never collides with the data wave column the wave-scoped
-        # tables already carry (COLUMN_ALREADY_EXISTS warning otherwise).
-        # mergeSchema: waves written by older code may be narrower — union
-        # must surface the widest schema, nulls for the missing columns
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # tables already carry (COLUMN_ALREADY_EXISTS warning otherwise)
+        return self._read_union(paths, self._delta_schemas(name, waves))
 
     def read_latest(self, name: str) -> DataFrame | None:
         """Latest committed snapshot of a snapshot-style table (host_state)."""

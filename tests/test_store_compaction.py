@@ -281,3 +281,80 @@ def test_read_and_compact_merge_mixed_wave_schemas(spark, tmp_path):
     assert "cleaned_html" in got2.columns
     rows2 = {r.url_fp: r for r in got2.collect()}
     assert rows2[1].cleaned_html is None and rows2[2].cleaned_html == "<p>b</p>"
+
+
+def test_write_lineage_from_footers_matches_partition_rows(spark, tmp_path):
+    """write_lineage derives per-partition lineage driver-side from the
+    written wave's parquet footers (zero Spark jobs): rows_out must sum to
+    the wave's row count and map 1:1 to the non-empty written partitions."""
+    store = WaveStore(spark, str(tmp_path / "s"))
+    df = spark.range(100).select(
+        F.col("id").alias("url_fp"),
+        F.concat(F.lit("http://h.test/p"), F.col("id")).alias("url"),
+    ).repartition(4)
+    store.write_table("results", 0, df)
+    store.write_lineage(0, "results")
+    marker = store.commit(0)
+
+    lin = store.read_table("lineage").collect()
+    assert marker["counts"]["lineage"] == len(lin)
+    assert sum(r.rows_out for r in lin) == 100
+    assert all(r.wave == 0 and r.table == "results" for r in lin)
+    assert len({r.partition_id for r in lin}) == len(lin)  # distinct partitions
+    assert all(r.rows_out > 0 for r in lin)  # empty partitions absent
+
+
+def test_commit_marker_records_schemas_and_uniform_read_skips_mergeschema(
+    spark, tmp_path, monkeypatch
+):
+    """The commit marker records each table's schema; a store whose waves
+    all share one recorded schema must take the plain-read path (no
+    distributed mergeSchema footer sweep — per-wave read cost must not
+    grow with wave count)."""
+    store = _write_waves(spark, str(tmp_path / "s"), 3)
+    for w in range(3):
+        assert "results" in store.marker(w).get("schemas", {})
+    schemas = {store.marker(w)["schemas"]["results"] for w in range(3)}
+    assert len(schemas) == 1
+
+    import pyspark.sql.readwriter as rw
+
+    calls = []
+    orig = rw.DataFrameReader.option
+
+    def spy(self, key, value):
+        calls.append(key)
+        return orig(self, key, value)
+
+    monkeypatch.setattr(rw.DataFrameReader, "option", spy)
+    assert store.read_table("results").count() == 30
+    assert "mergeSchema" not in calls
+
+
+def test_pre_schema_marker_store_still_merge_reads(spark, tmp_path):
+    """Markers written by older code carry no 'schemas' key — unknown
+    schemas must take the mergeSchema path so a widened store still
+    surfaces the new columns."""
+    import json
+
+    store = WaveStore(spark, str(tmp_path / "s"))
+    narrow = spark.createDataFrame([(1, "http://a/")], "url_fp long, url string")
+    wide = spark.createDataFrame(
+        [(2, "http://b/", "<p>b</p>")], "url_fp long, url string, cleaned_html string"
+    )
+    store.write_wave(0, {"results": narrow})
+    store.write_wave(1, {"results": wide})
+    # simulate an old store: strip the schema records from both markers
+    for w in (0, 1):
+        p = store._marker_path(w)
+        with open(p) as fh:
+            m = json.load(fh)
+        m.pop("schemas", None)
+        with open(p, "w") as fh:
+            json.dump(m, fh)
+    store._markers.clear()
+
+    got = store.read_table("results")
+    assert "cleaned_html" in got.columns
+    rows = {r.url_fp: r for r in got.collect()}
+    assert rows[1].cleaned_html is None and rows[2].cleaned_html == "<p>b</p>"
