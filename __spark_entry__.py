@@ -291,7 +291,9 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (rows-only driver check)."""
+    """SimHash near-dup candidates. Full equality oracle: the token hash
+    is the cross-engine md5-low-64, so the whole signature + pigeonhole
+    banding + hamming verify unrolls in SQL (``_simhash_oracle_sql``)."""
     from crawl4ai_spark.operators.dedup import simhash_candidate_pairs
 
     docs = _read(spark, sf_dir, "documents")
@@ -342,8 +344,10 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only; pytest checks recall
-    against brute force)."""
+    """LSH-bucketed approximate top-k. Full equality oracle: the seeded
+    Gaussian planes are exported as SQL literals and the probe-bucket set
+    recomputed by the oracle builder (``_ann_topk_lsh_oracle_sql``);
+    pytest separately checks recall against brute force."""
     from crawl4ai_spark.operators.similarity import ann_topk_lsh
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1652,14 +1656,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_bpe_count_sql()} AS n_bpe_tokens FROM documents
         """,
         "curated_corpus": _curated_corpus_oracle_sql(),
-        # simhash_candidates / ann_topk_lsh / media_features (odd ids):
-        # intentionally no oracle (hash-permutation / LSH internals are
-        # not SQL-expressible) → rows-only driver check; pytest asserts
-        # recall vs the exact operators instead.
+        # media_features (odd ids' synthetic payloads): intentionally no
+        # oracle — binary probing is not SQL-expressible; the even-id
+        # split is fully pinned by media_features_decoded.
         # llm_extract_blocks: intentionally no oracle (prompt build +
         # completion + parse ladder runs in Python by design; the fake
         # model's outputs are pinned by tests/test_llm_extract.py).
+        "simhash_candidates": _simhash_oracle_sql(),
     } | _lsh_precision_oracles() | _centroid_oracles()
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """SimHash unrolled in SQL — possible because the engine's token hash
+    is the cross-engine-portable md5-low-64 (``udf_simhash64``): per-token
+    hash → 64 bit-votes per doc → the 4×16-bit chunks are built directly
+    (chunk shifts stay < 16, dodging DuckDB's UBIGINT left-shift overflow
+    check), pigeonhole self-join on equal chunks, hamming = sum of chunk
+    XOR popcounts. Token cleaning matches the engine's TOKEN_SPLIT_RE /
+    WORD_CHARS_RE / len>2 contract (= ``_CLEAN_TOKS``); docs with no
+    surviving tokens keep the engine's all-zero signature via the grid
+    left-join."""
+    return f"""
+        WITH th AS (
+            SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv
+            FROM (SELECT doc_id, unnest({_CLEAN_TOKS}) AS w FROM documents)),
+        votes AS (
+            SELECT doc_id, b,
+                   sum(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+            FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+            GROUP BY doc_id, b),
+        sim AS (
+            SELECT doc_id, b // 16 AS chunk_idx,
+                   sum(CASE WHEN vote > 0 THEN 1 << (b % 16) ELSE 0 END) AS chunk
+            FROM votes GROUP BY doc_id, chunk_idx),
+        ch AS (
+            SELECT g.doc_id, g.chunk_idx, coalesce(s.chunk, 0) AS chunk
+            FROM (SELECT doc_id, unnest(range(4)) AS chunk_idx FROM documents) g
+            LEFT JOIN sim s ON g.doc_id = s.doc_id AND g.chunk_idx = s.chunk_idx),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM ch x JOIN ch y
+              ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk
+             AND x.doc_id < y.doc_id),
+        ham AS (
+            SELECT c.id_a, c.id_b,
+                   sum(bit_count(xor(xa.chunk::BIGINT, xb.chunk::BIGINT))) AS hamming
+            FROM cand c
+            JOIN ch xa ON xa.doc_id = c.id_a
+            JOIN ch xb ON xb.doc_id = c.id_b AND xb.chunk_idx = xa.chunk_idx
+            GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+        FROM ham WHERE hamming <= {max_hamming}
+    """
 
 
 def _lsh_precision_oracles() -> dict[str, str]:
@@ -1802,17 +1850,65 @@ def _semantic_dedup_oracle_sql(k: int = 16, iters: int = 8, threshold: float = 0
 
 
 def _centroid_oracles() -> dict[str, str]:
-    """Data-dependent oracles (centroid literals recomputed from the
-    oracle-scale parquet). Isolated so a failure to read the parquet
-    degrades those two rows to rows-only instead of breaking oracle_sql
-    for everything."""
+    """Data-dependent oracles (centroid / hyperplane literals recomputed
+    from the oracle-scale parquet). Isolated so a failure to read the
+    parquet degrades these rows to rows-only instead of breaking
+    oracle_sql for everything."""
     try:
         return {
             "semantic_dedup": _semantic_dedup_oracle_sql(k=16, iters=8, threshold=0.35),
             "ivf_topk": _ivf_topk_oracle_sql(k_centroids=8, iters=5, n_probe=3, k=10),
+            "ann_topk_lsh": _ann_topk_lsh_oracle_sql(k=10, n_planes=10, probe_hamming=2),
         }
     except Exception:  # noqa: BLE001 — missing parquet ⇒ rows-only check
         return {}
+
+
+def _ann_topk_lsh_oracle_sql(
+    k: int = 10, n_planes: int = 10, probe_hamming: int = 2, seed: int = 42
+) -> str:
+    """Multi-probe hyperplane-LSH top-k unrolled in SQL: the Gaussian
+    planes are seeded literals (same ``RandomState(seed)`` draw as
+    ``hyperplane_signatures``), the query's probe-bucket set is
+    recomputed in the builder exactly as ``ann_topk_lsh`` does, then the
+    brute-force rerank is restricted to vectors whose literal-projection
+    sign bucket falls in that set — fully deterministic end to end."""
+    import duckdb
+    import numpy as np
+
+    path = os.path.join(_oracle_sf_dir(), "embeddings.parquet")
+    con = duckdb.connect()
+    query = con.execute(f"SELECT embedding FROM '{path}' WHERE vec_id = 0").fetchone()[0]
+    con.close()
+    dim = len(query)
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    qbits = (planes @ np.asarray(query, dtype=np.float64) > 0).astype(int)
+    qbucket = int((qbits * (1 << np.arange(n_planes))).sum())
+    buckets = {qbucket}
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            buckets.add(qbucket ^ (1 << i))
+    if probe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                buckets.add(qbucket ^ (1 << i) ^ (1 << j))
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_inner_product(ev, ["
+        + ", ".join(repr(float(w)) for w in planes[i])
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    probe_list = ", ".join(str(b) for b in sorted(buckets))
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        sig AS (SELECT vec_id, ev, {bucket_expr} AS bucket FROM v),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, round(list_cosine_similarity(ev, qv), 6) AS cosine_sim
+        FROM sig, q WHERE bucket IN ({probe_list})
+        ORDER BY cosine_sim DESC, vec_id
+        LIMIT {k}
+    """
 
 
 def _ivf_topk_oracle_sql(k_centroids: int = 8, iters: int = 5, n_probe: int = 3, k: int = 10) -> str:

@@ -143,8 +143,11 @@ def term_frequencies(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def udf_simhash64(text: pd.Series) -> pd.Series:
     """64-bit SimHash over cleaned tokens (numpy bit-vote, Arrow-batched).
 
-    Deterministic across runs: token hash = xxhash-free blake2b(8 bytes)
-    of the token utf-8 (stdlib, stable everywhere).
+    Deterministic across runs AND engines: token hash = first 8 bytes of
+    md5(token utf-8), big-endian — the one 64-bit hash expressible in
+    both Spark and DuckDB SQL (``('0x' || substr(md5(w), 1, 16))::
+    UBIGINT``), which is what lets ``simhash_candidates`` carry a full
+    cross-engine equality oracle instead of a rows-only check.
     """
     import hashlib
     import re as _re
@@ -160,7 +163,7 @@ def udf_simhash64(text: pd.Series) -> pd.Series:
             continue
         hashes = np.fromiter(
             (
-                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
                 for w in toks
             ),
             dtype=np.uint64,
