@@ -131,6 +131,13 @@ class CrawlConfig:
     # URL waits in the frontier (reference fairness re-prioritization,
     # async_dispatcher.py:471-528). None = pure reference-parity order.
     fairness_boost: float | None = None
+    # memory-adaptive wave sizing (operators.dispatch
+    # .MemoryAdaptiveGovernor) — the Spark analog of the reference's
+    # MemoryAdaptiveDispatcher (async_dispatcher.py:148-208): between
+    # waves the driver samples memory, waits out critical pressure, and
+    # shrinks/regrows the next wave's global row cap. Unselected rows
+    # stay pending, so the final URL-seen set is unchanged.
+    memory_governor: object | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -486,6 +493,16 @@ def run_crawl(
                 if remaining <= 0:
                     break
 
+            # memory-adaptive wave sizing: wait out critical pressure,
+            # then cap this wave's global selection. A capped wave never
+            # drops URLs (unselected rows stay pending), so only the wave
+            # schedule changes, not the crawl's final URL-seen set.
+            wave_limit = remaining
+            if config.memory_governor is not None:
+                pct = config.memory_governor.wait_if_critical(spark)
+                cap = config.memory_governor.next_wave_cap(pct)
+                wave_limit = cap if wave_limit is None else min(wave_limit, cap)
+
             if config.strategy == "dfs":
                 order = dfs_order()
             elif config.fairness_boost is not None:
@@ -497,7 +514,7 @@ def run_crawl(
                 host_budgets,
                 config.default_budget,
                 host_state=host_state,
-                global_limit=remaining,
+                global_limit=wave_limit,
                 order=order,
                 salt_partitions=config.salt_partitions,
                 # |pending| from accumulated footer counts (attempted ⊆
