@@ -990,6 +990,27 @@ def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"))
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality + repetition battery (Rae et al. 2021 A1) — all 18
+    signals, fail_reasons and pass verdict per doc. Oracle: full SQL
+    recomputation generated from the SAME threshold table
+    (``_gopher_oracle_sql``), so engine and oracle cannot drift."""
+    from crawl4ai_spark.operators.quality_filters import gopher_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_filter(docs, shuffle_parts=32)
+
+
+def _q_c4_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-punct /
+    min-words / javascript line gates, lorem-ipsum + brace + sentence
+    document gates — pure column algebra, zero shuffles."""
+    from crawl4ai_spark.operators.quality_filters import c4_line_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return c4_line_filter(docs)
+
+
 def _q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation pass: quality gate (≥ 0.75) →
     language gate (en) → exact-dedup keep-first among survivors →
@@ -1072,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": _q_doc_pagerank,
         "bpe_token_counts": _q_bpe_token_counts,
         "curated_corpus": _q_curated_corpus,
+        "gopher_quality": _q_gopher_quality,
+        "c4_filtered": _q_c4_filtered,
     }
 
 
@@ -1663,7 +1686,149 @@ def oracle_sql() -> dict[str, str]:
         # completion + parse ladder runs in Python by design; the fake
         # model's outputs are pinned by tests/test_llm_extract.py).
         "simhash_candidates": _simhash_oracle_sql(),
+        "gopher_quality": _gopher_oracle_sql(),
+        "c4_filtered": _c4_oracle_sql(),
     } | _lsh_precision_oracles() | _centroid_oracles()
+
+
+_SQL_WORDS = (
+    r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),"
+    " x -> length(x) > 0)"
+)
+_SQL_LINES = (
+    "list_filter(list_transform(str_split(text, chr(10)), x -> trim(x)),"
+    " x -> length(x) > 0)"
+)
+
+
+def _gopher_oracle_sql() -> str:
+    """Full SQL recomputation of the Gopher battery. The threshold table
+    and stopword panel are imported from the operator module (the langid
+    no-drift pattern); the repetition family mirrors the engine's one
+    exploded (doc, kind, key) frame as a UNION ALL + two GROUP BYs."""
+    from crawl4ai_spark.operators.quality_filters import (
+        GOPHER_STOPWORDS,
+        GOPHER_THRESHOLDS,
+        _DUP_NS,
+        _TOP_NS,
+    )
+
+    gram_unions = "\n            UNION ALL ".join(
+        f"SELECT doc_id, 'g{n}' AS kind, unnest("
+        f"[array_to_string(w[i:i+{n - 1}], ' ') FOR i IN range(1, len(w) - {n} + 2)]"
+        ") AS key FROM d"
+        for n in (*_TOP_NS, *_DUP_NS)
+    )
+    rep_cols = ",\n                   ".join(
+        [
+            "coalesce(max(CASE WHEN kind = 'line' THEN line_dup_frac END), 0.0) AS dup_line_fraction",
+            "coalesce(max(CASE WHEN kind = 'line' THEN dup_frac END), 0.0) AS dup_line_char_fraction",
+        ]
+        + [
+            f"coalesce(max(CASE WHEN kind = 'g{n}' THEN top_frac END), 0.0) AS top_{n}gram_char_fraction"
+            for n in _TOP_NS
+        ]
+        + [
+            f"coalesce(max(CASE WHEN kind = 'g{n}' THEN dup_frac END), 0.0) AS dup_{n}gram_char_fraction"
+            for n in _DUP_NS
+        ]
+    )
+    fail_cases = ", ".join(
+        f"CASE WHEN {c} < {float(lo)}"
+        + (f" OR {c} > {float(hi)}" if hi != float("inf") else "")
+        + f" THEN '{c}' END"
+        for c, (lo, hi) in sorted(GOPHER_THRESHOLDS.items())
+    )
+    stop_checks = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    rep_defaults = ", ".join(
+        f"coalesce({c}, 0.0) AS {c}"
+        for c in (
+            ["dup_line_fraction", "dup_line_char_fraction"]
+            + [f"top_{n}gram_char_fraction" for n in _TOP_NS]
+            + [f"dup_{n}gram_char_fraction" for n in _DUP_NS]
+        )
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {_SQL_WORDS} AS w, {_SQL_LINES} AS l,
+                   greatest(length(text), 1)::DOUBLE AS tcv, text
+            FROM documents),
+        scal AS (
+            SELECT doc_id,
+                   len(w) AS word_count,
+                   round(coalesce(list_sum(list_transform(w, x -> length(x))), 0) * 1.0
+                         / greatest(len(w), 1), 6) AS mean_word_length,
+                   round((len(regexp_extract_all(text, '#'))
+                          + len(regexp_extract_all(text, '\\.\\.\\.'))
+                          + len(regexp_extract_all(text, '…'))) * 1.0
+                         / greatest(len(w), 1), 6) AS symbol_word_ratio,
+                   round(len(list_filter(l, x -> substr(x, 1, 1) IN ('-', '*', '•', '‣', '▪'))) * 1.0
+                         / greatest(len(l), 1), 6) AS bullet_line_fraction,
+                   round(len(list_filter(l, x -> ends_with(x, '...') OR ends_with(x, '…'))) * 1.0
+                         / greatest(len(l), 1), 6) AS ellipsis_line_fraction,
+                   round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
+                         / greatest(len(w), 1), 6) AS alpha_word_fraction,
+                   len(list_filter([{stop_checks}], s -> list_contains(w, s))) AS stopword_count
+            FROM d),
+        keyed AS (
+            SELECT doc_id, 'line' AS kind, unnest(l) AS key FROM d
+            UNION ALL {gram_unions}),
+        freq AS (
+            SELECT doc_id, kind, key, count(*) AS c, max(length(key)) AS kc
+            FROM keyed GROUP BY doc_id, kind, key),
+        perk AS (
+            SELECT doc_id, kind, sum(c) AS n_total, count(*) AS n_distinct,
+                   arg_max(CASE WHEN c >= 2 THEN c * kc ELSE 0 END,
+                           c::HUGEINT * 1000000000000 + kc) AS top_cover,
+                   coalesce(sum(CASE WHEN c >= 2 THEN c * kc END), 0) AS dup_chars
+            FROM freq GROUP BY doc_id, kind),
+        kfrac AS (
+            SELECT p.doc_id, p.kind,
+                   round((p.n_total - p.n_distinct) * 1.0 / greatest(p.n_total, 1), 6) AS line_dup_frac,
+                   round(least(p.dup_chars / t.tcv, 1.0), 6) AS dup_frac,
+                   round(least(p.top_cover / t.tcv, 1.0), 6) AS top_frac
+            FROM perk p JOIN d t USING (doc_id)),
+        reps AS (
+            SELECT doc_id,
+                   {rep_cols}
+            FROM kfrac GROUP BY doc_id),
+        sig AS (
+            SELECT s.doc_id, s.word_count, s.mean_word_length, s.symbol_word_ratio,
+                   s.bullet_line_fraction, s.ellipsis_line_fraction,
+                   s.alpha_word_fraction, s.stopword_count,
+                   {rep_defaults}
+            FROM scal s LEFT JOIN reps USING (doc_id))
+        SELECT *,
+               array_to_string(list_filter([{fail_cases}], x -> x IS NOT NULL), ',') AS fail_reasons,
+               array_to_string(list_filter([{fail_cases}], x -> x IS NOT NULL), ',') = '' AS gopher_pass
+        FROM sig
+    """
+
+
+def _c4_oracle_sql(min_line_words: int = 3, min_sentences: int = 5) -> str:
+    return f"""
+        WITH l AS (
+            SELECT doc_id, text, {_SQL_LINES} AS lines FROM documents),
+        k AS (
+            SELECT doc_id, text, lines,
+                   list_filter(lines, x ->
+                       substr(x, length(x), 1) IN ('.', '!', '?', '"', '”', '''')
+                       AND len(regexp_split_to_array(x, '\\s+')) >= {min_line_words}
+                       AND NOT contains(lower(x), 'javascript')) AS kept
+            FROM l)
+        SELECT doc_id,
+               coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+               len(lines) AS n_lines,
+               len(kept) AS n_lines_kept,
+               contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+               contains(text, '{{') AS has_brace,
+               len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) AS n_sentences,
+               (NOT contains(lower(text), 'lorem ipsum'))
+                   AND (NOT contains(text, '{{'))
+                   AND len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) >= {min_sentences}
+                   AND len(kept) > 0 AS c4_keep
+        FROM k
+    """
 
 
 def _simhash_oracle_sql(max_hamming: int = 3) -> str:

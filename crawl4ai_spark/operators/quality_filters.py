@@ -1,0 +1,343 @@
+"""Publication-grounded training-data quality filters.
+
+Two public filter batteries every large-scale LLM data pipeline runs and
+the reference (a crawler) stops short of — implemented Spark-first so a
+curation pass can gate documents before the (more expensive) dedup
+shuffles:
+
+- **Gopher quality + repetition signals** (Rae et al. 2021, appendix A
+  — the thresholds replicated by Dolma/DataTrove/RedPajama): word-count
+  and word-shape gates, symbol/bullet/ellipsis ratios, stop-word
+  presence, duplicate-line fractions, and the top/duplicated n-gram
+  character fractions.
+- **C4 line-level cleaning** (Raffel et al. 2020 §2.2): keep lines that
+  end in terminal punctuation and have ≥ ``min_line_words`` words, drop
+  lines mentioning javascript, drop whole documents containing
+  "lorem ipsum" or "{", require ≥ ``min_sentences`` sentences.
+
+Scale shape: the scalar signals are pure map-side column algebra (zero
+shuffles). The repetition family needs per-(doc, key) frequencies; all
+kinds (lines + every n-gram size) share ONE exploded frame and therefore
+ONE hash shuffle keyed by (doc_id, kind, key), followed by a per-doc
+rollup — the same repartition-before-explode discipline as
+``dedup.kgram_rows``. No windows, no driver collects, no Python UDFs.
+
+Character-fraction definitions (documented because every public
+implementation approximates the paper differently): for a gram/line g
+with per-doc frequency c(g) and character length len(g),
+``top_ngram_char_fraction(n)`` = c(g*)·len(g*) / len(text) for the most
+frequent n-gram g* (ties: longer gram; 0 when nothing repeats — a
+singleton gram is not repetition), and
+``dup_char_fraction`` = Σ_{c(g)≥2} c(g)·len(g) / len(text), capped at
+1.0 (overlapping occurrences are intentionally double-counted — a
+deterministic, engine-portable upper bound of the paper's character
+coverage). Lines use their trimmed text; blank lines are ignored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher's "stop words present" gate (Rae et al. 2021 A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# paper defaults (A1); keys match gopher_signals output columns
+GOPHER_THRESHOLDS: dict[str, tuple[float, float]] = {
+    # column: (min, max) — inclusive bounds, NaN-free by construction
+    "word_count": (50, 100_000),
+    "mean_word_length": (3.0, 10.0),
+    "symbol_word_ratio": (0.0, 0.1),
+    "bullet_line_fraction": (0.0, 0.9),
+    "ellipsis_line_fraction": (0.0, 0.3),
+    "alpha_word_fraction": (0.8, 1.0),
+    "stopword_count": (2, float("inf")),
+    "dup_line_fraction": (0.0, 0.3),
+    "dup_line_char_fraction": (0.0, 0.2),
+    "top_2gram_char_fraction": (0.0, 0.2),
+    "top_3gram_char_fraction": (0.0, 0.18),
+    "top_4gram_char_fraction": (0.0, 0.16),
+    "dup_5gram_char_fraction": (0.0, 0.15),
+    "dup_6gram_char_fraction": (0.0, 0.14),
+    "dup_7gram_char_fraction": (0.0, 0.13),
+    "dup_8gram_char_fraction": (0.0, 0.12),
+    "dup_9gram_char_fraction": (0.0, 0.11),
+    "dup_10gram_char_fraction": (0.0, 0.10),
+}
+
+_TOP_NS = (2, 3, 4)
+_DUP_NS = (5, 6, 7, 8, 9, 10)
+_BULLET_PREFIXES = ("-", "*", "•", "‣", "▪")
+
+
+def _words(text_col: Column) -> Column:
+    """Lowercased whitespace words, empty-safe (the n-gram alphabet)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda w: F.length(w) > 0
+    )
+
+
+def _lines(text_col: Column) -> Column:
+    """Trimmed non-blank lines."""
+    return F.filter(
+        F.transform(F.split(text_col, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def gopher_scalar_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The map-only Gopher signals (everything except the repetition
+    family) — zero shuffles, pure column algebra over words and lines."""
+    text = F.col(text_col)
+    words = _words(text)
+    lines = _lines(text)
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    symbol_count = (
+        F.regexp_count(text, F.lit(r"#"))
+        + F.regexp_count(text, F.lit(r"\.\.\."))
+        + F.regexp_count(text, F.lit("…"))
+    )
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(l, 1, 1).isin(list(_BULLET_PREFIXES)),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stopword_count = F.size(F.array_intersect(words, stop_arr))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("word_count"),
+        F.round(word_chars / safe_words, 6).alias("mean_word_length"),
+        F.round(symbol_count / safe_words, 6).alias("symbol_word_ratio"),
+        F.round(bullet_lines / safe_lines, 6).alias("bullet_line_fraction"),
+        F.round(ellipsis_lines / safe_lines, 6).alias("ellipsis_line_fraction"),
+        F.round(alpha_words / safe_words, 6).alias("alpha_word_fraction"),
+        stopword_count.alias("stopword_count"),
+    )
+
+
+def _keyed_rows(
+    docs: DataFrame, id_col: str, text_col: str, shuffle_parts: int | None
+) -> DataFrame:
+    """(doc_id, kind, key, key_chars, text_chars) — ONE exploded frame
+    carrying lines and every n-gram size (kind = 'line' | 'g2'..'g10'),
+    so the whole repetition family costs a single hash shuffle."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _words(F.col(text_col)).alias("w"),
+        _lines(F.col(text_col)).alias("l"),
+        F.length(F.col(text_col)).cast("double").alias("text_chars"),
+    )
+    if shuffle_parts:
+        # parallelize the explode off few-split scans (kgram_rows pattern)
+        base = base.repartition(shuffle_parts, "doc_id")
+    def _gram_lambda(n: int):
+        # factory, NOT `lambda i, n=n: ...` — pyspark treats a 2-parameter
+        # lambda as the (element, index) binary form and would bind n to
+        # the index column
+        return lambda i: F.struct(
+            F.lit(f"g{n}").alias("kind"),
+            F.array_join(F.slice("w", i + 1, n), " ").alias("key"),
+        )
+
+    kinds = [
+        F.transform(F.col("l"), lambda l: F.struct(F.lit("line").alias("kind"), l.alias("key")))
+    ]
+    for n in (*_TOP_NS, *_DUP_NS):
+        kinds.append(
+            F.when(
+                F.size("w") >= n,
+                F.transform(F.sequence(F.lit(0), F.size("w") - n), _gram_lambda(n)),
+            ).otherwise(F.array().cast("array<struct<kind:string,key:string>>"))
+        )
+    rows = base.select(
+        "doc_id",
+        "text_chars",
+        F.explode(F.flatten(F.array(*kinds))).alias("kk"),
+    )
+    return rows.select(
+        "doc_id",
+        "text_chars",
+        F.col("kk.kind").alias("kind"),
+        F.col("kk.key").alias("key"),
+        F.length("kk.key").cast("double").alias("key_chars"),
+    )
+
+
+def gopher_repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shuffle_parts: int | None = None,
+) -> DataFrame:
+    """Duplicate-line and n-gram character-fraction signals (module
+    docstring definitions). Two hash shuffles total: (doc, kind, key)
+    frequencies, then the per-doc rollup; the pivot to one row per doc is
+    a conditional-agg projection, not a Spark pivot."""
+    freq = (
+        _keyed_rows(docs, id_col, text_col, shuffle_parts)
+        .groupBy("doc_id", "kind", "key")
+        .agg(
+            F.count("*").alias("c"),
+            F.first("key_chars").alias("key_chars"),
+            F.first("text_chars").alias("text_chars"),
+        )
+    )
+    per_kind = freq.groupBy("doc_id", "kind").agg(
+        F.first("text_chars").alias("text_chars"),
+        F.sum("c").alias("n_total"),
+        F.count("*").alias("n_distinct"),
+        # cover of the most frequent key (ties: longer key; further ties
+        # all share the same c·len cover, so the argmax choice is moot).
+        # A key must actually REPEAT to count — cover 0 when max c == 1,
+        # else every short doc's longest singleton gram reads as
+        # "repetition" and spuriously trips the 0.2/0.18/0.16 gates
+        F.max_by(
+            F.when(F.col("c") >= 2, F.col("c") * F.col("key_chars")).otherwise(F.lit(0.0)),
+            F.struct(F.col("c"), F.col("key_chars")),
+        ).alias("_top_cover"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("key_chars"))).alias("dup_chars"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c"))).alias("dup_count"),
+    )
+    safe_text = F.greatest(F.col("text_chars"), F.lit(1.0))
+    top_frac = F.round(
+        F.least(F.coalesce(F.col("_top_cover"), F.lit(0.0)) / safe_text, F.lit(1.0)), 6
+    )
+    dup_frac = F.round(
+        F.least(F.coalesce(F.col("dup_chars"), F.lit(0.0)) / safe_text, F.lit(1.0)), 6
+    )
+    line_dup_frac = F.round(
+        (F.col("n_total") - F.col("n_distinct")) / F.greatest(F.col("n_total"), F.lit(1)).cast("double"),
+        6,
+    )
+    kinded = per_kind.select(
+        "doc_id",
+        "kind",
+        line_dup_frac.alias("line_dup_frac"),
+        dup_frac.alias("dup_frac"),
+        top_frac.alias("top_frac"),
+    )
+    agg_cols = [
+        F.coalesce(
+            F.max(F.when(F.col("kind") == "line", F.col("line_dup_frac"))), F.lit(0.0)
+        ).alias("dup_line_fraction"),
+        F.coalesce(
+            F.max(F.when(F.col("kind") == "line", F.col("dup_frac"))), F.lit(0.0)
+        ).alias("dup_line_char_fraction"),
+    ]
+    for n in _TOP_NS:
+        agg_cols.append(
+            F.coalesce(
+                F.max(F.when(F.col("kind") == f"g{n}", F.col("top_frac"))), F.lit(0.0)
+            ).alias(f"top_{n}gram_char_fraction")
+        )
+    for n in _DUP_NS:
+        agg_cols.append(
+            F.coalesce(
+                F.max(F.when(F.col("kind") == f"g{n}", F.col("dup_frac"))), F.lit(0.0)
+            ).alias(f"dup_{n}gram_char_fraction")
+        )
+    return kinded.groupBy("doc_id").agg(*agg_cols)
+
+
+def gopher_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shuffle_parts: int | None = None,
+) -> DataFrame:
+    """All Gopher signals, one row per input doc (docs with no
+    words/lines get zero repetition signals via the left join)."""
+    scalars = gopher_scalar_signals(docs, id_col, text_col)
+    reps = gopher_repetition_signals(docs, id_col, text_col, shuffle_parts)
+    out = scalars.join(reps, "doc_id", "left")
+    rep_cols = [c for c in reps.columns if c != "doc_id"]
+    return out.select(
+        *[c for c in scalars.columns],
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in rep_cols],
+    )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict[str, tuple[float, float]] | None = None,
+    shuffle_parts: int | None = None,
+) -> DataFrame:
+    """Signals + ``gopher_pass`` verdict + ``fail_reasons`` (comma-joined
+    signal names outside their (min, max) band — a string, not an array,
+    so downstream oracles/sinks never face unsortable array columns)."""
+    th = thresholds or GOPHER_THRESHOLDS
+    sig = gopher_signals(docs, id_col, text_col, shuffle_parts)
+    fails = []
+    for c, (lo, hi) in sorted(th.items()):
+        bad = F.col(c) < F.lit(float(lo))
+        if hi != float("inf"):
+            bad = bad | (F.col(c) > F.lit(float(hi)))
+        fails.append(F.when(bad, F.lit(c)))
+    reasons = F.array_join(
+        F.filter(F.array(*fails), lambda x: x.isNotNull()), ","
+    )
+    return sig.select(
+        "*",
+        reasons.alias("fail_reasons"),
+    ).withColumn("gopher_pass", F.col("fail_reasons") == "")
+
+
+# ── C4 (Raffel et al. 2020 §2.2) ─────────────────────────────────────────
+
+_C4_TERMINALS = (".", "!", "?", '"', "”", "'")
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4 line-level cleaning as pure column algebra (zero shuffles):
+    keep lines ending in terminal punctuation with ≥ ``min_line_words``
+    words and no 'javascript'; flag documents containing 'lorem ipsum'
+    or '{' (dropped wholesale by C4) or fewer than ``min_sentences``
+    sentences after cleaning. Returns every doc with the cleaned text and
+    per-doc stats; filter on ``c4_keep`` for the kept corpus."""
+    lines = _lines(F.col(text_col))
+    is_kept = (
+        lambda l: F.substring(l, -1, 1).isin(list(_C4_TERMINALS))
+        & (F.size(F.split(l, r"\s+")) >= min_line_words)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, is_kept)
+    clean = F.array_join(kept, "\n")
+    lower = F.lower(F.col(text_col))
+    n_sentences = F.regexp_count(clean, F.lit(r"[.!?]"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        lower.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        F.col(text_col).contains("{").alias("has_brace"),
+        n_sentences.alias("n_sentences"),
+    ).withColumn(
+        "c4_keep",
+        (~F.col("has_lorem_ipsum"))
+        & (~F.col("has_brace"))
+        & (F.col("n_sentences") >= min_sentences)
+        & (F.col("n_lines_kept") > 0),
+    )

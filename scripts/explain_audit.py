@@ -87,6 +87,18 @@ CHECKS = {
         ("xxhash64", "shingle hashing JVM-side — no Python in the hot path"),
         ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
     ],
+    "gopher_quality": [
+        ("REPARTITION_BY_NUM", "docs repartitioned by doc_id BEFORE the ~9x line/n-gram explode — the repetition family parallelizes off few-split scans"),
+        ("explode(flatten(array(", "one shared exploded frame carries lines + every n-gram size (one shuffle for the whole repetition family)"),
+        ("HashAggregate", "per-(doc,kind,key) frequencies partial-agg before the exchange"),
+        ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
+        ("!MapInPandas", "whole battery is native column algebra — zero Python even batched"),
+        ("!windowspecdefinition", "no windows: top-gram cover is a max_by aggregate, not a rank"),
+    ],
+    "c4_filtered": [
+        ("!Exchange", "line filtering is map-only: zero shuffles"),
+        ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
+    ],
     "minhash_lsh_pairs": [
         ("REPARTITION_BY_NUM", "shared shingle pipeline: repartition-before-explode (same as ngram)"),
         ("MapInPandas", "signature reduction is one Arrow-batched numpy stage"),

@@ -1,0 +1,172 @@
+"""Gopher quality/repetition signals + C4 line filters — hand-computed
+fixtures plus a brute-force Python recomputation over the sf0.001
+documents corpus (the operator's Counter-free distributed algebra must
+equal the obvious single-process implementation)."""
+
+import os
+import re
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.quality_filters import (
+    GOPHER_STOPWORDS,
+    GOPHER_THRESHOLDS,
+    c4_line_filter,
+    gopher_filter,
+    gopher_signals,
+)
+
+from tests.conftest import spark  # noqa: F401
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):  # noqa: F811
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat. the cat sat again."),
+            (2, "a a a a a a a a a a"),
+            (3, "x y\nx y\nz q r"),
+            (4, ""),
+            (5, "- item one\n- item two\n- item three\nplain tail line..."),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_scalar_signals_hand_computed(docs):
+    rows = {r.doc_id: r for r in gopher_signals(docs).collect()}
+    r1 = rows[1]
+    assert r1.word_count == 10
+    assert r1.mean_word_length == round(33 / 10, 6)
+    assert r1.stopword_count == 1  # {'the'} — distinct panel hits
+    assert r1.alpha_word_fraction == 1.0
+    r5 = rows[5]
+    assert r5.bullet_line_fraction == 0.75
+    assert r5.ellipsis_line_fraction == 0.25
+    r4 = rows[4]
+    assert r4.word_count == 0 and r4.mean_word_length == 0.0
+
+
+def test_repetition_signals_hand_computed(docs):
+    rows = {r.doc_id: r for r in gopher_signals(docs).collect()}
+    r1 = rows[1]
+    # "the cat" ×2 (len 7) covers 14 of 42 chars; "the cat sat" ×2 (len
+    # 11) covers 22/42; no 4-gram repeats -> 0 (singletons don't count)
+    assert r1.top_2gram_char_fraction == round(14 / 42, 6)
+    assert r1.top_3gram_char_fraction == round(22 / 42, 6)
+    assert r1.top_4gram_char_fraction == 0.0
+    assert r1.dup_5gram_char_fraction == 0.0
+    r2 = rows[2]
+    assert r2.top_2gram_char_fraction == 1.0  # 9×"a a" ≫ 19 chars, capped
+    assert r2.dup_9gram_char_fraction == 1.0
+    assert r2.dup_10gram_char_fraction == 0.0  # the single 10-gram never repeats
+    r3 = rows[3]
+    assert r3.dup_line_fraction == round(1 / 3, 6)
+    assert r3.dup_line_char_fraction == round(6 / 13, 6)
+
+
+def test_gopher_filter_reasons(docs):
+    rows = {r.doc_id: r for r in gopher_filter(docs).collect()}
+    assert not rows[2].gopher_pass
+    reasons = rows[2].fail_reasons.split(",")
+    assert "top_2gram_char_fraction" in reasons and "word_count" in reasons
+    assert rows[2].fail_reasons == ",".join(sorted(reasons))  # stable order
+
+
+def _py_words(text):
+    return [w for w in re.split(r"\s+", text.strip().lower()) if w]
+
+
+def _py_lines(text):
+    return [l.strip() for l in text.split("\n") if l.strip()]
+
+
+def _r6(x, _ndigits=6):
+    """Spark F.round semantics (HALF_UP, 6dp) — Python round() is HALF_EVEN."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _py_signals(text):
+    """Single-process reference implementation of every signal."""
+    words, lines = _py_words(text), _py_lines(text)
+    tc = max(len(text), 1)
+    out = {
+        "word_count": len(words),
+        "mean_word_length": _r6(sum(map(len, words)) / max(len(words), 1), 6),
+        "symbol_word_ratio": _r6(            (text.count("#") + len(re.findall(r"\.\.\.", text)) + text.count("…"))
+            / max(len(words), 1),
+            6,
+        ),
+        "bullet_line_fraction": _r6(            sum(l[0] in "-*•‣▪" for l in lines) / max(len(lines), 1), 6
+        ),
+        "ellipsis_line_fraction": _r6(            sum(l.endswith("...") or l.endswith("…") for l in lines) / max(len(lines), 1), 6
+        ),
+        "alpha_word_fraction": _r6(            sum(bool(re.search("[a-z]", w)) for w in words) / max(len(words), 1), 6
+        ),
+        "stopword_count": len(set(words) & set(GOPHER_STOPWORDS)),
+    }
+    cnt = Counter(lines)
+    out["dup_line_fraction"] = _r6((len(lines) - len(cnt)) / max(len(lines), 1), 6)
+    out["dup_line_char_fraction"] = _r6(        min(sum(c * len(l) for l, c in cnt.items() if c >= 2) / tc, 1.0), 6
+    )
+    for n in (2, 3, 4):
+        grams = Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        top = max(grams.items(), key=lambda kv: (kv[1], len(kv[0])), default=("", 0))
+        cover = top[1] * len(top[0]) if top[1] >= 2 else 0
+        out[f"top_{n}gram_char_fraction"] = _r6(min(cover / tc, 1.0), 6)
+    for n in (5, 6, 7, 8, 9, 10):
+        grams = Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        dup = sum(c * len(g) for g, c in grams.items() if c >= 2)
+        out[f"dup_{n}gram_char_fraction"] = _r6(min(dup / tc, 1.0), 6)
+    return out
+
+
+def test_signals_match_python_reference_on_corpus(spark):  # noqa: F811
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    got = {r.doc_id: r.asDict() for r in gopher_signals(docs).collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        want = _py_signals(text)
+        have = got[doc_id]
+        for k, v in want.items():
+            assert have[k] == pytest.approx(v, abs=1e-6), (doc_id, k, have[k], v)
+
+
+def test_c4_line_filter_hand_computed(spark):  # noqa: F811
+    docs = spark.createDataFrame(
+        [
+            (1, "Good line stays here.\nshort.\nno terminal punct\nHas javascript inside.\nAnother keeper line!"),
+            (2, "lorem ipsum is here. with sentences. one. two. five words each line."),
+            (3, "Uses a { brace. More text here. And more. And more. Final one."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+    r1 = rows[1]
+    assert r1.clean_text == "Good line stays here.\nAnother keeper line!"
+    assert r1.n_lines == 5 and r1.n_lines_kept == 2
+    assert not r1.c4_keep  # only 2 sentences survive (< 5)
+    assert rows[2].has_lorem_ipsum and not rows[2].c4_keep
+    assert rows[3].has_brace and not rows[3].c4_keep
+
+
+def test_c4_keep_requires_five_sentences(spark):  # noqa: F811
+    ok = "One good sentence here. Two good ones now. Three arrive here. Four is plenty. Five seals it."
+    docs = spark.createDataFrame([(1, ok)], "doc_id long, text string")
+    r = c4_line_filter(docs).collect()[0]
+    assert r.n_sentences == 5 and r.c4_keep
+
+
+def test_thresholds_cover_all_signal_columns(docs):
+    sig_cols = set(gopher_signals(docs).columns) - {"doc_id"}
+    assert set(GOPHER_THRESHOLDS) == sig_cols
