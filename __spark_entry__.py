@@ -990,6 +990,21 @@ def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"))
 
 
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C rule): docs sharing
+    any word-n-gram with the benchmark slice (doc_id < 5 stands in for an
+    eval set) are flagged. n=3 here so the synthetic corpus yields a
+    non-vacuous hit distribution (the operator defaults to the published
+    n=13); the oracle recomputes the overlap with exact gram strings —
+    also an implicit check that the engine's xxhash64 reduction is
+    collision-clean on this corpus."""
+    from crawl4ai_spark.operators.dedup import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 5)
+    return decontaminate(docs.where(F.col("doc_id") >= 5), bench, n=3)
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality + repetition battery (Rae et al. 2021 A1) — all 18
     signals, fail_reasons and pass verdict per doc. Oracle: full SQL
@@ -1095,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_corpus": _q_curated_corpus,
         "gopher_quality": _q_gopher_quality,
         "c4_filtered": _q_c4_filtered,
+        "decontamination": _q_decontamination,
     }
 
 
@@ -1688,6 +1704,26 @@ def oracle_sql() -> dict[str, str]:
         "simhash_candidates": _simhash_oracle_sql(),
         "gopher_quality": _gopher_oracle_sql(),
         "c4_filtered": _c4_oracle_sql(),
+        # decontamination: distinct grams per doc (matching the engine's
+        # shingle_hash_rows .distinct()), benchmark = doc_id < 5
+        "decontamination": f"""
+            WITH toks AS (SELECT doc_id, {_CLEAN_TOKS} AS w FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                             FOR i IN range(1, len(w) - 1)])) AS g
+                FROM toks),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+            hits AS (
+                SELECT doc_id, count(*) AS n
+                FROM grams WHERE doc_id >= 5 AND g IN (SELECT g FROM bench)
+                GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.n, 0) AS n_contaminated_grams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id >= 5
+        """,
     } | _lsh_precision_oracles() | _centroid_oracles()
 
 

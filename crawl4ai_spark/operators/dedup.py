@@ -89,8 +89,11 @@ def kgram_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
     splits (a single-split scan otherwise tokenizes on one core — 4×
     observed on the sf0.1 bench).
     """
-    if not 1 <= n <= 8:
-        raise ValueError(f"n-gram width must be in [1, 8], got {n}")
+    if not 1 <= n <= 16:
+        # each +1 of n is one more window `lead` column; 16 covers every
+        # published contamination/shingle width (GPT-3 decontamination
+        # uses 13-grams) at negligible plan cost
+        raise ValueError(f"n-gram width must be in [1, 16], got {n}")
     try:
         nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except ValueError:  # "auto" on AQE-managed deployments
@@ -115,7 +118,7 @@ def shingle_hash_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> Da
     """(doc_id, shingle:int64) — one row per distinct word-n-gram, hashed
     JVM-side with xxhash64 (see :func:`kgram_rows` for the scale shape).
     n=1 → term sets (the consistency_stats estimator)."""
-    assert 1 <= n <= 5
+    assert 1 <= n <= 16
     return (
         kgram_rows(docs, id_col, text_col, n)
         .select("doc_id", F.xxhash64("gram").alias("shingle"))
@@ -593,4 +596,60 @@ def span_dedup(
             ).alias("dedup_text"),
         )
         .select("id", "dedup_text", "n_spans", "n_spans_kept")
+    )
+
+
+# ── benchmark decontamination (GPT-3 appendix C / PaLM) ──────────────────
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Flag training documents that share any word-``n``-gram with a
+    benchmark/eval corpus — the GPT-3 decontamination rule (Brown et al.
+    2020 appendix C uses 13-grams; PaLM uses 8). Returns EVERY input doc
+    as ``(doc_id, n_contaminated_grams, contaminated)`` so the caller
+    chooses drop vs audit.
+
+    Scale shape: both sides reduce to distinct 8-byte xxhash64 shingle
+    rows through the shared k-gram front end (:func:`kgram_rows` —
+    repartition-before-explode, window ``lead``, no Python). The
+    benchmark gram set is tiny next to a training corpus, so the overlap
+    join broadcasts it by default (``broadcast_bench=False`` falls back
+    to a hash join keyed on the 8-byte shingle for benchmark sets beyond
+    broadcast size); per-doc hit counts come from one partial-aggregated
+    groupBy, and the final left join returns clean docs with zero counts.
+    """
+    doc_grams = shingle_hash_rows(docs, id_col, text_col, n)
+    bench_grams = (
+        shingle_hash_rows(benchmark, bench_id_col, bench_text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    hits = (
+        doc_grams.join(bench_grams, "shingle", "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).alias(
+                "n_contaminated_grams"
+            ),
+            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
     )

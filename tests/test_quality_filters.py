@@ -170,3 +170,30 @@ def test_c4_keep_requires_five_sentences(spark):  # noqa: F811
 def test_thresholds_cover_all_signal_columns(docs):
     sig_cols = set(gopher_signals(docs).columns) - {"doc_id"}
     assert set(GOPHER_THRESHOLDS) == sig_cols
+
+
+def test_decontaminate_flags_planted_overlap(spark):  # noqa: F811
+    """GPT-3-style n-gram decontamination: a training doc embedding a
+    verbatim benchmark span is flagged; disjoint docs are not; counts
+    are the number of distinct shared n-grams."""
+    from crawl4ai_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains a verbatim 14-token benchmark span -> two 13-grams
+            (1, "intro words then alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november and a tail"),
+            # shares only 12 consecutive tokens -> no 13-gram overlap
+            (2, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima XXX"),
+            (3, "completely unrelated text about nothing shared with benchmarks whatsoever here today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(train, bench, n=13).collect()}
+    assert out[1].contaminated and out[1].n_contaminated_grams == 2
+    assert not out[2].contaminated and out[2].n_contaminated_grams == 0
+    assert not out[3].contaminated
+    assert set(out) == {1, 2, 3}  # clean docs still present
