@@ -203,30 +203,42 @@ def ngram_jaccard_pairs(
     # the whole query; MEMORY_AND_DISK spills instead of recomputing at
     # scale, and ContextCleaner reclaims the entry when the frame is GC'd)
     sh = shingle_hash_rows(docs, id_col, text_col, n).persist()
-    base = (
-        sh.groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("hashes"))
-        .withColumn("set_size", F.size("hashes"))
-    )
     if prefix_filter is None:
         prefix_filter = threshold >= 0.25
     if prefix_filter:
+        # ONE packed aggregation carries both the verify sets and the
+        # prefix index: global shingle frequencies join onto the rows
+        # (co-partitioned with the freq agg's own exchange), then a
+        # single per-doc collect packs (gfreq, shingle) structs —
+        # array_sort + slice extracts the |X|−⌈t|X|⌉+1 rarest shingles
+        # natively (replaces a row_number window sort + a second
+        # per-doc agg + a set_size re-join: two exchanges and a
+        # partition sort cheaper per query).
         freq = sh.groupBy("shingle").agg(F.count("*").alias("gfreq"))
-        index = (
+        packed = (
             sh.join(freq, "shingle")
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("doc_id").orderBy(F.asc("gfreq"), F.asc("shingle"))
-                ),
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("gfreq", "shingle")).alias("pairs"))
+            .select(
+                "doc_id",
+                F.transform(F.col("pairs"), lambda p: p["shingle"]).alias("hashes"),
+                F.size("pairs").alias("set_size"),
+                F.transform(
+                    F.slice(
+                        F.array_sort("pairs"),
+                        1,
+                        (
+                            F.size("pairs")
+                            - F.ceil(F.lit(threshold) * F.size("pairs"))
+                            + 1
+                        ).cast("int"),
+                    ),
+                    lambda p: p["shingle"],
+                ).alias("prefix"),
             )
-            .join(base.select("doc_id", "set_size"), "doc_id")
-            .where(
-                F.col("rk")
-                <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
-            )
-            .select("doc_id", "shingle")
+            .persist()
         )
+        index = packed.select("doc_id", F.explode("prefix").alias("shingle"))
         a = index.alias("a")
         b = index.alias("b")
         candidates = (
@@ -238,7 +250,12 @@ def ngram_jaccard_pairs(
             .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
             .distinct()
         )
-        return _verify_pairs(candidates, base, threshold)
+        return _verify_pairs(candidates, packed.select("doc_id", "hashes", "set_size"), threshold)
+    base = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("hashes"))
+        .withColumn("set_size", F.size("hashes"))
+    )
     if max_shingle_freq is not None:
         # capped count path: candidates from the frequency-bounded
         # inverted index, exact verification over the full sets

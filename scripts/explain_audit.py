@@ -85,6 +85,8 @@ CHECKS = {
     "ngram_jaccard_pairs": [
         ("REPARTITION_BY_NUM", "raw docs repartitioned by id BEFORE the shingle explode — tokenizer runs cluster-wide and the lead window needs no second exchange (text bytes shuffled, not token rows)"),
         ("xxhash64", "shingle hashing JVM-side — no Python in the hot path"),
+        ("array_sort", "prefix index = native array_sort+slice inside the ONE packed per-doc aggregation (verify sets + prefix from the same collect)"),
+        ("!row_number", "no rank window in the prefix path — the r4 rewrite replaced window sort + second agg + set_size re-join"),
         ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
     ],
     "gopher_quality": [
