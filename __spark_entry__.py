@@ -1005,6 +1005,29 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs.where(F.col("doc_id") >= 5), bench, n=3)
 
 
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over deterministic contact text derived from the
+    customer table (the synth tables carry no natural PII, so emails /
+    phones / IPs are constructed from c_custkey identically in engine
+    and oracle): catalog matches are replaced by label tokens, counts
+    returned per row. Map-only — one regexp_replace chain inside
+    whole-stage codegen."""
+    from crawl4ai_spark.operators.regex_extract import redact_pii
+
+    cust = _read(spark, sf_dir, "customer")
+    docs = cust.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.col("c_name"),
+            F.lit(" reach user"),
+            F.col("c_custkey"),
+            F.lit("@example.com call +1 415 555 0133 from 10.0.0."),
+            F.col("c_custkey") % 250,
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality + repetition battery (Rae et al. 2021 A1) — all 18
     signals, fail_reasons and pass verdict per doc. Oracle: full SQL
@@ -1111,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "c4_filtered": _q_c4_filtered,
         "decontamination": _q_decontamination,
+        "pii_redaction": _q_pii_redaction,
     }
 
 
@@ -1704,6 +1728,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_candidates": _simhash_oracle_sql(),
         "gopher_quality": _gopher_oracle_sql(),
         "c4_filtered": _c4_oracle_sql(),
+        "pii_redaction": _pii_oracle_sql(),
         # decontamination: distinct grams per doc (matching the engine's
         # shingle_hash_rows .distinct()), benchmark = doc_id < 5
         "decontamination": f"""
@@ -1838,6 +1863,36 @@ def _gopher_oracle_sql() -> str:
                array_to_string(list_filter([{fail_cases}], x -> x IS NOT NULL), ',') AS fail_reasons,
                array_to_string(list_filter([{fail_cases}], x -> x IS NOT NULL), ',') = '' AS gopher_pass
         FROM sig
+    """
+
+
+def _pii_oracle_sql() -> str:
+    """redact_pii unrolled: the SAME catalog patterns (imported from the
+    operator module, no drift) applied as a sequential case-insensitive
+    global regexp_replace chain in the same sorted-label order; token
+    counts via literal replace-length arithmetic."""
+    from crawl4ai_spark.operators.regex_extract import PII_LABELS, select_patterns
+
+    patterns = select_patterns(*PII_LABELS)
+    expr = (
+        "(c_name || ' reach user' || c_custkey"
+        " || '@example.com call +1 415 555 0133 from 10.0.0.'"
+        " || (c_custkey % 250))"
+    )
+    for label, regex in sorted(patterns.items()):
+        rx = regex.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{rx}', '[{label.upper()}]', 'gi')"
+    counts = " + ".join(
+        f"(length(redacted_text) - length(replace(redacted_text, '[{label.upper()}]', '')))"
+        f" / {len('[' + label.upper() + ']')}"
+        for label in sorted(patterns)
+    )
+    return f"""
+        WITH r AS (
+            SELECT c_custkey AS doc_id, {expr} AS redacted_text
+            FROM customer)
+        SELECT doc_id, redacted_text, CAST({counts} AS INT) AS n_redactions
+        FROM r
     """
 
 

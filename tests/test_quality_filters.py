@@ -197,3 +197,25 @@ def test_decontaminate_flags_planted_overlap(spark):  # noqa: F811
     assert not out[2].contaminated and out[2].n_contaminated_grams == 0
     assert not out[3].contaminated
     assert set(out) == {1, 2, 3}  # clean docs still present
+
+
+def test_redact_pii_replaces_and_counts(spark):  # noqa: F811
+    from crawl4ai_spark.operators.regex_extract import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail john.doe+x@test.com or call (415) 555-1234, server 10.0.0.1"),
+            (2, "clean text, nothing to hide"),
+            (3, "card 4111111111111111 iban DE44500105175407324931"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert "[EMAIL]" in rows[1].redacted_text
+    assert "[IPV4]" in rows[1].redacted_text
+    assert "@" not in rows[1].redacted_text
+    assert rows[1].n_redactions == 3
+    assert rows[2].redacted_text == "clean text, nothing to hide"
+    assert rows[2].n_redactions == 0
+    assert rows[3].redacted_text == "card [CREDIT_CARD] iban [IBAN]"
+    assert rows[3].n_redactions == 2
