@@ -611,17 +611,22 @@ def run_crawl(
                         fresh_cached.unpersist()
                     break
 
-            # lineage derives from the already-written parquet footers,
-            # driver-side (store.write_lineage) — zero Spark jobs
-            store.write_lineage(wave, "results")
-            t_phase = _tick("lineage", t_phase)
+            # bloom shards depend only on the already-written frontier
+            # bytes — submit the build+write from the pool so it overlaps
+            # the (driver-side) lineage footer pass AND the metrics job
+            # below; both tails were pure serial overhead per wave
+            f_bloom = None
             if config.use_bloom:
-                store.write_table(
+                f_bloom = pool.submit(
+                    store.write_table,
                     "seen_bloom",
                     wave,
                     build_bloom_shards(frontier_written, config.n_bloom_shards, config.bloom_fpp),
                 )
-                t_phase = _tick("bloom", t_phase)
+            # lineage derives from the already-written parquet footers,
+            # driver-side (store.write_lineage) — zero Spark jobs
+            store.write_lineage(wave, "results")
+            t_phase = _tick("lineage", t_phase)
             # throttle count folded into the metrics job: summed from the
             # already-written host_state bytes (the per-wave results-table
             # count() job this replaces was pure overhead), then read back
@@ -636,6 +641,9 @@ def run_crawl(
                 F.lit(time.time() - t0).alias("wall_sec"),
             )
             store.write_table("metrics", wave, metrics)
+            if f_bloom is not None:
+                f_bloom.result()
+                t_phase = _tick("bloom+metrics (overlapped)", t_phase)
             # throttled rows are recorded but NOT attempted: they stay pending
             # (retried after the host cooldown) and don't burn max_pages
             n_throttled_rows = (
