@@ -106,6 +106,16 @@ class CrawlConfig:
     # otherwise leaves 10^4 tiny parquet dirs per table. Post-loop only:
     # vacuum deletes files a live wave's lazy plans may still reference.
     compact_on_finish: bool = False
+    # fold the in-loop-read delta tables (frontier_delta, results,
+    # seen_bloom) into one snapshot every K committed waves. The per-wave
+    # state reload unions snapshot + tail deltas, so without this a
+    # 10^4-wave crawl pays O(N) dir listings per wave (O(N^2) total);
+    # compact_every=K bounds the tail at K dirs. Compaction only — never
+    # mid-crawl vacuum (external readers / streaming tails may still
+    # reference folded wave dirs). Each fold rewrites snapshot+tail, so
+    # cumulative rewrite bytes are O(N^2/K): right for deep-NARROW
+    # crawls (small waves, many of them); leave None for wide crawls.
+    compact_every: int | None = None
     use_bloom: bool = True
     n_bloom_shards: int = 16
     bloom_fpp: float = 0.01
@@ -659,6 +669,17 @@ def run_crawl(
                 fresh_cached.unpersist()
             if seed_delta is not None:
                 seed_delta.unpersist()
+
+            # periodic fold of the in-loop-read delta tables so the state
+            # reload below stays O(compact_every) dirs instead of O(waves)
+            # (see CrawlConfig.compact_every; safe here: every live frame
+            # is re-derived from store reads right after, and folded wave
+            # dirs are left on disk — no mid-crawl vacuum)
+            if config.compact_every and (wave + 1) % config.compact_every == 0:
+                committed_now = store.committed_waves()
+                for t in ("frontier_delta", "results", "seen_bloom"):
+                    if any(store.marker(w)["counts"].get(t, 0) > 0 for w in committed_now):
+                        store.compact(t)
 
             # reload state from committed storage (cheap: metadata-only plans)
             frontier_all = store.read_table("frontier_delta")

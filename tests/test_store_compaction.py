@@ -358,3 +358,53 @@ def test_pre_schema_marker_store_still_merge_reads(spark, tmp_path):
     assert "cleaned_html" in got.columns
     rows = {r.url_fp: r for r in got.collect()}
     assert rows[1].cleaned_html is None and rows[2].cleaned_html == "<p>b</p>"
+
+
+def test_compact_every_folds_mid_crawl_same_results(spark, tmp_path):
+    """CrawlConfig(compact_every=2): the in-loop-read delta tables fold
+    every 2 committed waves; the crawl's results and frontier are
+    identical to an uncompacted run, the read tail stays bounded, and a
+    resume over the mid-compacted store re-attempts nothing."""
+    from crawl4ai_spark.frontier.bfs import CrawlConfig, run_crawl
+    from crawl4ai_spark.synth.pages import generate_site, write_site_parquet
+
+    d = str(tmp_path / "site")
+    write_site_parquet(generate_site(n_hosts=3, cats=2, subs=2, prods=3, seed=11), d)
+    pages = spark.read.parquet(os.path.join(d, "pages.parquet"))
+    seeds = pages.select("url").limit(1)
+
+    def crawl(subdir, **kw):
+        sd = str(tmp_path / subdir)
+        # deep-narrow shape: tight budget forces many small waves
+        run_crawl(
+            spark, pages, seeds, sd,
+            CrawlConfig(max_depth=6, max_waves=10, use_bloom=True, default_budget=2, **kw),
+        )
+        return sd
+
+    plain = crawl("plain")
+    folded = crawl("folded", compact_every=2)
+
+    def snap(sd):
+        st = WaveStore(spark, sd)
+        res = {(r.url, r.status) for r in st.read_table("results").collect()}
+        fr = {r.url_fp for r in st.read_table("frontier_delta").collect()}
+        return res, fr, st
+
+    res_p, fr_p, _ = snap(plain)
+    res_f, fr_f, store_f = snap(folded)
+    assert res_p == res_f and fr_p == fr_f
+
+    # mid-crawl compaction actually happened and bounded the tail
+    cm = store_f.compact_marker("results")
+    assert cm is not None and cm["upto"] >= 1
+    tail = [w for w in store_f.committed_waves() if w > cm["upto"]]
+    assert len(tail) <= 2
+
+    # resume over the mid-compacted store: nothing new attempted
+    n_before = store_f.read_table("results").count()
+    run_crawl(
+        spark, pages, seeds, folded,
+        CrawlConfig(max_depth=6, max_waves=10, use_bloom=True, default_budget=2, compact_every=2),
+    )
+    assert WaveStore(spark, folded).read_table("results").count() == n_before
