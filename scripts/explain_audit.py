@@ -101,6 +101,17 @@ CHECKS = {
         ("!Exchange", "line filtering is map-only: zero shuffles"),
         ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
     ],
+    "decontamination": [
+        ("BroadcastHashJoin", "benchmark gram set broadcast — the training-side shingle rows never shuffle for the overlap join"),
+        ("xxhash64", "both sides reduce to 8-byte shingle hashes JVM-side"),
+        ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
+    ],
+    "pii_redaction": [
+        ("regexp_replace", "redaction chain is native regexp_replace"),
+        ("!Exchange", "map-only projection: zero shuffles"),
+        ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
+        ("!MapInPandas", "zero Python even batched"),
+    ],
     "minhash_lsh_pairs": [
         ("REPARTITION_BY_NUM", "shared shingle pipeline: repartition-before-explode (same as ngram)"),
         ("MapInPandas", "signature reduction is one Arrow-batched numpy stage"),
