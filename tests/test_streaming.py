@@ -187,3 +187,50 @@ def test_host_running_totals_stateful(spark, tmp_path):
     ).collect()
     got = {r.host: (r.n, r.b) for r in rows}
     assert got == {"h1": (3, 157), "h2": (1, 10), "h3": (1, 1)}
+
+
+def test_quality_gates_stream_equals_batch(spark, tmp_path):
+    """The quality batteries are map-only column algebra, so they run
+    unchanged over a streaming source: C4 line cleaning + Gopher scalar
+    signals over a streamed documents dir must equal the batch result.
+    (The full gopher battery's repetition family aggregates per doc and
+    would need a stateful sink — the scalar signals are the streaming
+    fast path, the same split the engine documents.)"""
+    import shutil
+
+    from crawl4ai_spark.operators.quality_filters import (
+        c4_line_filter,
+        gopher_scalar_signals,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", docs_dir / "part-0.parquet")
+    batch_df = spark.read.parquet(str(docs_dir))
+    schema = batch_df.schema
+    stream_src = spark.readStream.schema(schema).parquet(str(docs_dir))
+
+    def run(df_src):
+        # the two batteries run as separate sinks (a doc_id join of the
+        # two would be stream-stream); each is a pure projection
+        c4 = c4_line_filter(df_src).select("doc_id", "n_lines_kept", "c4_keep")
+        sig = gopher_scalar_signals(df_src).select("doc_id", "word_count", "stopword_count")
+        return c4, sig
+
+    c4_s, sig_s = run(stream_src)
+    for i, df in enumerate((c4_s, sig_s)):
+        (
+            df.writeStream.format("memory")
+            .queryName(f"qgate_{i}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{i}"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+    c4_b, sig_b = run(batch_df)
+    got_c4 = {tuple(r) for r in spark.sql("SELECT * FROM qgate_0").collect()}
+    got_sig = {tuple(r) for r in spark.sql("SELECT * FROM qgate_1").collect()}
+    assert got_c4 == {tuple(r) for r in c4_b.collect()}
+    assert got_sig == {tuple(r) for r in sig_b.collect()}
+    assert len(got_c4) == 500
