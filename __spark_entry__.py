@@ -1753,12 +1753,12 @@ def oracle_sql() -> dict[str, str]:
 
 
 _SQL_WORDS = (
-    r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),"
+    r"list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),"
     " x -> length(x) > 0)"
 )
 _SQL_LINES = (
-    "list_filter(list_transform(str_split(text, chr(10)), x -> trim(x)),"
-    " x -> length(x) > 0)"
+    r"list_filter(list_transform(regexp_split_to_array(coalesce(text, ''), '\r?\n'),"
+    " x -> trim(x)), x -> length(x) > 0)"
 )
 
 
@@ -1812,7 +1812,8 @@ def _gopher_oracle_sql() -> str:
     return f"""
         WITH d AS (
             SELECT doc_id, {_SQL_WORDS} AS w, {_SQL_LINES} AS l,
-                   greatest(length(text), 1)::DOUBLE AS tcv, text
+                   greatest(length(coalesce(text, '')), 1)::DOUBLE AS tcv,
+                   coalesce(text, '') AS text
             FROM documents),
         scal AS (
             SELECT doc_id,
@@ -1874,32 +1875,38 @@ def _pii_oracle_sql() -> str:
     from crawl4ai_spark.operators.regex_extract import PII_LABELS, select_patterns
 
     patterns = select_patterns(*PII_LABELS)
-    expr = (
+    base = (
         "(c_name || ' reach user' || c_custkey"
         " || '@example.com call +1 415 555 0133 from 10.0.0.'"
         " || (c_custkey % 250))"
     )
-    for label, regex in sorted(patterns.items()):
+    # chained CTEs: each step counts its pattern on the PRE-replacement
+    # text (engine semantics: n_redactions = actual replacements, immune
+    # to label-token literals already present in the input)
+    ctes = [f"s0 AS (SELECT c_custkey AS doc_id, {base} AS t FROM customer)"]
+    count_cols = []
+    for i, (label, regex) in enumerate(sorted(patterns.items()), start=1):
         rx = regex.replace("'", "''")
-        expr = f"regexp_replace({expr}, '{rx}', '[{label.upper()}]', 'gi')"
-    counts = " + ".join(
-        f"(length(redacted_text) - length(replace(redacted_text, '[{label.upper()}]', '')))"
-        f" / {len('[' + label.upper() + ']')}"
-        for label in sorted(patterns)
-    )
+        prev_counts = ", ".join(f"c{j}" for j in range(1, i))
+        carry = f", {prev_counts}" if prev_counts else ""
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, "
+            f"regexp_replace(t, '{rx}', '[{label.upper()}]', 'gi') AS t, "
+            f"len(regexp_extract_all(t, '{rx}', 0, 'i')) AS c{i}{carry} FROM s{i-1})"
+        )
+        count_cols.append(f"c{i}")
+    total = " + ".join(count_cols)
     return f"""
-        WITH r AS (
-            SELECT c_custkey AS doc_id, {expr} AS redacted_text
-            FROM customer)
-        SELECT doc_id, redacted_text, CAST({counts} AS INT) AS n_redactions
-        FROM r
+        WITH {", ".join(ctes)}
+        SELECT doc_id, t AS redacted_text, CAST({total} AS INT) AS n_redactions
+        FROM s{len(patterns)}
     """
 
 
 def _c4_oracle_sql(min_line_words: int = 3, min_sentences: int = 5) -> str:
     return f"""
         WITH l AS (
-            SELECT doc_id, text, {_SQL_LINES} AS lines FROM documents),
+            SELECT doc_id, coalesce(text, '') AS text, {_SQL_LINES} AS lines FROM documents),
         k AS (
             SELECT doc_id, text, lines,
                    list_filter(lines, x ->

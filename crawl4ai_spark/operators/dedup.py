@@ -213,7 +213,10 @@ def ngram_jaccard_pairs(
         # array_sort + slice extracts the |X|−⌈t|X|⌉+1 rarest shingles
         # natively (replaces a row_number window sort + a second
         # per-doc agg + a set_size re-join: two exchanges and a
-        # partition sort cheaper per query).
+        # partition sort cheaper per query). Like `sh` above, the persist
+        # lives until the returned frame is GC'd — ContextCleaner
+        # reclaims both entries (the lazy result still references them,
+        # so an eager unpersist here would recompute the pipeline).
         freq = sh.groupBy("shingle").agg(F.count("*").alias("gfreq"))
         packed = (
             sh.join(freq, "shingle")

@@ -185,7 +185,21 @@ def _decode_block(
 def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Baseline JPEG decode → (width, height, channels, raw interleaved
     8-bit pixels) — the same contract as ``multimodal.png_decode``.
-    Channels: 1 (grayscale) or 3 (RGB after JFIF YCbCr conversion)."""
+    Channels: 1 (grayscale) or 3 (RGB after JFIF YCbCr conversion).
+
+    Contract: every malformed/out-of-scope stream raises ``ValueError``
+    — callers (``multimodal.image_feature_decoder``) catch exactly that
+    to fall back to the dimension probe, so low-level slip-ups from a
+    lying segment length (IndexError / struct.error / KeyError) are
+    normalized here instead of escaping as feature-less decode failures.
+    """
+    try:
+        return _jpeg_decode_impl(payload)
+    except (IndexError, KeyError, ZeroDivisionError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qtables: dict[int, np.ndarray] = {}

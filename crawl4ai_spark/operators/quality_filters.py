@@ -78,9 +78,12 @@ def _words(text_col: Column) -> Column:
 
 
 def _lines(text_col: Column) -> Column:
-    """Trimmed non-blank lines."""
+    """Trimmed non-blank lines. Splits on ``\\r?\\n`` — crawled web text
+    is frequently CRLF, and a trailing ``\\r`` (F.trim strips spaces
+    only) would defeat every line-suffix gate (terminal punctuation,
+    ellipsis) and corrupt duplicate-line keys."""
     return F.filter(
-        F.transform(F.split(text_col, r"\n"), lambda l: F.trim(l)),
+        F.transform(F.split(text_col, r"\r?\n"), lambda l: F.trim(l)),
         lambda l: F.length(l) > 0,
     )
 
@@ -89,8 +92,10 @@ def gopher_scalar_signals(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """The map-only Gopher signals (everything except the repetition
-    family) — zero shuffles, pure column algebra over words and lines."""
-    text = F.col(text_col)
+    family) — zero shuffles, pure column algebra over words and lines.
+    NULL text is treated as empty (size(split(NULL)) is -1 and NULL
+    poisons every downstream verdict otherwise)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     words = _words(text)
     lines = _lines(text)
     n_words = F.size(words)
@@ -135,11 +140,12 @@ def _keyed_rows(
     """(doc_id, kind, key, key_chars, text_chars) — ONE exploded frame
     carrying lines and every n-gram size (kind = 'line' | 'g2'..'g10'),
     so the whole repetition family costs a single hash shuffle."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        _words(F.col(text_col)).alias("w"),
-        _lines(F.col(text_col)).alias("l"),
-        F.length(F.col(text_col)).cast("double").alias("text_chars"),
+        _words(text).alias("w"),
+        _lines(text).alias("l"),
+        F.length(text).cast("double").alias("text_chars"),
     )
     if shuffle_parts:
         # parallelize the explode off few-split scans (kgram_rows pattern)
@@ -210,7 +216,6 @@ def gopher_repetition_signals(
             F.struct(F.col("c"), F.col("key_chars")),
         ).alias("_top_cover"),
         F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("key_chars"))).alias("dup_chars"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c"))).alias("dup_count"),
     )
     safe_text = F.greatest(F.col("text_chars"), F.lit(1.0))
     top_frac = F.round(
@@ -315,8 +320,10 @@ def c4_line_filter(
     words and no 'javascript'; flag documents containing 'lorem ipsum'
     or '{' (dropped wholesale by C4) or fewer than ``min_sentences``
     sentences after cleaning. Returns every doc with the cleaned text and
-    per-doc stats; filter on ``c4_keep`` for the kept corpus."""
-    lines = _lines(F.col(text_col))
+    per-doc stats; filter on ``c4_keep`` for the kept corpus. NULL text
+    is treated as empty."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = _lines(text)
     is_kept = (
         lambda l: F.substring(l, -1, 1).isin(list(_C4_TERMINALS))
         & (F.size(F.split(l, r"\s+")) >= min_line_words)
@@ -324,7 +331,7 @@ def c4_line_filter(
     )
     kept = F.filter(lines, is_kept)
     clean = F.array_join(kept, "\n")
-    lower = F.lower(F.col(text_col))
+    lower = F.lower(text)
     n_sentences = F.regexp_count(clean, F.lit(r"[.!?]"))
     return docs.select(
         F.col(id_col).alias("doc_id"),
@@ -332,7 +339,7 @@ def c4_line_filter(
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_lines_kept"),
         lower.contains("lorem ipsum").alias("has_lorem_ipsum"),
-        F.col(text_col).contains("{").alias("has_brace"),
+        text.contains("{").alias("has_brace"),
         n_sentences.alias("n_sentences"),
     ).withColumn(
         "c4_keep",

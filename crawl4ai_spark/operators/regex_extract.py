@@ -159,22 +159,20 @@ def redact_pii(
     Patterns apply case-insensitively in deterministic label order, so
     overlaps resolve identically everywhere. Returns
     ``(doc_id, redacted_text, n_redactions)`` where ``n_redactions``
-    counts the inserted tokens (match count across all patterns as
-    applied sequentially)."""
+    counts ACTUAL replacements — each pattern's matches are counted on
+    the text as it stands before that pattern's replacement (counting
+    tokens in the final text would over-count on input that already
+    contains bracketed label literals, e.g. re-scrubbing a redacted
+    corpus)."""
     patterns = select_patterns(*labels, custom=custom)
     out = F.col(text_col)
+    n = F.lit(0)
     for label, regex in sorted(patterns.items()):
-        out = F.regexp_replace(out, f"(?im){regex}", token_fmt.format(label=label.upper()))
+        rx = f"(?im){regex}"
+        n = n + F.regexp_count(out, F.lit(rx))
+        out = F.regexp_replace(out, rx, token_fmt.format(label=label.upper()))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         out.alias("redacted_text"),
-        sum(
-            (
-                F.regexp_count(
-                    out, F.lit(re.escape(token_fmt.format(label=label.upper())))
-                )
-                for label in sorted(patterns)
-            ),
-            F.lit(0),
-        ).alias("n_redactions"),
+        n.alias("n_redactions"),
     )

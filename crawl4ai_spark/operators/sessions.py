@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
 
 
 def _epoch_s(c: Column) -> Column:
@@ -115,11 +116,14 @@ def funnel_steps(
         ).alias("_ev")
     )
     # invariant: the chain only ever fills slots 1..depth in order, so the
-    # accumulator is just the completed prefix (array<timestamp>); acc is
-    # the fold's bound variable — O(1) access, no expression re-evaluation
+    # accumulator is just the completed prefix — typed from the INPUT's
+    # ts column (hardcoding array<timestamp> broke bigint/double epoch
+    # columns with DATATYPE_MISMATCH); acc is the fold's bound variable —
+    # O(1) access, no expression re-evaluation
+    ts_type = events.schema[ts_col].dataType
     chain = F.aggregate(
         F.col("_ev"),
-        F.array().cast("array<timestamp>"),
+        F.array().cast(ArrayType(ts_type)),
         lambda acc, e: F.when(
             (e["si"] == F.size(acc) + 1)
             & ((F.size(acc) == 0) | (e["ts"] > F.element_at(acc, -1))),

@@ -528,7 +528,7 @@ def semantic_dedup(
     """
     if centroids is None:
         centroids = kmeans_centroids(
-            embeddings, k=k, seed=seed, vec_col=vec_col
+            embeddings, k=k, seed=seed, vec_col=vec_col, id_col=id_col
         )
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     pairs = semantic_dedup_pairs(assigned, threshold, id_col, vec_col)

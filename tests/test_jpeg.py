@@ -304,3 +304,22 @@ def test_image_feature_decoder_uses_real_jpeg_pixels():
     # flat gray image: all three channel means equal the luma, std 0
     assert feats[3] == float(y) and feats[4] == float(y) and feats[5] == float(y)
     assert feats[7] == 0.0
+
+
+def test_malformed_segments_raise_value_error():
+    """Lying segment lengths must surface as ValueError (the fallback
+    contract image_feature_decoder relies on), never IndexError or
+    struct.error."""
+    import pytest
+
+    from crawl4ai_spark.operators.jpeg import jpeg_decode
+
+    # SOI + DHT that claims 5 symbols but truncates the symbol bytes
+    bad_dht = b"\xff\xd8\xff\xc4\x00\x08\x00" + b"\x05" + b"\x00" * 0 + b"\xff\xd9"
+    # SOI + SOF0 segment shorter than its header needs
+    bad_sof = b"\xff\xd8\xff\xc0\x00\x04\x08\x00\xff\xd9"
+    # SOI + empty SOS
+    bad_sos = b"\xff\xd8\xff\xda\x00\x02\xff\xd9"
+    for payload in (bad_dht, bad_sof, bad_sos, b"\xff\xd8\xff\xdd\x00\x03\x01"):
+        with pytest.raises(ValueError):
+            jpeg_decode(payload)

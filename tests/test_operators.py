@@ -900,3 +900,32 @@ def test_ngram_jaccard_count_path_shingle_freq_cap(spark):
     # audit view: the boilerplate shingle's frequency is visible pre-cap
     stats = shingle_freq_stats(docs, min_freq=500).collect()
     assert len(stats) >= 1 and max(r.size for r in stats) == 1000
+
+
+def test_funnel_steps_numeric_ts_column(spark):
+    """funnel_steps must accept non-timestamp ts columns (bigint epoch
+    seconds) — the accumulator is typed from the input (round-4 review
+    finding: a hardcoded array<timestamp> broke analysis)."""
+    from crawl4ai_spark.operators.sessions import funnel_steps
+
+    events = spark.createDataFrame(
+        [(1, 10, "view"), (1, 20, "click"), (1, 30, "buy"), (2, 5, "click")],
+        "user_id long, ts long, event_type string",
+    )
+    rows = {r.user_id: r for r in funnel_steps(events, ["view", "click", "buy"]).collect()}
+    assert rows[1].funnel_depth == 3 and rows[1].step_3_ts == 30
+    assert rows[2].funnel_depth == 0
+
+
+def test_semantic_dedup_custom_id_col(spark):
+    """semantic_dedup must forward id_col to the centroid trainer
+    (round-4 review finding: frames without a 'vec_id' column crashed)."""
+    import numpy as np
+
+    from crawl4ai_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(0)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    kept = semantic_dedup(emb, k=4, threshold=0.99, id_col="doc_id")
+    assert kept.count() <= 40 and "doc_id" in kept.columns

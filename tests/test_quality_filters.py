@@ -83,7 +83,7 @@ def _py_words(text):
 
 
 def _py_lines(text):
-    return [l.strip() for l in text.split("\n") if l.strip()]
+    return [l.strip() for l in re.split(r"\r?\n", text) if l.strip()]
 
 
 def _r6(x, _ndigits=6):
@@ -219,3 +219,37 @@ def test_redact_pii_replaces_and_counts(spark):  # noqa: F811
     assert rows[2].n_redactions == 0
     assert rows[3].redacted_text == "card [CREDIT_CARD] iban [IBAN]"
     assert rows[3].n_redactions == 2
+
+
+def test_crlf_documents_survive_line_gates(spark):  # noqa: F811
+    """CRLF web text must behave exactly like LF text: trailing \\r would
+    otherwise defeat the terminal-punct/ellipsis suffix gates and corrupt
+    duplicate-line keys (round-4 review finding)."""
+    lf = "One good sentence here. \nTwo good ones now.\nOne good sentence here. \nFour is plenty.\nFive seals it."
+    crlf = lf.replace("\n", "\r\n")
+    docs = spark.createDataFrame([(1, lf), (2, crlf)], "doc_id long, text string")
+    c4 = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+    assert c4[1].n_lines_kept == c4[2].n_lines_kept == 5
+    assert c4[1].c4_keep and c4[2].c4_keep
+    sig = {r.doc_id: r for r in gopher_signals(docs).collect()}
+    assert sig[1].dup_line_fraction == sig[2].dup_line_fraction > 0
+
+
+def test_null_text_rows_get_empty_verdicts(spark):  # noqa: F811
+    docs = spark.createDataFrame([(1, None), (2, "the and of to in it go on at we. " * 10)], "doc_id long, text string")
+    g = {r.doc_id: r for r in gopher_filter(docs).collect()}
+    assert g[1].word_count == 0 and g[1].gopher_pass is False
+    assert g[1].alpha_word_fraction == 0.0
+    c4 = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+    assert c4[1].clean_text == "" and c4[1].c4_keep is False
+
+
+def test_redact_pii_counts_only_real_replacements(spark):  # noqa: F811
+    from crawl4ai_spark.operators.regex_extract import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "forward [EMAIL] to bob@x.com")], "doc_id long, text string"
+    )
+    r = redact_pii(docs).collect()[0]
+    assert r.n_redactions == 1  # the literal [EMAIL] in the input is not a replacement
+    assert r.redacted_text == "forward [EMAIL] to [EMAIL]"
