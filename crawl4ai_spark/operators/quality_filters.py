@@ -36,7 +36,7 @@ coverage). Lines use their trimmed text; blank lines are ignored.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Gopher's "stop words present" gate (Rae et al. 2021 A1.1)
@@ -137,9 +137,17 @@ def gopher_scalar_signals(
 def _keyed_rows(
     docs: DataFrame, id_col: str, text_col: str, shuffle_parts: int | None
 ) -> DataFrame:
-    """(doc_id, kind, key, key_chars, text_chars) — ONE exploded frame
+    """(doc_id, kind, key, key_chars, text_chars) — one exploded frame
     carrying lines and every n-gram size (kind = 'line' | 'g2'..'g10'),
-    so the whole repetition family costs a single hash shuffle."""
+    so the whole repetition family shares one frequency shuffle.
+
+    Shape (the kgram_rows lessons, both measured on this battery):
+    tokens explode ONCE and every gram size derives from the same window
+    ``lead`` columns (building 9 per-doc struct arrays and flattening
+    them cost ~2× in expression allocations); keys leave the map side as
+    8-byte xxhash64 values + their char length, so the frequency shuffle
+    carries 16 bytes per gram/line instead of the string (the signals
+    only ever need per-key counts and lengths, never the text back)."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -148,38 +156,54 @@ def _keyed_rows(
         F.length(text).cast("double").alias("text_chars"),
     )
     if shuffle_parts:
-        # parallelize the explode off few-split scans (kgram_rows pattern)
+        # parallelize the explodes off few-split scans; also pre-satisfies
+        # the lead window's required distribution (partition-local sort
+        # only, no extra exchange)
         base = base.repartition(shuffle_parts, "doc_id")
-    def _gram_lambda(n: int):
-        # factory, NOT `lambda i, n=n: ...` — pyspark treats a 2-parameter
-        # lambda as the (element, index) binary form and would bind n to
-        # the index column
-        return lambda i: F.struct(
-            F.lit(f"g{n}").alias("kind"),
-            F.array_join(F.slice("w", i + 1, n), " ").alias("key"),
-        )
 
-    kinds = [
-        F.transform(F.col("l"), lambda l: F.struct(F.lit("line").alias("kind"), l.alias("key")))
-    ]
-    for n in (*_TOP_NS, *_DUP_NS):
-        kinds.append(
-            F.when(
-                F.size("w") >= n,
-                F.transform(F.sequence(F.lit(0), F.size("w") - n), _gram_lambda(n)),
-            ).otherwise(F.array().cast("array<struct<kind:string,key:string>>"))
-        )
-    rows = base.select(
+    line_rows = base.select(
         "doc_id",
         "text_chars",
-        F.explode(F.flatten(F.array(*kinds))).alias("kk"),
+        F.lit("line").alias("kind"),
+        F.explode("l").alias("key_str"),
     )
+
+    max_n = max((*_TOP_NS, *_DUP_NS))
+    toks = base.select(
+        "doc_id", "text_chars", F.posexplode("w").alias("pos", "t0")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.col("t0")] + [
+        F.lead("t0", i).over(win).alias(f"t{i}") for i in range(1, max_n)
+    ]
+    led = toks.select("doc_id", "text_chars", *lead_cols)
+    grams = [
+        F.struct(
+            F.lit(f"g{n}").alias("kind"),
+            F.when(
+                F.col(f"t{n-1}").isNotNull(),
+                F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)]),
+            ).alias("key_str"),
+        )
+        for n in (*_TOP_NS, *_DUP_NS)
+    ]
+    gram_rows = (
+        led.select("doc_id", "text_chars", F.explode(F.array(*grams)).alias("kk"))
+        .where(F.col("kk.key_str").isNotNull())
+        .select(
+            "doc_id",
+            "text_chars",
+            F.col("kk.kind").alias("kind"),
+            F.col("kk.key_str").alias("key_str"),
+        )
+    )
+    rows = line_rows.unionByName(gram_rows)
     return rows.select(
         "doc_id",
         "text_chars",
-        F.col("kk.kind").alias("kind"),
-        F.col("kk.key").alias("key"),
-        F.length("kk.key").cast("double").alias("key_chars"),
+        "kind",
+        F.xxhash64("key_str").alias("key"),
+        F.length("key_str").cast("double").alias("key_chars"),
     )
 
 

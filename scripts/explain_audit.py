@@ -90,12 +90,14 @@ CHECKS = {
         ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
     ],
     "gopher_quality": [
-        ("REPARTITION_BY_NUM", "docs repartitioned by doc_id BEFORE the ~9x line/n-gram explode — the repetition family parallelizes off few-split scans"),
-        ("explode(flatten(array(", "one shared exploded frame carries lines + every n-gram size (one shuffle for the whole repetition family)"),
+        ("REPARTITION_BY_NUM", "docs repartitioned by doc_id BEFORE the explodes — parallelizes few-split scans AND pre-satisfies the lead window (no extra exchange)"),
+        ("posexplode", "tokens explode ONCE; all 9 gram sizes derive from the same window lead columns (kgram_rows shape — 2x faster than per-size struct arrays)"),
+        ("lead(t0", "gram assembly via window lead over attribute refs, partition-local sort only"),
+        ("xxhash64(key_str", "frequency shuffle carries 8-byte key hashes + lengths, never gram strings"),
         ("HashAggregate", "per-(doc,kind,key) frequencies partial-agg before the exchange"),
         ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
         ("!MapInPandas", "whole battery is native column algebra — zero Python even batched"),
-        ("!windowspecdefinition", "no windows: top-gram cover is a max_by aggregate, not a rank"),
+        ("!row_number", "no rank windows: top-gram cover is a max_by aggregate"),
     ],
     "c4_filtered": [
         ("!Exchange", "line filtering is map-only: zero shuffles"),
