@@ -117,6 +117,11 @@ def headline_queries():
         "ngram_jaccard_pairs": q["ngram_jaccard_pairs"],
         "minhash_lsh_pairs": q["minhash_lsh_pairs"],
         "cosine_topk": q["cosine_topk"],
+        # round-4 additions (new keys — totals are not comparable to
+        # rounds <= 3; per-query keys are): the two heavy new
+        # training-data ops
+        "gopher_quality": q["gopher_quality"],
+        "decontamination": q["decontamination"],
     }
 
 
