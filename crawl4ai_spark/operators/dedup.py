@@ -127,12 +127,17 @@ def shingle_hash_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> Da
 
 
 def doc_shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(doc_id, hashes array<long>, set_size) — aggregated from the row
-    pipeline (one tokenization pass, 8-byte shuffle keys)."""
+    """(doc_id, hashes array<long>, set_size) — aggregated from the k-gram
+    row pipeline in ONE shuffle: ``collect_set`` dedups inside the hash
+    aggregation (map-side partial sets), replacing the previous
+    distinct-then-collect_list two-shuffle plan. Consumers are all
+    order-insensitive (array_intersect verify, per-element min-hash
+    signatures)."""
     return (
-        shingle_hash_rows(docs, id_col, text_col, n)
+        kgram_rows(docs, id_col, text_col, n)
+        .select("doc_id", F.xxhash64("gram").alias("shingle"))
         .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("hashes"))
+        .agg(F.collect_set("shingle").alias("hashes"))
         .withColumn("set_size", F.size("hashes"))
         .where(F.col("set_size") > 0)
     )
