@@ -1757,7 +1757,7 @@ _SQL_WORDS = (
     " x -> length(x) > 0)"
 )
 _SQL_LINES = (
-    r"list_filter(list_transform(regexp_split_to_array(coalesce(text, ''), '\r?\n'),"
+    r"list_filter(list_transform(regexp_split_to_array(coalesce(text, ''), '\r\n|\r|\n'),"
     " x -> trim(x)), x -> length(x) > 0)"
 )
 

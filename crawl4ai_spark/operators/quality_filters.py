@@ -78,12 +78,13 @@ def _words(text_col: Column) -> Column:
 
 
 def _lines(text_col: Column) -> Column:
-    """Trimmed non-blank lines. Splits on ``\\r?\\n`` — crawled web text
-    is frequently CRLF, and a trailing ``\\r`` (F.trim strips spaces
+    """Trimmed non-blank lines. Splits on universal newlines
+    (``\\r\\n|\\r|\\n``) — crawled web text is frequently CRLF and
+    occasionally CR-only, and a stray ``\\r`` (F.trim strips spaces
     only) would defeat every line-suffix gate (terminal punctuation,
     ellipsis) and corrupt duplicate-line keys."""
     return F.filter(
-        F.transform(F.split(text_col, r"\r?\n"), lambda l: F.trim(l)),
+        F.transform(F.split(text_col, r"\r\n|\r|\n"), lambda l: F.trim(l)),
         lambda l: F.length(l) > 0,
     )
 

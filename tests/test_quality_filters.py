@@ -83,7 +83,7 @@ def _py_words(text):
 
 
 def _py_lines(text):
-    return [l.strip() for l in re.split(r"\r?\n", text) if l.strip()]
+    return [l.strip() for l in re.split(r"\r\n|\r|\n", text) if l.strip()]
 
 
 def _r6(x, _ndigits=6):
@@ -253,3 +253,40 @@ def test_redact_pii_counts_only_real_replacements(spark):  # noqa: F811
     r = redact_pii(docs).collect()[0]
     assert r.n_redactions == 1  # the literal [EMAIL] in the input is not a replacement
     assert r.redacted_text == "forward [EMAIL] to [EMAIL]"
+
+
+def test_signals_match_python_reference_adversarial(spark):  # noqa: F811
+    """Adversarial fixture battery (one Spark round trip): CRLF/CR mixes,
+    tabs, unicode bullets/ellipsis, boundary repetition counts, symbol
+    runs, whitespace-only and single-token docs — every signal must equal
+    the single-process reference."""
+    cases = [
+        "",
+        " ",
+        "\n\n\n",
+        "\r\n\r\n",
+        "x",
+        "hi",
+        "the the the the the",
+        "a b. a b. a b.\r\na b. tail here.",
+        "word " * 60,
+        ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 3).strip(),
+        "- one\r\n- two\r\n• three\n‣ four\n▪ five\nplain...",
+        "ends with dots...\nends with ell…\nno suffix",
+        "### ## # hashes ... and … more ...",
+        "tab\tseparated\ttokens stay one line",
+        "línea acentuada única aquí\nlínea acentuada única aquí",
+        "123 456 789 numeric only words",
+        "mixedCASE Words LOWER lower",
+        ("repeat me " * 12).strip(),
+        "one two three four five six seven eight nine ten eleven twelve",
+        "x y\rx y\rz",  # bare CR IS a line break (universal newlines)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_signals(docs).collect()}
+    for i, text in enumerate(cases):
+        want = _py_signals(text)
+        for k, v in want.items():
+            assert got[i][k] == pytest.approx(v, abs=1e-6), (i, k, got[i][k], v, text)
