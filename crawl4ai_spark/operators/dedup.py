@@ -635,7 +635,8 @@ def decontaminate(
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
     n: int = 13,
-    broadcast_bench: bool = True,
+    broadcast_bench: bool | None = None,
+    max_broadcast_grams: int = 2_000_000,
 ) -> DataFrame:
     """Flag training documents that share any word-``n``-gram with a
     benchmark/eval corpus — the GPT-3 decontamination rule (Brown et al.
@@ -646,10 +647,15 @@ def decontaminate(
     Scale shape: both sides reduce to distinct 8-byte xxhash64 shingle
     rows through the shared k-gram front end (:func:`kgram_rows` —
     repartition-before-explode, window ``lead``, no Python). The
-    benchmark gram set is tiny next to a training corpus, so the overlap
-    join broadcasts it by default (``broadcast_bench=False`` falls back
-    to a hash join keyed on the 8-byte shingle for benchmark sets beyond
-    broadcast size); per-doc hit counts come from one partial-aggregated
+    benchmark gram set is usually tiny next to a training corpus, but a
+    realistic eval battery can still carry tens of millions of distinct
+    13-grams — past driver/broadcast limits — so the join strategy is
+    AUTO-selected by default (``broadcast_bench=None``): a capped
+    ``limit(max_broadcast_grams+1).count()`` probe (one extra bench-side
+    pass, cheap by the same smallness assumption) broadcasts only when
+    the distinct-gram count fits, else falls back to a hash join keyed
+    on the 8-byte shingle. ``broadcast_bench=True``/``False`` forces
+    either path. Per-doc hit counts come from one partial-aggregated
     groupBy, and the final left join returns clean docs with zero counts.
     """
     doc_grams = shingle_hash_rows(docs, id_col, text_col, n)
@@ -658,6 +664,9 @@ def decontaminate(
         .select("shingle")
         .distinct()
     )
+    if broadcast_bench is None:
+        probe = bench_grams.limit(max_broadcast_grams + 1).count()
+        broadcast_bench = probe <= max_broadcast_grams
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
     hits = (

@@ -18,9 +18,10 @@ reference's state machine at that level:
     ``get_true_memory_usage_percent`` reads — combined with Spark's
     executor storage-memory occupancy from ``getExecutorMemoryStatus``);
   - ≥ critical        → wait (sleep/poll) before building the wave, so
-                         in-flight state can drain; sustained critical
-                         past ``memory_wait_timeout`` raises MemoryError
-                         exactly like the reference;
+                         in-flight state can drain; memory sustained at or
+                         above ``memory_threshold_percent`` (not just
+                         critical) past ``memory_wait_timeout`` raises
+                         MemoryError exactly like the reference;
   - ≥ threshold       → shrink the next wave's global row cap (×shrink,
                          floored at ``min_wave_rows``);
   - ≤ recovery        → regrow (×grow, capped at ``max_wave_rows``).
@@ -98,6 +99,7 @@ class MemoryAdaptiveGovernor:
     current_cap: int = field(init=False)
     memory_pressure_mode: bool = field(init=False, default=False)
     last_memory_percent: float = field(init=False, default=0.0)
+    _pressure_since: float | None = field(init=False, default=None)
 
     def __post_init__(self):
         if not self.min_wave_rows <= self.max_wave_rows:
@@ -112,28 +114,38 @@ class MemoryAdaptiveGovernor:
             if spark is not None:
                 pct = max(pct, executor_storage_percent(spark))
         self.last_memory_percent = pct
-        return pct
-
-    def wait_if_critical(self, spark=None) -> float:
-        """Block (sleep/poll) while memory is ≥ critical; raise
-        ``MemoryError`` if it stays critical past ``memory_wait_timeout``
-        (None = wait forever), mirroring the reference's monitor task.
-        Returns the final (sub-critical) sample."""
-        pct = self._sample(spark)
-        start = None
-        while pct >= self.critical_threshold_percent:
-            if start is None:
-                start = time.time()
+        # memory_wait_timeout clock: the reference raises after sustained
+        # time above memory_threshold_percent (90), NOT only at critical —
+        # a crawl pinned at 92% must still time out. The clock spans wave
+        # boundaries (samples are the observation points, like the
+        # reference's periodic monitor task) and resets the moment a
+        # sample drops below the pressure threshold.
+        if pct >= self.memory_threshold_percent:
+            now = time.time()
+            if self._pressure_since is None:
+                self._pressure_since = now
             elif (
                 self.memory_wait_timeout is not None
-                and time.time() - start >= self.memory_wait_timeout
+                and now - self._pressure_since >= self.memory_wait_timeout
             ):
                 raise MemoryError(
-                    f"memory {pct:.1f}% >= critical "
-                    f"{self.critical_threshold_percent}% for "
+                    f"memory {pct:.1f}% >= threshold "
+                    f"{self.memory_threshold_percent}% for "
                     f"{self.memory_wait_timeout}s — aborting crawl (reference "
                     "MemoryAdaptiveDispatcher memory_wait_timeout semantics)"
                 )
+        else:
+            self._pressure_since = None
+        return pct
+
+    def wait_if_critical(self, spark=None) -> float:
+        """Block (sleep/poll) while memory is ≥ critical. The sustained-
+        pressure ``MemoryError`` fires from the sampling clock (see
+        ``_sample``) once memory has stayed ≥ ``memory_threshold_percent``
+        for ``memory_wait_timeout`` seconds (None = wait forever).
+        Returns the final (sub-critical) sample."""
+        pct = self._sample(spark)
+        while pct >= self.critical_threshold_percent:
             time.sleep(self.check_interval)
             pct = self._sample(spark)
         return pct

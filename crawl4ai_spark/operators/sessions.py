@@ -103,15 +103,20 @@ def funnel_steps(
     if not steps:
         raise ValueError("funnel_steps requires at least one step")
     n = len(steps)
-    # step index (1-based) or NULL for non-funnel events; collect_list
-    # drops the NULLs, so only step events reach the per-user array
-    si = F.lit(None).cast("int")
-    for i, step in enumerate(steps, start=1):
-        si = F.when(F.col(type_col) == step, F.lit(i)).otherwise(si)
+    # collect only funnel-step events with a usable timestamp (a NULL ts
+    # can never satisfy "strictly after the previous step", and letting one
+    # into slot 1 would NULL-poison every later ts comparison); the event
+    # TYPE travels into the fold so a step name repeated at two positions
+    # (e.g. view→click→view) matches whichever slot the chain is at —
+    # precomputing one index per event broke repeated-step funnels
+    is_step = F.col(type_col).isin(steps)
     per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(
         F.sort_array(
             F.collect_list(
-                F.when(si.isNotNull(), F.struct(F.col(ts_col).alias("ts"), si.alias("si")))
+                F.when(
+                    is_step & F.col(ts_col).isNotNull(),
+                    F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")),
+                )
             )
         ).alias("_ev")
     )
@@ -121,11 +126,15 @@ def funnel_steps(
     # columns with DATATYPE_MISMATCH); acc is the fold's bound variable —
     # O(1) access, no expression re-evaluation
     ts_type = events.schema[ts_col].dataType
+    steps_lit = F.array(*[F.lit(s) for s in steps])
     chain = F.aggregate(
         F.col("_ev"),
         F.array().cast(ArrayType(ts_type)),
         lambda acc, e: F.when(
-            (e["si"] == F.size(acc) + 1)
+            # F.get is 0-based and NULL-safe past the end (a completed
+            # chain indexes one past steps_lit; element_at would raise
+            # under ANSI mode)
+            (e["et"] == F.get(steps_lit, F.size(acc)))
             & ((F.size(acc) == 0) | (e["ts"] > F.element_at(acc, -1))),
             F.concat(acc, F.array(e["ts"])),
         ).otherwise(acc),

@@ -55,6 +55,31 @@ def test_wait_if_critical_times_out_with_memory_error():
         g.wait_if_critical()
 
 
+def test_sustained_pressure_above_threshold_times_out():
+    """The reference raises after memory_wait_timeout seconds above
+    memory_threshold_percent (90) — a crawl pinned at 92% (below
+    critical) must still time out at a later sample."""
+    import time
+
+    g = _gov([92.0] * 10, check_interval=0.01, memory_wait_timeout=0.05)
+    g.next_wave_cap()            # clock starts
+    time.sleep(0.06)
+    with pytest.raises(MemoryError):
+        g.next_wave_cap()
+
+
+def test_pressure_clock_resets_below_threshold():
+    import time
+
+    g = _gov([92.0, 80.0, 92.0, 92.0], check_interval=0.01, memory_wait_timeout=0.05)
+    g.next_wave_cap()            # 92: clock starts
+    time.sleep(0.06)
+    g.next_wave_cap()            # 80: resets (no raise despite elapsed > timeout)
+    g.next_wave_cap()            # 92: clock restarts
+    g.next_wave_cap()            # 92 again immediately: well under timeout
+    assert g.last_memory_percent == 92.0
+
+
 def test_default_signals_sane(spark):  # noqa: F811
     pct = system_memory_percent()
     assert 0.0 < pct < 100.0

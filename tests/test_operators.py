@@ -773,6 +773,52 @@ def test_funnel_steps_ordering_semantics(spark):
     assert got[4].funnel_depth == 3 and got[4].step_1_ts == m(0)
 
 
+def test_funnel_steps_repeated_step_names(spark):
+    """A step name appearing at two funnel positions (view→click→view)
+    must be matchable at BOTH — the fold compares the event type against
+    the slot the chain is at, not a precomputed per-event index."""
+    from datetime import datetime, timedelta
+
+    from crawl4ai_spark.operators.sessions import funnel_steps
+
+    t0 = datetime(2026, 1, 1)
+    m = lambda k: t0 + timedelta(minutes=k)
+    rows = [
+        # user 1: view@10, click@20, view@30 -> full depth 3
+        (1, m(10), "view"), (1, m(20), "click"), (1, m(30), "view"),
+        # user 2: view, click only -> depth 2 (second view missing)
+        (2, m(0), "view"), (2, m(5), "click"),
+        # user 3: click, view, view -> depth 0 then chain from first view?
+        # no: step 1 is view -> first view@5 starts, no click after -> depth 1
+        (3, m(0), "click"), (3, m(5), "view"), (3, m(6), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.user_id: r for r in funnel_steps(df, ["view", "click", "view"]).collect()}
+    assert got[1].funnel_depth == 3 and got[1].step_3_ts == m(30)
+    assert got[2].funnel_depth == 2 and got[2].step_3_ts is None
+    assert got[3].funnel_depth == 1 and got[3].step_1_ts == m(5)
+
+
+def test_funnel_steps_null_ts_ignored(spark):
+    """Events with a NULL timestamp are dropped before the fold — a NULL
+    in slot 1 used to NULL-poison every later ts comparison and block the
+    funnel forever."""
+    from datetime import datetime, timedelta
+
+    from crawl4ai_spark.operators.sessions import funnel_steps
+
+    t0 = datetime(2026, 1, 1)
+    m = lambda k: t0 + timedelta(minutes=k)
+    rows = [
+        (1, None, "view"), (1, m(10), "view"), (1, m(20), "click"),
+        (2, None, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.user_id: r for r in funnel_steps(df, ["view", "click"]).collect()}
+    assert got[1].funnel_depth == 2 and got[1].step_1_ts == m(10)
+    assert got[2].funnel_depth == 0 and got[2].step_1_ts is None
+
+
 def test_xxhash64_longs_matches_spark(spark):
     """The pure-Python xxhash64 fold (functions/fingerprint.py) must agree
     with Spark's native xxhash64 on bigint inputs — single value and the

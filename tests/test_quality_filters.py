@@ -199,6 +199,33 @@ def test_decontaminate_flags_planted_overlap(spark):  # noqa: F811
     assert set(out) == {1, 2, 3}  # clean docs still present
 
 
+def test_decontaminate_auto_join_strategy(spark):  # noqa: F811
+    """broadcast_bench=None auto-selects: a benchmark gram set beyond
+    max_broadcast_grams must NOT be force-broadcast (driver safety), and
+    the hash-join fallback returns identical answers."""
+    from crawl4ai_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix one two three four five suffix words here"),
+            (2, "nothing shared at all in this training document text"),
+        ],
+        "doc_id long, text string",
+    )
+    forced = decontaminate(train, bench, n=3, broadcast_bench=True)
+    # cap of 1 distinct gram -> auto falls back to the shuffle hash join
+    auto = decontaminate(train, bench, n=3, max_broadcast_grams=1)
+    assert "BroadcastHashJoin" in forced._jdf.queryExecution().executedPlan().toString()
+    rows_f = sorted(map(tuple, forced.collect()))
+    rows_a = sorted(map(tuple, auto.collect()))
+    assert rows_f == rows_a
+    assert rows_f[0][1] > 0  # doc 1 contaminated either way
+
+
 def test_redact_pii_replaces_and_counts(spark):  # noqa: F811
     from crawl4ai_spark.operators.regex_extract import redact_pii
 
