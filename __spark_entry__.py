@@ -238,13 +238,18 @@ def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crawl4ai_spark.operators.textstats import token_count_col
+    """Whitespace token budget + char length + GPT-2 pre-tokenizer
+    (BPE-ish) token budget per doc — all JVM regex, map-only (the
+    former bpe_token_counts query is folded in as a column so every
+    registry entry fits the driver's 50-row correctness cap)."""
+    from crawl4ai_spark.operators.textstats import bpe_token_count_col, token_count_col
 
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count_col(F.col("text")).alias("n_tokens"),
         F.length("text").alias("text_chars"),
+        bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
     )
 
 
@@ -308,16 +313,13 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, list(query), k=10, round_to=4)
 
 
-def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crawl4ai_spark.operators.similarity import cosine_pairs_above
-
-    emb = _read(spark, sf_dir, "embeddings")
-    return cosine_pairs_above(emb, threshold=0.35, round_to=4)
-
-
 def _q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH embedding near-dup pairs, exact-verified —
-    the scale path for which cosine_pairs is the all-pairs baseline.
+    the scale path for which cosine_pairs_above is the all-pairs
+    baseline (the former cosine_pairs registry entry shared this exact
+    all-pairs oracle, so it was folded into this row to fit the
+    driver's 50-entry cap; the brute-force operator stays pinned by
+    tests/test_operators.py's exact-vs-LSH set equality).
     Precision 1.0 by construction (every candidate re-checked against
     the true cosine); 32 bands × 2 planes puts the per-pair miss
     probability at cos ≥ 0.35 below 3e-7, so the exact all-pairs SQL is
@@ -373,27 +375,29 @@ def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["table", "scan", "join", "merge"])
 
 
-def _q_regex_digit_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crawl4ai_spark.operators.regex_extract import regex_extract_matches
-
-    events = _read(spark, sf_dir, "events")
-    return regex_extract_matches(
-        events, patterns={"digits": r"\d+"}, id_col="event_id", text_col="props"
+def _q_chunking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length, sliding-window, and token-budget chunking in one
+    multi-kind row (the three single-kind registry entries merged to fit
+    the driver's 50-entry correctness cap — each leg keeps its own exact
+    DuckDB oracle arm in the UNION ALL). All three are map-only column
+    algebra; the union is narrow, so the combined plan stays zero-shuffle."""
+    from crawl4ai_spark.operators.chunking import (
+        fixed_length_word_chunking,
+        sliding_window_chunking,
+        token_budget_chunking,
     )
 
-
-def _q_fixed_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crawl4ai_spark.operators.chunking import fixed_length_word_chunking
-
     docs = _read(spark, sf_dir, "documents")
-    return fixed_length_word_chunking(docs, chunk_size=20)
-
-
-def _q_sliding_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crawl4ai_spark.operators.chunking import sliding_window_chunking
-
-    docs = _read(spark, sf_dir, "documents")
-    return sliding_window_chunking(docs, window_size=30, step=15)
+    legs = [
+        ("fixed", fixed_length_word_chunking(docs, chunk_size=20)),
+        ("sliding", sliding_window_chunking(docs, window_size=30, step=15)),
+        ("token", token_budget_chunking(docs, chunk_token_threshold=64, overlap=16)),
+    ]
+    out = None
+    for kind, df in legs:
+        leg = df.select("doc_id", F.lit(kind).alias("kind"), "chunk_index", "chunk")
+        out = leg if out is None else out.unionAll(leg)
+    return out
 
 
 def _event_url_col():
@@ -741,15 +745,6 @@ def _q_schema_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget chunk (utils.py:76-158 port; closed-form segment
-    arithmetic, T=64 tokens, overlap=16, word_token_rate=0.75)."""
-    from crawl4ai_spark.operators.chunking import token_budget_chunking
-
-    docs = _read(spark, sf_dir, "documents")
-    return token_budget_chunking(docs, chunk_token_threshold=64, overlap=16)
-
-
 def _q_sentence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex sentence chunking (NlpSentenceChunking surface)."""
     from crawl4ai_spark.operators.chunking import sentence_chunking
@@ -783,14 +778,23 @@ def _catalog_text_col():
 def _q_regex_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 21-pattern DEFAULT_PATTERNS catalog (SURVEY §2.8):
     10 labels exercised over deterministic text, native
-    regexp_extract_all; the oracle runs the same patterns in DuckDB."""
+    regexp_extract_all; the oracle runs the same patterns in DuckDB.
+    A second leg runs a user-supplied pattern ({"digits": \\d+}) over the
+    events.props payload — the former regex_digit_matches registry entry,
+    folded in to fit the driver's 50-entry cap; both legs are map-only,
+    so the union stays zero-shuffle."""
     from crawl4ai_spark.operators.regex_extract import regex_extract_matches, select_patterns
 
-    events = _read(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    all_events = _read(spark, sf_dir, "events")
+    events = all_events.where(F.col("event_id") < 300)
     docs = events.select("event_id", _catalog_text_col().alias("txt"))
-    return regex_extract_matches(
+    catalog = regex_extract_matches(
         docs, select_patterns(*_CATALOG_LABELS), id_col="event_id", text_col="txt"
     )
+    digits = regex_extract_matches(
+        all_events, patterns={"digits": r"\d+"}, id_col="event_id", text_col="props"
+    )
+    return catalog.unionAll(digits)
 
 
 def _q_media_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,15 +985,6 @@ def _q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
-def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-word-ish token budget per doc via the GPT-2 pre-tokenizer
-    regex (textstats.bpe_token_count_col) — pure JVM regexp_count."""
-    from crawl4ai_spark.operators.textstats import bpe_token_count_col
-
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"))
-
-
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C rule): docs sharing
     any word-n-gram with the benchmark slice (doc_id < 5 stands in for an
@@ -1100,16 +1095,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_candidates": _q_simhash_candidates,
         "cosine_topk": _q_cosine_topk,
-        "cosine_pairs": _q_cosine_pairs,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "semantic_dedup": _q_semantic_dedup,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "langid_heuristic": _q_langid_heuristic,
         "bm25_scores": _q_bm25_scores,
-        "regex_digit_matches": _q_regex_digit_matches,
-        "fixed_chunking": _q_fixed_chunking,
-        "sliding_chunking": _q_sliding_chunking,
-        "token_chunking": _q_token_chunking,
+        "chunking_battery": _q_chunking_battery,
         "sentence_chunking": _q_sentence_chunking,
         "schema_extract_nested": _q_schema_extract_nested,
         "link_intrinsic_scores": _q_link_intrinsic_scores,
@@ -1129,7 +1120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "span_dedup": _q_span_dedup,
         "doc_pagerank": _q_doc_pagerank,
-        "bpe_token_counts": _q_bpe_token_counts,
         "curated_corpus": _q_curated_corpus,
         "gopher_quality": _q_gopher_quality,
         "c4_filtered": _q_c4_filtered,
@@ -1290,7 +1280,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
         "token_stats": f"""
-            SELECT doc_id, {_NTOK} AS n_tokens, length(text) AS text_chars FROM documents
+            SELECT doc_id, {_NTOK} AS n_tokens, length(text) AS text_chars,
+                   {_bpe_count_sql()} AS n_bpe_tokens
+            FROM documents
         """,
         "lang_dist": """
             SELECT lang, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars
@@ -1332,12 +1324,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4) DESC, vec_id
             LIMIT 10
         """,
-        "cosine_pairs": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine_sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
-        """,
         "bm25_scores": f"""
             WITH toks AS (SELECT doc_id, unnest({_CLEAN_TOKS}) AS term FROM documents),
             dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -1353,27 +1339,50 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
             GROUP BY doc_id
         """,
-        "regex_digit_matches": """
-            SELECT event_id, 'digits' AS label, unnest(regexp_extract_all(props, '(\\d+)', 1)) AS value
-            FROM events
-        """,
-        "fixed_chunking": f"""
-            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
-            SELECT doc_id, u.chunk_index, u.chunk FROM (
-                SELECT doc_id, unnest([{{'chunk_index': i,
-                                        'chunk': array_to_string(w[i*20+1:i*20+20], ' ')}}
-                                       FOR i IN range(0, greatest(cast(ceil(len(w)/20.0) AS int), 1))]) AS u
-                FROM t)
-            WHERE trim(u.chunk) <> ''
-        """,
-        "sliding_chunking": """
-            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
-            SELECT doc_id, u.chunk_index, u.chunk FROM (
-                SELECT doc_id, unnest([{'chunk_index': i,
-                                        'chunk': array_to_string(w[i*15+1:i*15+30], ' ')}
-                                       FOR i IN range(0, cast(floor(greatest(len(w)-30, 0)/15.0) AS int) + 1)]) AS u
-                FROM t)
-            WHERE trim(u.chunk) <> ''
+        "chunking_battery": f"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+            fixed AS (
+                SELECT doc_id, 'fixed' AS kind, u.chunk_index, u.chunk FROM (
+                    SELECT doc_id, unnest([{{'chunk_index': i,
+                                            'chunk': array_to_string(w[i*20+1:i*20+20], ' ')}}
+                                           FOR i IN range(0, greatest(cast(ceil(len(w)/20.0) AS int), 1))]) AS u
+                    FROM t)
+                WHERE trim(u.chunk) <> ''
+            ),
+            sliding AS (
+                SELECT doc_id, 'sliding' AS kind, u.chunk_index, u.chunk FROM (
+                    SELECT doc_id, unnest([{{'chunk_index': i,
+                                            'chunk': array_to_string(w[i*15+1:i*15+30], ' ')}}
+                                           FOR i IN range(0, cast(floor(greatest(len(w)-30, 0)/15.0) AS int) + 1)]) AS u
+                    FROM t)
+                WHERE trim(u.chunk) <> ''
+            ),
+            tt AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM documents),
+            tc AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       CASE WHEN len(toks) >= 86
+                            THEN CAST(((len(toks) - 86) // 64) + 1 AS INT)
+                            ELSE 0 END AS k
+                FROM tt),
+            te AS (
+                SELECT doc_id, CAST(unnest(range(0, k + 1)) AS INT) AS chunk_index,
+                       toks, n, k
+                FROM tc),
+            ts AS (
+                SELECT doc_id, chunk_index,
+                       CASE WHEN chunk_index < k
+                            THEN array_to_string(toks[chunk_index*64+1 : chunk_index*64+64], ' ')
+                            ELSE coalesce(array_to_string(toks[k*64+1 : n], ' '), '') END AS chunk
+                FROM te),
+            tokenc AS (
+                SELECT doc_id, 'token' AS kind, chunk_index, chunk
+                FROM ts WHERE trim(chunk) <> ''
+            )
+            SELECT * FROM fixed UNION ALL SELECT * FROM sliding UNION ALL SELECT * FROM tokenc
         """,
         "url_scoring": """
             WITH u AS (
@@ -1502,30 +1511,6 @@ def oracle_sql() -> dict[str, str]:
             FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_regionkey, r.r_name
         """,
-        "token_chunking": """
-            WITH t AS (
-                SELECT doc_id,
-                       CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
-                FROM documents),
-            c AS (
-                SELECT doc_id, toks, len(toks) AS n,
-                       CASE WHEN len(toks) >= 86
-                            THEN CAST(((len(toks) - 86) // 64) + 1 AS INT)
-                            ELSE 0 END AS k
-                FROM t),
-            e AS (
-                SELECT doc_id, CAST(unnest(range(0, k + 1)) AS INT) AS chunk_index,
-                       toks, n, k
-                FROM c),
-            s AS (
-                SELECT doc_id, chunk_index,
-                       CASE WHEN chunk_index < k
-                            THEN array_to_string(toks[chunk_index*64+1 : chunk_index*64+64], ' ')
-                            ELSE coalesce(array_to_string(toks[k*64+1 : n], ' '), '') END AS chunk
-                FROM e)
-            SELECT doc_id, chunk_index, chunk FROM s WHERE trim(chunk) <> ''
-        """,
         "sentence_chunking": """
             WITH s AS (
                 SELECT doc_id,
@@ -1569,6 +1554,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, label,
                    unnest(regexp_extract_all(txt, '(' || rx || ')', 1, 'im')) AS value
             FROM t, p
+            UNION ALL
+            SELECT event_id, 'digits' AS label,
+                   unnest(regexp_extract_all(props, '(\\d+)', 1)) AS value
+            FROM events
         """,
         "media_extraction": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
@@ -1715,9 +1704,6 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked GROUP BY doc_id
         """,
         "doc_pagerank": _pagerank_oracle_sql(iters=5, damping=0.85),
-        "bpe_token_counts": f"""
-            SELECT doc_id, {_bpe_count_sql()} AS n_bpe_tokens FROM documents
-        """,
         "curated_corpus": _curated_corpus_oracle_sql(),
         # media_features (odd ids' synthetic payloads): intentionally no
         # oracle — binary probing is not SQL-expressible; the even-id

@@ -58,6 +58,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -66,6 +67,7 @@ def main() -> int:
         scols = sdf.columns
         if name not in oracles:
             print(f"[rows-only] {name}: {len(srows)} rows")
+            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             continue
         try:
             ddf = con.execute(oracles[name])
@@ -74,6 +76,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"[FAIL] {name}: oracle SQL error: {exc}")
             failures.append(name)
+            results[name] = {"status": "oracle_error", "err": str(exc)[:500]}
             continue
         problems = []
         if sorted(scols) != sorted(dcols):
@@ -90,9 +93,28 @@ def main() -> int:
         if problems:
             print(f"[FAIL] {name}: " + " | ".join(problems))
             failures.append(name)
+            results[name] = {
+                "status": "mismatch",
+                "spark_rows": len(srows),
+                "oracle_rows": len(drows),
+                "problems": problems,
+            }
         else:
             print(f"[ok]   {name}: {len(srows)} rows match")
+            results[name] = {"status": "match", "spark_rows": len(srows)}
     spark.stop()
+    # the full-registry run is the per-round self-check artifact — it makes
+    # a future driver cap or registry-ordering change unable to silently
+    # drop oracle coverage (tests/test_entry_contract.py asserts every
+    # registry key appears here with a passing status)
+    if not only:
+        import json
+
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "CORRECTNESS_SELFCHECK.json")
+        with open(out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=1, sort_keys=True)
+        print(f"wrote {out}")
     print()
     if failures:
         print("FAILURES:", failures)

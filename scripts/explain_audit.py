@@ -58,8 +58,8 @@ CHECKS = {
         ("!ArrowEvalPython", "no pandas UDF on the native path"),
         ("PushedFilters: [IsNotNull(event_id), LessThan(event_id,300)]", "id filter pushed to scan"),
     ],
-    "token_chunking": [
-        ("!Exchange", "map-only chunking (zero shuffle)"),
+    "chunking_battery": [
+        ("!Exchange", "all three chunkers map-only; the union is narrow (zero shuffle)"),
         ("!ArrowEvalPython", "closed-form segment arithmetic, no Python"),
         ("ReadSchema: struct<doc_id:bigint,text:string>", "pruned scan"),
     ],
@@ -157,7 +157,7 @@ CHECKS = {
         ("Scan ExistingRDD", "O(1) lineage — each iteration reads the previous checkpoint, not the replayed chain"),
         ("!ArrowEvalPython", "rank arithmetic native"),
     ],
-    "bpe_token_counts": [
+    "token_stats": [
         ("regexp_extract_all", "GPT-2 pre-tokenizer as JVM regex (regexp_count compiles to size(regexp_extract_all))"),
         ("!ArrowEvalPython", "no Python in the token path"),
         ("!Exchange", "map-only (zero shuffle)"),
