@@ -133,11 +133,14 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     )
     # warm the JVM/Arrow path so per-query timings measure the engine
     spark.range(1000).selectExpr("sum(id)").collect()
-    repeats = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPEATS", "3"))
     timings: dict[str, float] = {}
+    steals: dict[str, int] = {}
     for name, fn in headline_queries().items():
         best = None
+        best_steal = 0
         for _ in range(repeats):
+            s0 = _steal_ticks()
             t0 = time.time()
             df = fn(spark, sf_dir)
             # full materialization through the noop sink: count() on an
@@ -148,11 +151,17 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             # JVM-side
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best, best_steal = dt, _steal_ticks() - s0
         # per-query MIN over repeats: this shared VM's CPU steal swings
         # walls ±50% minute-to-minute (see BENCH/BASELINE.md); the min is
-        # the least-interference estimate of the engine's true cost
+        # the least-interference estimate of the engine's true cost. The
+        # steal ticks suffered DURING the min sample are reported per
+        # query so a cross-round regression can be adjudicated from the
+        # artifact alone (round-4 lesson: term_df/minhash "regressions"
+        # were host interference).
         timings[name] = round(best, 3)
+        steals[name] = best_steal
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -161,6 +170,8 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_steal_ticks": steals,
+        "headline_repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
     }

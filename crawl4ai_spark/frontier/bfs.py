@@ -141,6 +141,21 @@ class CrawlConfig:
     # URL waits in the frontier (reference fairness re-prioritization,
     # async_dispatcher.py:471-528). None = pure reference-parity order.
     fairness_boost: float | None = None
+    # depth-band wave coalescing for deep-NARROW crawls: run up to this
+    # many politeness waves ("steps") per committed store wave, so the
+    # per-wave fixed overhead (checkpoint commit, bloom build, metrics,
+    # lineage, state reload — ~2.5 s measured, BENCH/WAVE_OVERHEAD.md)
+    # amortizes over the band. Each step is an EXACT politeness wave
+    # (same per-host budget, same rank order, same max_pages cap, same
+    # backoff ticking), so a depth_band=k crawl selects the identical
+    # URL multiset as the unbanded crawl — only the store's wave
+    # numbering coalesces (results/lineage/metrics label every step in a
+    # band with the band's wave index; intra-band order remains fully
+    # determined by the (score desc, depth asc, url asc) key + depth
+    # column). Steps keep their narrow work frames persisted until the
+    # band commits, so size bands for narrow waves (the only shape that
+    # needs them); 1/None = commit every wave (default).
+    depth_band: int | None = None
     # memory-adaptive wave sizing (operators.dispatch
     # .MemoryAdaptiveGovernor) — the Spark analog of the reference's
     # MemoryAdaptiveDispatcher (async_dispatcher.py:148-208): between
@@ -410,6 +425,255 @@ def _anti_join_seen(
     return fresh.join(seen_keys, "url_fp", "left_anti")
 
 
+def _banded_loop(
+    spark: SparkSession,
+    store: WaveStore,
+    pool,
+    config: CrawlConfig,
+    mode: str,
+    pages_slim: DataFrame,
+    has_status: bool,
+    robots: DataFrame | None,
+    host_budgets: DataFrame | None,
+    summary: dict,
+    frontier_all: DataFrame,
+    attempted_keys: DataFrame | None,
+    host_state: DataFrame | None,
+    shards: DataFrame | None,
+    wave: int,
+    total_attempted: int,
+    seed_delta: DataFrame | None,
+) -> tuple[int, int]:
+    """Depth-band coalesced crawl loop (``CrawlConfig.depth_band`` > 1).
+
+    The inner loop runs up to ``depth_band`` politeness waves ("steps")
+    against lazily accumulated intra-band state — each step's narrow
+    ``work`` frame and discovery delta stay persisted until the band
+    commits — and the outer loop pays the per-wave fixed overhead
+    (checkpoint commit, bloom build, metrics, lineage, state reload) ONCE
+    per band. Every step applies the identical politeness rank / robots
+    gate / max_pages cap / backoff tick as one unbanded wave, so a banded
+    crawl selects the same URL multiset (tests/test_depth_band.py pins
+    set equality); only the store's wave numbering coalesces. max_waves
+    counts committed (band) waves."""
+    band_steps = int(config.depth_band)
+    while wave < config.max_waves:
+        t0 = time.time()
+        step_works: list[DataFrame] = []   # persisted; union -> results
+        step_fresh: list[DataFrame] = []   # persisted; union -> frontier delta
+        step_aux: list[DataFrame] = []     # persisted intermediates (top-k input)
+        step_counts: list[tuple[int, int]] = []  # (n_selected, n_throttled)
+        hs_cur = host_state
+        crawl_done = False
+        for _step in range(band_steps):
+            pending = frontier_all.select(*FRONTIER_COLS)
+            for fr in step_fresh:
+                pending = pending.unionByName(fr.select(*FRONTIER_COLS))
+            if attempted_keys is not None:
+                pending = pending.join(attempted_keys, "url_fp", "left_anti")
+            for wk in step_works:
+                pending = pending.join(
+                    wk.where(F.col("status") != "throttled").select("url_fp"),
+                    "url_fp",
+                    "left_anti",
+                )
+            band_attempted = sum(n - t for n, t in step_counts)
+            remaining = None
+            if config.max_pages is not None:
+                remaining = config.max_pages - total_attempted - band_attempted
+                if remaining <= 0:
+                    crawl_done = True
+                    break
+            wave_limit = remaining
+            if config.memory_governor is not None:
+                pct = config.memory_governor.wait_if_critical(spark)
+                cap = config.memory_governor.next_wave_cap(pct)
+                wave_limit = cap if wave_limit is None else min(wave_limit, cap)
+            if config.strategy == "dfs":
+                order = dfs_order()
+            elif config.fairness_boost is not None:
+                order = fair_wave_order(wave, config.fairness_boost)
+            else:
+                order = None
+            ranked = rank_by_host_budget(
+                pending,
+                host_budgets,
+                config.default_budget,
+                host_state=hs_cur,
+                global_limit=wave_limit,
+                order=order,
+                salt_partitions=config.salt_partitions,
+            )
+            wave_sel = ranked.where(F.col("selected")).drop("selected")
+            wave_sel = attach_robots_verdict(wave_sel, robots, config.user_agent)
+            fetched = wave_sel.join(pages_slim, "url", "left")
+            throttle_cond = (
+                F.col("status_code").isin(429, 503) if has_status else F.lit(False)
+            )
+            fetched = fetched.withColumn(
+                "status",
+                F.when(~F.col("robots_allowed"), F.lit("robots_denied"))
+                .when(F.col("html").isNull(), F.lit("missing"))
+                .when(throttle_cond, F.lit("throttled"))
+                .otherwise(F.lit("fetched")),
+            )
+            if has_status:
+                fetched = fetched.drop("status_code")
+            # localCheckpoint (eager), not persist: each step's plan embeds
+            # the previous steps' pending/host-state plans, so without a
+            # LOGICAL lineage cut the band's plan tree doubles per step
+            # (measured: a 2 GiB plan string by wave ~10). The checkpoint
+            # materializes the same narrow frame the unbanded loop persists
+            # and replaces its plan with the stored blocks.
+            work = _wave_work(fetched, mode, config).localCheckpoint()
+            cnt = work.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(F.col("status") == "throttled", 1).otherwise(0)
+                ).alias("t"),
+            ).collect()[0]
+            n_sel, n_thr = int(cnt["n"]), int(cnt["t"] or 0)
+            if n_sel == 0:
+                # same terminal logic as the unbanded loop, on the
+                # PRE-step host state: stop unless a host is cooling down
+                # and rows remain pending (then the empty step still ticks
+                # cooldowns below, like the unbanded empty-wave commit)
+                cooling = (
+                    hs_cur is not None
+                    and hs_cur.where(F.col("cooldown_waves") > 0).limit(1).count() > 0
+                )
+                if not cooling or pending.limit(1).count() == 0:
+                    work.unpersist()
+                    crawl_done = True
+                    break
+            step_works.append(work)
+            step_counts.append((n_sel, n_thr))
+            outcomes = work.groupBy("host").agg(
+                F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("n_ok"),
+                F.sum(F.when(F.col("status") == "throttled", 1).otherwise(0)).alias(
+                    "n_throttled"
+                ),
+            )
+            # the host-state chain is re-broadcast by every later step's
+            # rank — checkpoint it too (tiny frame, one cheap job) so the
+            # chain stays O(1) plan depth
+            hs_cur = update_host_state(hs_cur, outcomes).localCheckpoint()
+            fresh = _discover(work.where(F.col("status") == "fetched"), wave, config, mode)
+            fresh = _anti_join_seen(fresh, frontier_all.select("url_fp"), shards, config)
+            for fr in step_fresh:
+                # the bloom shards cover only COMMITTED state — intra-band
+                # discoveries dedup exactly against the band's own deltas
+                # (tiny persisted frames, plain anti-joins)
+                fresh = fresh.join(fr.select("url_fp"), "url_fp", "left_anti")
+            if config.max_pages is not None:
+                cand = fresh.localCheckpoint()
+                step_aux.append(cand)
+                fresh = (
+                    flag_global_top_k(
+                        cand, wave_order(), max(remaining, 0), n_rows=cand.count()
+                    )
+                    .where(F.col("_topk"))
+                    .drop("_topk")
+                )
+            # eager checkpoint: later steps' pending must not replay (or
+            # even re-plan) the discover chain
+            fresh = fresh.localCheckpoint()
+            step_fresh.append(fresh)
+
+        n_selected = sum(n for n, _ in step_counts)
+        n_throttled = sum(t for _, t in step_counts)
+        if not step_works:
+            # terminal before any step ran — nothing to commit
+            break
+
+        results = None
+        for wk in step_works:
+            r = _result_rows(wk, wave, mode)
+            results = r if results is None else results.unionByName(r)
+        frontier_delta = None
+        for fr in step_fresh:
+            frontier_delta = (
+                fr if frontier_delta is None else frontier_delta.unionByName(fr)
+            )
+        if seed_delta is not None:
+            frontier_delta = (
+                seed_delta
+                if frontier_delta is None
+                else seed_delta.unionByName(frontier_delta)
+            )
+        if frontier_delta is None:
+            frontier_delta = frontier_all.limit(0)
+
+        f_results = pool.submit(store.write_table, "results", wave, results)
+        f_host = pool.submit(store.write_table, "host_state", wave, hs_cur)
+        frontier_written = store.write_table("frontier_delta", wave, frontier_delta)
+        n_fresh = store.pending_count(wave, "frontier_delta")
+        f_results.result()
+        f_host.result()
+        f_bloom = None
+        if config.use_bloom:
+            f_bloom = pool.submit(
+                store.write_table,
+                "seen_bloom",
+                wave,
+                build_bloom_shards(
+                    frontier_written, config.n_bloom_shards, config.bloom_fpp
+                ),
+            )
+        store.write_lineage(wave, "results")
+        # band counts are already exact driver-side ints — one literal row
+        metrics = spark.createDataFrame(
+            [
+                (
+                    wave,
+                    n_selected - n_throttled,
+                    n_throttled,
+                    n_fresh,
+                    time.time() - t0,
+                )
+            ],
+            "wave long, n_attempted long, n_throttled long, n_new_frontier long, wall_sec double",
+        )
+        store.write_table("metrics", wave, metrics)
+        if f_bloom is not None:
+            f_bloom.result()
+        marker = store.commit(
+            wave, meta={"config": str(config), "band_steps": len(step_counts)}
+        )
+        summary["waves"].append(
+            marker["counts"] | {"wave": wave, "band_steps": len(step_counts)}
+        )
+
+        for wk in step_works:
+            wk.unpersist()
+        for fr in step_fresh:
+            fr.unpersist()
+        for aux in step_aux:
+            aux.unpersist()
+        if seed_delta is not None:
+            seed_delta.unpersist()
+            seed_delta = None
+
+        total_attempted += n_selected - n_throttled
+        wave += 1
+        if crawl_done:
+            break
+
+        if config.compact_every and wave % config.compact_every == 0:
+            committed_now = store.committed_waves()
+            for t in ("frontier_delta", "results", "seen_bloom"):
+                if any(store.marker(w)["counts"].get(t, 0) > 0 for w in committed_now):
+                    store.compact(t)
+
+        frontier_all = store.read_table("frontier_delta")
+        results_all = store.read_table("results")
+        attempted_keys = results_all.where(F.col("status") != "throttled").select("url_fp")
+        host_state = store.read_latest("host_state")
+        shards = store.read_table("seen_bloom") if config.use_bloom else None
+
+    return wave, total_attempted
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -490,6 +754,17 @@ def run_crawl(
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="wave-writer")
+    if (config.depth_band or 1) > 1:
+        try:
+            wave, total_attempted = _banded_loop(
+                spark, store, pool, config, mode, pages_slim, has_status,
+                robots, host_budgets, summary,
+                frontier_all, attempted_keys, host_state, shards,
+                wave, total_attempted, seed_delta,
+            )
+        finally:
+            pool.shutdown(wait=True)
+        return _finish_summary(store, config, summary, total_attempted, wave)
     try:
         while wave < config.max_waves:
             t0 = time.time()
@@ -697,6 +972,12 @@ def run_crawl(
         # submit and result must not leave write jobs running against a
         # session the caller is about to stop
         pool.shutdown(wait=True)
+    return _finish_summary(store, config, summary, total_attempted, wave)
+
+
+def _finish_summary(
+    store: WaveStore, config: CrawlConfig, summary: dict, total_attempted: int, wave: int
+) -> dict:
     summary["total_attempted"] = total_attempted
     summary["final_wave"] = wave - 1
     if config.compact_on_finish:

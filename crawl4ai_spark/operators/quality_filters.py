@@ -142,13 +142,19 @@ def _keyed_rows(
     carrying lines and every n-gram size (kind = 'line' | 'g2'..'g10'),
     so the whole repetition family shares one frequency shuffle.
 
-    Shape (the kgram_rows lessons, both measured on this battery):
+    Shape (the kgram_rows lessons, all measured on this battery):
     tokens explode ONCE and every gram size derives from the same window
     ``lead`` columns (building 9 per-doc struct arrays and flattening
-    them cost ~2× in expression allocations); keys leave the map side as
-    8-byte xxhash64 values + their char length, so the frequency shuffle
-    carries 16 bytes per gram/line instead of the string (the signals
-    only ever need per-key counts and lengths, never the text back)."""
+    them cost ~2× in expression allocations). Each TOKEN is hashed and
+    measured exactly once at the explode; the window leads carry only
+    that (hash, length) pair — 12 bytes instead of the token string —
+    and a size-n gram's key is the chained ``xxhash64`` of its n token
+    hashes while its char length is the lead-length sum + (n−1) spaces.
+    This removes the per-gram string build (concat_ws allocated up to
+    ~100 B × 9 grams × every token position; the round-4 profile's
+    dominant map-side cost) and the shuffle still carries 16 bytes per
+    gram/line (the signals only ever need per-key counts and lengths,
+    never the text back)."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -166,46 +172,58 @@ def _keyed_rows(
         "doc_id",
         "text_chars",
         F.lit("line").alias("kind"),
-        F.explode("l").alias("key_str"),
+        F.explode("l").alias("line_str"),
+    ).select(
+        "doc_id",
+        "text_chars",
+        "kind",
+        F.xxhash64("line_str").alias("key"),
+        F.length("line_str").cast("double").alias("key_chars"),
     )
 
     max_n = max((*_TOP_NS, *_DUP_NS))
     toks = base.select(
-        "doc_id", "text_chars", F.posexplode("w").alias("pos", "t0")
+        "doc_id", "text_chars", F.posexplode("w").alias("pos", "t")
+    ).select(
+        "doc_id",
+        "text_chars",
+        "pos",
+        F.xxhash64("t").alias("h0"),
+        F.length("t").alias("l0"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
-    lead_cols = [F.col("t0")] + [
-        F.lead("t0", i).over(win).alias(f"t{i}") for i in range(1, max_n)
-    ]
-    led = toks.select("doc_id", "text_chars", *lead_cols)
+    lead_cols = []
+    for i in range(1, max_n):
+        lead_cols.append(F.lead("h0", i).over(win).alias(f"h{i}"))
+        lead_cols.append(F.lead("l0", i).over(win).alias(f"l{i}"))
+    led = toks.select("doc_id", "text_chars", "h0", "l0", *lead_cols)
     grams = [
         F.struct(
             F.lit(f"g{n}").alias("kind"),
+            # a valid size-n gram has a non-null last lead (leads are
+            # contiguous, so the earlier ones are then non-null too)
             F.when(
-                F.col(f"t{n-1}").isNotNull(),
-                F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)]),
-            ).alias("key_str"),
+                F.col(f"h{n-1}").isNotNull(),
+                F.xxhash64(*[F.col(f"h{i}") for i in range(n)]),
+            ).alias("key"),
+            (
+                sum(F.col(f"l{i}") for i in range(1, n)) + F.col("l0") + F.lit(n - 1)
+            ).cast("double").alias("key_chars"),
         )
         for n in (*_TOP_NS, *_DUP_NS)
     ]
     gram_rows = (
         led.select("doc_id", "text_chars", F.explode(F.array(*grams)).alias("kk"))
-        .where(F.col("kk.key_str").isNotNull())
+        .where(F.col("kk.key").isNotNull())
         .select(
             "doc_id",
             "text_chars",
             F.col("kk.kind").alias("kind"),
-            F.col("kk.key_str").alias("key_str"),
+            F.col("kk.key").alias("key"),
+            F.col("kk.key_chars").alias("key_chars"),
         )
     )
-    rows = line_rows.unionByName(gram_rows)
-    return rows.select(
-        "doc_id",
-        "text_chars",
-        "kind",
-        F.xxhash64("key_str").alias("key"),
-        F.length("key_str").cast("double").alias("key_chars"),
-    )
+    return line_rows.unionByName(gram_rows)
 
 
 def gopher_repetition_signals(

@@ -92,8 +92,8 @@ CHECKS = {
     "gopher_quality": [
         ("REPARTITION_BY_NUM", "docs repartitioned by doc_id BEFORE the explodes — parallelizes few-split scans AND pre-satisfies the lead window (no extra exchange)"),
         ("posexplode", "tokens explode ONCE; all 9 gram sizes derive from the same window lead columns (kgram_rows shape — 2x faster than per-size struct arrays)"),
-        ("lead(t0", "gram assembly via window lead over attribute refs, partition-local sort only"),
-        ("xxhash64(key_str", "frequency shuffle carries 8-byte key hashes + lengths, never gram strings"),
+        ("lead(h0", "gram assembly via window lead over 12-byte (token-hash, length) pairs, partition-local sort only"),
+        ("xxhash64(h0", "gram keys are chained hashes of per-token hashes — gram strings are never built, and the frequency shuffle carries 16 bytes per key"),
         ("HashAggregate", "per-(doc,kind,key) frequencies partial-agg before the exchange"),
         ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
         ("!MapInPandas", "whole battery is native column algebra — zero Python even batched"),
