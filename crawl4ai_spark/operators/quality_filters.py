@@ -135,12 +135,46 @@ def gopher_scalar_signals(
     )
 
 
-def _keyed_rows(
+def _repetition_base(
     docs: DataFrame, id_col: str, text_col: str, shuffle_parts: int | None
 ) -> DataFrame:
-    """(doc_id, kind, key, key_chars, text_chars) — one exploded frame
-    carrying lines and every n-gram size (kind = 'line' | 'g2'..'g10'),
-    so the whole repetition family shares one frequency shuffle.
+    """(doc_id, _text, text_chars), repartitioned by doc_id on the RAW
+    text — the exchange must sit BELOW the tokenizers so the regex work
+    runs on ``shuffle_parts`` cores instead of the scan's few splits, and
+    so every downstream per-doc aggregation inherits the partitioning
+    (zero further exchanges — see ``gopher_repetition_signals``)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        text.alias("_text"),
+        F.length(text).cast("double").alias("text_chars"),
+    )
+    if shuffle_parts:
+        base = base.repartition(shuffle_parts, "doc_id")
+    return base
+
+
+def _line_rows(base: DataFrame) -> DataFrame:
+    """(doc_id, text_chars, kind='line', key, key_chars) per non-blank
+    trimmed line; the key is the line's xxhash64 (the signals only ever
+    need per-key counts and lengths, never the text back)."""
+    return base.select(
+        "doc_id",
+        "text_chars",
+        F.lit("line").alias("kind"),
+        F.explode(_lines(F.col("_text"))).alias("line_str"),
+    ).select(
+        "doc_id",
+        "text_chars",
+        "kind",
+        F.xxhash64("line_str").alias("key"),
+        F.length("line_str").cast("long").alias("key_chars"),
+    )
+
+
+def _gram_rows(base: DataFrame) -> DataFrame:
+    """(doc_id, text_chars, kind='g2'..'g10', key, key_chars) for every
+    n-gram size, off ONE token explode.
 
     Shape (the kgram_rows lessons, all measured on this battery):
     tokens explode ONCE and every gram size derives from the same window
@@ -152,38 +186,11 @@ def _keyed_rows(
     hashes while its char length is the lead-length sum + (n−1) spaces.
     This removes the per-gram string build (concat_ws allocated up to
     ~100 B × 9 grams × every token position; the round-4 profile's
-    dominant map-side cost) and the shuffle still carries 16 bytes per
-    gram/line (the signals only ever need per-key counts and lengths,
-    never the text back)."""
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        _words(text).alias("w"),
-        _lines(text).alias("l"),
-        F.length(text).cast("double").alias("text_chars"),
-    )
-    if shuffle_parts:
-        # parallelize the explodes off few-split scans; also pre-satisfies
-        # the lead window's required distribution (partition-local sort
-        # only, no extra exchange)
-        base = base.repartition(shuffle_parts, "doc_id")
-
-    line_rows = base.select(
-        "doc_id",
-        "text_chars",
-        F.lit("line").alias("kind"),
-        F.explode("l").alias("line_str"),
-    ).select(
-        "doc_id",
-        "text_chars",
-        "kind",
-        F.xxhash64("line_str").alias("key"),
-        F.length("line_str").cast("double").alias("key_chars"),
-    )
-
+    dominant map-side cost) and downstream frequency rows carry 16 bytes
+    per gram."""
     max_n = max((*_TOP_NS, *_DUP_NS))
     toks = base.select(
-        "doc_id", "text_chars", F.posexplode("w").alias("pos", "t")
+        "doc_id", "text_chars", F.posexplode(_words(F.col("_text"))).alias("pos", "t")
     ).select(
         "doc_id",
         "text_chars",
@@ -208,11 +215,11 @@ def _keyed_rows(
             ).alias("key"),
             (
                 sum(F.col(f"l{i}") for i in range(1, n)) + F.col("l0") + F.lit(n - 1)
-            ).cast("double").alias("key_chars"),
+            ).cast("long").alias("key_chars"),
         )
         for n in (*_TOP_NS, *_DUP_NS)
     ]
-    gram_rows = (
+    return (
         led.select("doc_id", "text_chars", F.explode(F.array(*grams)).alias("kk"))
         .where(F.col("kk.key").isNotNull())
         .select(
@@ -223,7 +230,65 @@ def _keyed_rows(
             F.col("kk.key_chars").alias("key_chars"),
         )
     )
-    return line_rows.unionByName(gram_rows)
+
+
+def _per_kind_signals(rows: DataFrame) -> DataFrame:
+    """(doc_id, kind, line_dup_frac, dup_frac, top_frac) from keyed rows.
+
+    Both aggregations are pure hash aggregates: the top-key argmax is a
+    plain ``max`` over ``(c << 31) | key_chars`` packed longs instead of
+    ``max_by(_, struct(c, key_chars))`` — the struct ordering buffer is
+    not fixed-width, which silently demoted the whole rollup to a
+    SortAggregate with an extra full Sort+Exchange sandwich (measured on
+    this battery). The packed ordering is the same lexicographic
+    (frequency, length); key_chars < 2^31 is guaranteed (a key's length
+    is bounded by its document, and Spark strings cap at 2 GiB) and
+    c < 2^32 likewise (occurrences are bounded by document length)."""
+    freq = rows.groupBy("doc_id", "kind", "key").agg(
+        F.count("*").alias("c"),
+        F.first("key_chars").alias("key_chars"),
+        F.first("text_chars").alias("text_chars"),
+    )
+    # cover of the most frequent key (ties: longer key; further ties all
+    # share the same c·len cover, so the argmax choice is moot). A key
+    # must actually REPEAT to count — cover 0 when max c == 1, else every
+    # short doc's longest singleton gram reads as "repetition" and
+    # spuriously trips the 0.2/0.18/0.16 gates
+    packed = F.max(
+        F.when(F.col("c") >= 2, F.shiftleft(F.col("c"), 31) + F.col("key_chars"))
+    )
+    per_kind = freq.groupBy("doc_id", "kind").agg(
+        F.first("text_chars").alias("text_chars"),
+        F.sum("c").alias("n_total"),
+        F.count("*").alias("n_distinct"),
+        packed.alias("_top_packed"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.col("key_chars"))
+        ).cast("double").alias("dup_chars"),
+    )
+    top_cover = (
+        F.shiftrightunsigned(F.col("_top_packed"), 31)
+        * F.col("_top_packed").bitwiseAND(F.lit((1 << 31) - 1))
+    ).cast("double")
+    safe_text = F.greatest(F.col("text_chars"), F.lit(1.0))
+    top_frac = F.round(
+        F.least(F.coalesce(top_cover, F.lit(0.0)) / safe_text, F.lit(1.0)), 6
+    )
+    dup_frac = F.round(
+        F.least(F.coalesce(F.col("dup_chars"), F.lit(0.0)) / safe_text, F.lit(1.0)), 6
+    )
+    line_dup_frac = F.round(
+        (F.col("n_total") - F.col("n_distinct"))
+        / F.greatest(F.col("n_total"), F.lit(1)).cast("double"),
+        6,
+    )
+    return per_kind.select(
+        "doc_id",
+        "kind",
+        line_dup_frac.alias("line_dup_frac"),
+        dup_frac.alias("dup_frac"),
+        top_frac.alias("top_frac"),
+    )
 
 
 def gopher_repetition_signals(
@@ -233,50 +298,19 @@ def gopher_repetition_signals(
     shuffle_parts: int | None = None,
 ) -> DataFrame:
     """Duplicate-line and n-gram character-fraction signals (module
-    docstring definitions). Two hash shuffles total: (doc, kind, key)
-    frequencies, then the per-doc rollup; the pivot to one row per doc is
-    a conditional-agg projection, not a Spark pivot."""
-    freq = (
-        _keyed_rows(docs, id_col, text_col, shuffle_parts)
-        .groupBy("doc_id", "kind", "key")
-        .agg(
-            F.count("*").alias("c"),
-            F.first("key_chars").alias("key_chars"),
-            F.first("text_chars").alias("text_chars"),
-        )
-    )
-    per_kind = freq.groupBy("doc_id", "kind").agg(
-        F.first("text_chars").alias("text_chars"),
-        F.sum("c").alias("n_total"),
-        F.count("*").alias("n_distinct"),
-        # cover of the most frequent key (ties: longer key; further ties
-        # all share the same c·len cover, so the argmax choice is moot).
-        # A key must actually REPEAT to count — cover 0 when max c == 1,
-        # else every short doc's longest singleton gram reads as
-        # "repetition" and spuriously trips the 0.2/0.18/0.16 gates
-        F.max_by(
-            F.when(F.col("c") >= 2, F.col("c") * F.col("key_chars")).otherwise(F.lit(0.0)),
-            F.struct(F.col("c"), F.col("key_chars")),
-        ).alias("_top_cover"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("key_chars"))).alias("dup_chars"),
-    )
-    safe_text = F.greatest(F.col("text_chars"), F.lit(1.0))
-    top_frac = F.round(
-        F.least(F.coalesce(F.col("_top_cover"), F.lit(0.0)) / safe_text, F.lit(1.0)), 6
-    )
-    dup_frac = F.round(
-        F.least(F.coalesce(F.col("dup_chars"), F.lit(0.0)) / safe_text, F.lit(1.0)), 6
-    )
-    line_dup_frac = F.round(
-        (F.col("n_total") - F.col("n_distinct")) / F.greatest(F.col("n_total"), F.lit(1)).cast("double"),
-        6,
-    )
-    kinded = per_kind.select(
-        "doc_id",
-        "kind",
-        line_dup_frac.alias("line_dup_frac"),
-        dup_frac.alias("dup_frac"),
-        top_frac.alias("top_frac"),
+    docstring definitions). ONE slim-row exchange per branch total: the
+    raw docs repartition by doc_id (``_repetition_base``) is the only
+    shuffle the exploded data ever sees — hashpartitioning(doc_id)
+    satisfies every downstream ClusteredDistribution, so the
+    (doc, kind, key) frequency aggregation and the per-(doc, kind)
+    rollup both run exchange-free on the 10–20× larger exploded rows
+    (lines and grams are aggregated as SEPARATE branches precisely
+    because a union would erase the partitioning and force a full
+    exploded-row shuffle — measured 2× on this battery). The final pivot
+    to one row per doc exchanges only docs × 10 kinds tiny rows."""
+    base = _repetition_base(docs, id_col, text_col, shuffle_parts)
+    kinded = _per_kind_signals(_line_rows(base)).unionByName(
+        _per_kind_signals(_gram_rows(base))
     )
     agg_cols = [
         F.coalesce(
