@@ -6,16 +6,21 @@ Retires the probe-only status of JPEG in the image feature path
 media handling in ``content_scraping_strategy.py``; this environment has
 no PIL/libjpeg, so the common web subset is decoded here directly):
 
-- marker parse: DQT (8/16-bit tables), SOF0/SOF1, DHT, DRI, SOS
+- marker parse: DQT (8/16-bit tables), SOF0/SOF1/SOF2, DHT, DRI, SOS
 - Huffman entropy decode: DC category + diff, AC run/size with ZRL/EOB,
   byte unstuffing (FF00) and restart-marker resync
+- progressive mode (SOF2, T.81 annex G): multi-scan coefficient
+  accumulation — spectral selection (Ss..Se bands), successive
+  approximation (DC first/refine by bit plane, AC first with EOB runs,
+  AC refinement with correction bits), interleaved DC scans and
+  non-interleaved single-component AC scans, restart resync per scan
 - dequantize + de-zigzag, 8×8 inverse DCT as two matrix products with
   the orthonormal DCT-II basis (numpy, exact to float64)
 - chroma upsample (sample replication) for 4:2:0 / 4:2:2 / 4:1:1 grids,
   JFIF YCbCr→RGB, level shift + clip
 
 Out of scope → ValueError (callers treat as decode_ok=false, never a job
-failure): progressive (SOF2), arithmetic coding, 12-bit precision,
+failure): arithmetic coding, 12-bit precision,
 hierarchical, fractional sampling ratios. Per-pixel work runs inside the
 ``mapInPandas`` media stage, one payload per call; a deployment that
 needs libjpeg-turbo throughput registers it via DecoderRegistry without
@@ -127,8 +132,9 @@ class _BitReader:
         self.nbits = 0
         d = self.data
         p = self.pos
-        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
-            p += 1  # fill bytes
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] in (0xFF, 0x00):
+            # 0xFF: fill byte; 0x00: a stuffed data byte from 1-bit padding
+            p += 1 if d[p + 1] == 0xFF else 2
         if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + (expected & 7):
             raise ValueError("missing/unexpected JPEG restart marker")
         self.pos = p + 2
@@ -205,6 +211,8 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (w, h, [(comp_id, h_i, v_i, tq)])
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # per-comp (by, bx, 64) zigzag ints
     dri = 0
     pos = 2
     n = len(payload)
@@ -238,7 +246,7 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                         seg[i : i + 128], dtype=">u2"
                     ).astype(np.float64)
                     i += 128
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # huffman sequential / progressive
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -249,8 +257,9 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (width, height, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG process (progressive/arithmetic)")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG process (lossless/arithmetic)")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -271,12 +280,23 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ns):
                 cid, tda = seg[1 + 2 * c : 3 + 2 * c]
                 scan.append((comp_ids.index(cid), tda >> 4, tda & 0x0F))
+            if progressive:
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                if coefs is None:
+                    coefs = _alloc_coefs(frame)
+                pos = _progressive_scan(
+                    payload, pos + seglen, frame, scan, htables, dri,
+                    ss, se, ahal >> 4, ahal & 0x0F, coefs,
+                )
+                continue
             if len(scan) != len(frame[2]):
                 raise ValueError("non-interleaved JPEG scan unsupported")
             return _decode_scan(
                 payload, pos + seglen, frame, scan, qtables, htables, dri
             )
         pos += seglen
+    if progressive and coefs is not None:
+        return _finish_progressive(frame, coefs, qtables)
     raise ValueError("JPEG without SOS scan")
 
 
@@ -322,6 +342,11 @@ def _decode_scan(payload, data_pos, frame, scan, qtables, htables, dri):
             raise ValueError(
                 f"JPEG entropy data ended early at marker 0x{hit.marker:02x}"
             ) from hit
+    return _planes_to_pixels(planes, comps, hmax, vmax, width, height)
+
+
+def _planes_to_pixels(planes, comps, hmax, vmax, width, height):
+    """Upsample + level shift + (grayscale | JFIF YCbCr→RGB) → pixel bytes."""
     out_planes = []
     for (cid, hi, vi, _tq), plane in zip(comps, planes):
         up = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
@@ -339,25 +364,260 @@ def _decode_scan(payload, data_pos, frame, scan, qtables, htables, dri):
     return width, height, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
 
 
+# ── progressive mode (T.81 annex G) ──────────────────────────────────────
+#
+# Coefficients accumulate across scans in ZIGZAG order (index k == scan
+# position), per component, one int32[64] per 8×8 block; dequantize +
+# de-zigzag + IDCT happen once at EOI. Successive approximation operates
+# on two's-complement ints, so DC refinement is a plain `|= 1 << Al` and
+# AC refinement grows magnitude by ±(1 << Al) — both exact for negatives.
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _frame_grid(frame) -> tuple[int, int, int, int]:
+    """(hmax, vmax, mcux, mcuy) with the shared sampling validation."""
+    width, height, comps = frame
+    if not width or not height:
+        raise ValueError("JPEG without dimensions")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or any(hmax % c[1] or vmax % c[2] for c in comps):
+        raise ValueError("fractional JPEG sampling ratios unsupported")
+    return hmax, vmax, _ceil_div(width, 8 * hmax), _ceil_div(height, 8 * vmax)
+
+
+def _alloc_coefs(frame) -> list[np.ndarray]:
+    """Per-component (block_rows, block_cols, 64) zigzag coefficient
+    arrays sized to the full interleaved-MCU grid (⊇ the non-interleaved
+    grid, so both scan kinds index the same storage)."""
+    _hmax, _vmax, mcux, mcuy = _frame_grid(frame)
+    return [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+        for (_cid, hi, vi, _tq) in frame[2]
+    ]
+
+
+def _ac_first(r, ac_tab, blk, ss, se, al, eobrun) -> int:
+    """First AC scan for one block's Ss..Se band (G.1.2.2): run/size with
+    EOBn run-length codes; new coefficients enter at magnitude << Al.
+    Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_sym(r, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run < 15:  # EOBn: run of (1<<run)+ext blocks ending here
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += r.receive(run)
+                return eobrun
+            k += 16  # ZRL
+        else:
+            k += run
+            if k > se:
+                raise ValueError("JPEG AC run past spectral band")
+            blk[k] = _extend(r.receive(size), size) << al
+            k += 1
+    return 0
+
+
+def _ac_refine(r, ac_tab, blk, ss, se, al, eobrun) -> int:
+    """AC refinement scan for one block (G.1.2.3): correction bits for
+    already-nonzero coefficients; runs count zero-HISTORY positions only;
+    newly nonzero coefficients arrive as ±(1 << Al). Returns the
+    remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+
+    def corr_walk(k: int) -> None:
+        """Correction bits for every nonzero-history position k..Se."""
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and r.read_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c > 0 else m1)
+            k += 1
+
+    if eobrun > 0:  # block fully covered by a previous block's EOB run
+        corr_walk(ss)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_sym(r, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        val = 0
+        if size == 0:
+            if run < 15:
+                # EOBn: the returned run covers SUBSEQUENT blocks; this
+                # block's remaining band still carries its correction bits
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += r.receive(run)
+                corr_walk(k)
+                return eobrun
+            # ZRL: pass 16 zero-history positions
+        else:
+            if size != 1:
+                raise ValueError("JPEG AC refinement size must be 1")
+            val = p1 if r.read_bit() else m1
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if r.read_bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c > 0 else m1)
+            else:
+                if run == 0:
+                    if val != 0:
+                        blk[k] = val
+                    k += 1
+                    break
+                run -= 1
+            k += 1
+        else:
+            if val != 0:
+                raise ValueError("JPEG AC refinement value past band")
+    return 0
+
+
+def _progressive_scan(
+    payload, data_pos, frame, scan, htables, dri, ss, se, ah, al, coefs
+) -> int:
+    """Decode one progressive scan into ``coefs``; returns the payload
+    position of the next marker (resync past the entropy data)."""
+    width, height, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_grid(frame)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if not is_dc and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if se > 63 or ss > se:
+        raise ValueError("bad JPEG spectral band")
+
+    r = _BitReader(payload, data_pos)
+    preds = [0] * len(comps)
+    eobrun = 0
+    rst_idx = 0
+
+    def table(tc: int, th: int):
+        t = htables.get((tc, th))
+        if t is None:
+            raise ValueError("JPEG scan references missing huffman table")
+        return t
+
+    def dc_block(blk, ci: int, td: int) -> None:
+        if ah == 0:
+            t = _decode_sym(r, table(0, td))
+            preds[ci] += _extend(r.receive(t), t)
+            blk[0] = preds[ci] << al
+        elif r.read_bit():
+            blk[0] |= 1 << al
+
+    try:
+        if len(scan) > 1:  # interleaved MCU order (DC scans only)
+            for m in range(mcux * mcuy):
+                if dri and m and m % dri == 0:
+                    r.restart(rst_idx)
+                    rst_idx = (rst_idx + 1) & 7
+                    preds = [0] * len(comps)
+                my, mx = divmod(m, mcux)
+                for ci, td, _ta in scan:
+                    _cid, hi, vi, _tq = comps[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            dc_block(coefs[ci][my * vi + by, mx * hi + bx], ci, td)
+        else:  # non-interleaved: the component's own block grid, row-major
+            ci, td, ta = scan[0]
+            _cid, hi, vi, _tq = comps[ci]
+            bw = _ceil_div(_ceil_div(width * hi, hmax), 8)
+            bh = _ceil_div(_ceil_div(height * vi, vmax), 8)
+            for m in range(bw * bh):
+                if dri and m and m % dri == 0:
+                    r.restart(rst_idx)
+                    rst_idx = (rst_idx + 1) & 7
+                    preds = [0] * len(comps)
+                    eobrun = 0
+                by, bx = divmod(m, bw)
+                blk = coefs[ci][by, bx]
+                if is_dc:
+                    dc_block(blk, ci, td)
+                elif ah == 0:
+                    eobrun = _ac_first(r, table(1, ta), blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(r, table(1, ta), blk, ss, se, al, eobrun)
+    except _MarkerHit as hit:
+        raise ValueError(
+            f"JPEG entropy data ended early at marker 0x{hit.marker:02x}"
+        ) from hit
+
+    # resync: skip pad bits / fill bytes / stray RSTs to the next marker
+    p = r.pos
+    n = len(payload)
+    while p + 1 < n:
+        if payload[p] == 0xFF:
+            nxt = payload[p + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            if nxt == 0xFF:
+                p += 1
+                continue
+            return p
+        p += 1
+    return n
+
+
+def _finish_progressive(frame, coefs, qtables):
+    """Dequantize + de-zigzag + IDCT every accumulated block (vectorized
+    einsum over the whole block grid) and assemble pixels."""
+    width, height, comps = frame
+    hmax, vmax, _mcux, _mcuy = _frame_grid(frame)
+    planes = []
+    for (_cid, _hi, _vi, tq), carr in zip(comps, coefs):
+        qt = qtables.get(tq)
+        if qt is None:
+            raise ValueError("JPEG component references missing quant table")
+        deq = carr.astype(np.float64) * qt  # broadcast over zigzag index
+        blocks = np.zeros((carr.shape[0], carr.shape[1], 8, 8))
+        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = deq
+        spatial = np.einsum("ur,yxuv,vc->yxrc", _IDCT_M, blocks, _IDCT_M)
+        planes.append(
+            spatial.transpose(0, 2, 1, 3).reshape(
+                carr.shape[0] * 8, carr.shape[1] * 8
+            )
+        )
+    return _planes_to_pixels(planes, comps, hmax, vmax, width, height)
+
+
 # ── deterministic fixture encoder ────────────────────────────────────────
 
 
-def synth_jpeg(width: int, height: int, seed: int = 0) -> bytes:
-    """Deterministic flat-block baseline JPEG (4:4:4, all-1 quant tables,
-    DC-only entropy data, neutral chroma): luma of 8×8 block (r, c) is
+def synth_jpeg(width: int, height: int, seed: int = 0, progressive: bool = False) -> bytes:
+    """Deterministic flat-block JPEG (4:4:4, all-1 quant tables, DC-only
+    entropy data, neutral chroma): luma of 8×8 block (r, c) is
     ``(seed * 29) % 200 + 20 + 10 * ((r % 2) * 2 + c % 2)``, so decoded
     pixels are exactly that value (chroma 128 ⇒ RGB == luma). The JPEG
     analog of ``multimodal.synth_png`` — real marker stream, real Huffman
     entropy data, closed-form expected pixels. width/height must be
-    multiples of 8."""
+    multiples of 8. ``progressive=True`` emits the same image as an SOF2
+    multi-scan stream (interleaved DC first at Al=1 + DC refinement +
+    per-component AC scans carried entirely by an EOB run)."""
     if width % 8 or height % 8:
         raise ValueError("synth_jpeg needs multiple-of-8 dimensions")
     # canonical tables: DC categories 0..11 at length 8; AC: EOB alone at
-    # length 2 (code 00)
+    # length 2 for baseline; progressive adds EOBn run symbols at length 4
     dc_bits = [0] * 7 + [12] + [0] * 8
     dc_vals = bytes(range(12))
-    ac_bits = [0, 1] + [0] * 14
-    ac_vals = b"\x00"
+    if progressive:
+        ac_bits = [0, 0, 0, 15] + [0] * 12
+        ac_vals = bytes(r << 4 for r in range(15))  # EOB, EOB2..EOB14
+    else:
+        ac_bits = [0, 1] + [0] * 14
+        ac_vals = b"\x00"
 
     def codes(bits, vals):
         out, code, k = {}, 0, 0
@@ -377,48 +637,87 @@ def synth_jpeg(width: int, height: int, seed: int = 0) -> bytes:
         for i in range(nbits - 1, -1, -1):
             bitbuf.append((value >> i) & 1)
 
-    def encode_dc_block(level: int, pred: int) -> int:
-        coeff = 8 * (level - 128)
-        diff = coeff - pred
+    def flush() -> bytes:
+        """Pad to a byte with 1-bits, byte-stuff 0xFF, clear the buffer."""
+        while len(bitbuf) % 8:
+            bitbuf.append(1)
+        entropy = bytearray()
+        for i in range(0, len(bitbuf), 8):
+            b = 0
+            for bit in bitbuf[i : i + 8]:
+                b = (b << 1) | bit
+            entropy.append(b)
+            if b == 0xFF:
+                entropy.append(0x00)
+        bitbuf.clear()
+        return bytes(entropy)
+
+    def put_dc_diff(diff: int) -> None:
         t = abs(diff).bit_length()
         length, code = dc_codes[t]
         put(code, length)
         if t:
             put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-        length, code = ac_codes[0x00]  # EOB
-        put(code, length)
-        return coeff
 
-    base = (seed * 29) % 200 + 20
-    preds = [0, 0, 0]
-    for r in range(height // 8):
-        for c in range(width // 8):
-            luma = base + 10 * ((r % 2) * 2 + c % 2)
-            for ci, level in enumerate((luma, 128, 128)):
-                preds[ci] = encode_dc_block(level, preds[ci])
-    # pad with 1-bits, byte-stuff 0xFF
-    while len(bitbuf) % 8:
-        bitbuf.append(1)
-    entropy = bytearray()
-    for i in range(0, len(bitbuf), 8):
-        b = 0
-        for bit in bitbuf[i : i + 8]:
-            b = (b << 1) | bit
-        entropy.append(b)
-        if b == 0xFF:
-            entropy.append(0x00)
+    def block_coef(r: int, c: int, ci: int) -> int:
+        luma = (seed * 29) % 200 + 20 + 10 * ((r % 2) * 2 + c % 2)
+        return 8 * (((luma, 128, 128)[ci]) - 128)
+
+    nbr, nbc = height // 8, width // 8
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
     sof = b"\x08" + struct.pack(">HH", height, width) + b"\x03"
     for cid in (1, 2, 3):
         sof += bytes([cid, 0x11, 0])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += bytes([0xFF, 0xC2 if progressive else 0xC0])
+    out += struct.pack(">H", 2 + len(sof)) + sof
     dht = (
         b"\x00" + bytes(dc_bits) + dc_vals + b"\x10" + bytes(ac_bits) + ac_vals
     )
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
-    sos = b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00"
+
+    if not progressive:
+        sos = b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        preds = [0, 0, 0]
+        for r in range(nbr):
+            for c in range(nbc):
+                for ci in range(3):
+                    coeff = block_coef(r, c, ci)
+                    put_dc_diff(coeff - preds[ci])
+                    preds[ci] = coeff
+                    length, code = ac_codes[0x00]  # EOB
+                    put(code, length)
+        out += flush() + b"\xff\xd9"
+        return bytes(out)
+
+    # progressive: DC first (Al=1, interleaved) + DC refine + one all-EOB
+    # AC scan per component (band 1..63 carried by a single EOB run)
+    sos = b"\x03" + b"\x01\x00\x02\x00\x03\x00" + bytes([0, 0, 1])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += bytes(entropy) + b"\xff\xd9"
+    preds = [0, 0, 0]
+    for r in range(nbr):
+        for c in range(nbc):
+            for ci in range(3):
+                dc1 = block_coef(r, c, ci) >> 1
+                put_dc_diff(dc1 - preds[ci])
+                preds[ci] = dc1
+    out += flush()
+    sos = b"\x03" + b"\x01\x00\x02\x00\x03\x00" + bytes([0, 0, 1 << 4])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    for _ in range(nbr * nbc * 3):
+        put(0, 1)  # block coefficients are ×8 ⇒ bit 0 is always 0
+    out += flush()
+    nblocks = nbr * nbc
+    for cid in (1, 2, 3):
+        sos = bytes([1, cid, 0x00, 1, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        rr = min(14, nblocks.bit_length() - 1)
+        length, code = ac_codes[rr << 4]
+        put(code, length)
+        if rr:
+            put(nblocks - (1 << rr), rr)
+        out += flush()
+    out += b"\xff\xd9"
     return bytes(out)

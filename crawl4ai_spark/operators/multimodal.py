@@ -233,8 +233,9 @@ def image_feature_decoder(payload: bytes, meta: dict) -> list[float]:
     import numpy as np
 
     if payload[:2] == b"\xff\xd8":
-        # real baseline decode first (operators/jpeg.py); progressive /
-        # arithmetic / truncated streams fall back to the header probe
+        # real pixel decode first (operators/jpeg.py — baseline AND
+        # progressive); arithmetic / truncated streams fall back to the
+        # header probe
         try:
             from crawl4ai_spark.operators.jpeg import jpeg_decode
 
@@ -531,10 +532,12 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
                 if i % 12 == 0:
                     payload = synth_png(8 + i % 4, 6 + i % 3, seed=i)
                     mime = "image/png"
-                else:  # even image ids alternate PNG / baseline JPEG
+                else:  # even image ids alternate PNG / JPEG; every other
+                    # JPEG id is a progressive (SOF2) stream with the same
+                    # 16×16 closed-form pixels, pinning the multi-scan path
                     from crawl4ai_spark.operators.jpeg import synth_jpeg
 
-                    payload = synth_jpeg(16, 16, seed=i)
+                    payload = synth_jpeg(16, 16, seed=i, progressive=i % 24 == 6)
                     mime = "image/jpeg"
             elif kind == "audio":
                 payload = synth_wav(160 + (i % 5) * 40, seed=i)

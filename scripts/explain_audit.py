@@ -94,10 +94,11 @@ CHECKS = {
         ("posexplode", "tokens explode ONCE; all 9 gram sizes derive from the same window lead columns (kgram_rows shape — 2x faster than per-size struct arrays)"),
         ("lead(h0", "gram assembly via window lead over 12-byte (token-hash, length) pairs, partition-local sort only"),
         ("xxhash64(h0", "gram keys are chained hashes of per-token hashes — gram strings are never built, and the frequency shuffle carries 16 bytes per key"),
-        ("HashAggregate", "per-(doc,kind,key) frequencies partial-agg before the exchange"),
+        ("HashAggregate", "per-(doc,kind,key) frequencies partial-agg; branch-separate line/gram aggregation inherits the doc_id partitioning so the exploded rows are never exchanged"),
         ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
         ("!MapInPandas", "whole battery is native column algebra — zero Python even batched"),
-        ("!row_number", "no rank windows: top-gram cover is a max_by aggregate"),
+        ("!row_number", "no rank windows: top-gram cover is a packed-long max (fixed-width buffer keeps the rollup a HashAggregate)"),
+        ("!SortAggregate", "no sort-based aggregates — the struct max_by that demoted the rollup to SortAggregate (+Sort+Exchange) is gone"),
     ],
     "c4_filtered": [
         ("!Exchange", "line filtering is map-only: zero shuffles"),
