@@ -103,25 +103,40 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_hamming: int = 1,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: restrict the brute-force rerank to vectors whose
     hyperplane bucket is within ``probe_hamming`` bits of the query's
-    (multi-probe LSH). Recall/cost dial = (n_planes, probe_hamming)."""
+    (multi-probe LSH). Recall/cost dial = (n_planes, probe_hamming).
+
+    ``bucket_col`` names a PRECOMPUTED signature column (same planes:
+    ``hyperplane_signatures`` with identical n_planes/seed) — the scale
+    path: signatures are materialized once at ingest, so a query is a
+    bucket-membership filter (parquet pushdown / partition pruning on the
+    bucket column) plus a rerank of the candidates, never a full-corpus
+    projection. Without it the signatures are computed inline."""
     dim = len(query)
-    sigs = hyperplane_signatures(embeddings, dim, n_planes, seed, id_col, vec_col)
+    if bucket_col is not None:
+        sigs = embeddings.select(
+            F.col(id_col), F.col(vec_col), F.col(bucket_col).alias("bucket")
+        )
+    else:
+        sigs = hyperplane_signatures(embeddings, dim, n_planes, seed, id_col, vec_col)
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
     qbits = (planes @ np.asarray(query) > 0).astype(int)
     qbucket = int((qbits * (1 << np.arange(n_planes))).sum())
-    # candidate buckets within hamming distance
+    # candidate buckets within hamming distance (≤ Σ C(n_planes, r) probes
+    # — a literal IN list, so a stored bucket column still prunes/pushes)
+    from itertools import combinations
+
     buckets = {qbucket}
-    if probe_hamming >= 1:
-        for i in range(n_planes):
-            buckets.add(qbucket ^ (1 << i))
-    if probe_hamming >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                buckets.add(qbucket ^ (1 << i) ^ (1 << j))
+    for r in range(1, probe_hamming + 1):
+        for flips in combinations(range(n_planes), r):
+            m = 0
+            for i in flips:
+                m |= 1 << i
+            buckets.add(qbucket ^ m)
     cand = sigs.where(F.col("bucket").isin(list(buckets)))
     return cosine_topk(cand, query, k, id_col, vec_col)
 

