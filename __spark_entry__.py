@@ -1618,10 +1618,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid_heuristic": _langid_oracle_sql(),
         # synth_media_table's even-id payloads are generated from closed-
-        # form parameters (PNG w=8+i%4 h=6+i%3 on i%12=0, baseline JPEG
-        # 16x16 on the other even image ids; WAV n=160+(i%5)*40 @8 kHz;
-        # y4m w=4+2*(i%3) h=4 frames=3+i%4, stride-2 sampling) — the
-        # oracle re-derives the decoded features analytically from the id
+        # form parameters (PNG w=8+i%4 h=6+i%3 on i%12=0, GIF w=10+i%7
+        # h=7+i%5 on i%36=18, baseline/progressive JPEG 16x16 on the other
+        # even image ids; WAV n=160+(i%5)*40 @8 kHz; y4m w=4+2*(i%3) h=4
+        # frames=3+i%4, stride-2 sampling) — the oracle re-derives the
+        # decoded features analytically from the id
         "media_features_decoded": """
             SELECT media_id,
                    CASE media_id % 3 WHEN 0 THEN 'image'
@@ -1631,12 +1632,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE media_id % 3
                         WHEN 0 THEN CAST(CASE WHEN media_id % 12 = 0
                                               THEN 8 + media_id % 4
+                                              WHEN media_id % 36 = 18
+                                              THEN 10 + media_id % 7
                                               ELSE 16 END AS DOUBLE)
                         WHEN 2 THEN CAST(4 + 2 * (media_id % 3) AS DOUBLE)
                    END AS width,
                    CASE media_id % 3
                         WHEN 0 THEN CAST(CASE WHEN media_id % 12 = 0
                                               THEN 6 + media_id % 3
+                                              WHEN media_id % 36 = 18
+                                              THEN 7 + media_id % 5
                                               ELSE 16 END AS DOUBLE)
                         WHEN 2 THEN CAST(4 AS DOUBLE)
                    END AS height,

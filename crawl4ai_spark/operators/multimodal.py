@@ -219,23 +219,179 @@ def gif_probe(payload: bytes) -> tuple[int, int, int]:
     return width, height, 3
 
 
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> bytearray:
+    """GIF variable-width LZW decompression (LSB-first bit packing,
+    clear/EOI codes, 12-bit dictionary cap with deferred-clear handling)
+    → exactly ``npix`` palette indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while len(out) < npix:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad initial GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("bad GIF LZW code")
+        out += entry
+        prev = entry
+        # widen when the NEXT code could index past the current width;
+        # 12 bits is the spec cap (deferred clears just keep emitting)
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if len(out) < npix:
+        raise ValueError("short GIF pixel data")
+    del out[npix:]
+    return out
+
+
+def gif_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib GIF87a/89a FIRST-frame pixel decode → (screen_w,
+    screen_h, 3, RGB bytes): block walk, variable-width LZW, the 4-pass
+    interlace reorder, local-over-global color table, and GCE
+    transparency compositing onto the logical-screen background — the
+    web's third image format, so the feature extractor gets real pixels
+    instead of the byte-statistics probe. Raises ValueError on malformed
+    streams (the caller falls back to ``gif_probe``).
+
+    Reference parity note: crawl4ai ships no codec (media stays URL/attr
+    metadata, models.py MediaItem); this decoder serves the multimodal
+    feature path SURVEY §2 adds for training-data pipelines.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, bg_index, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    global_pal: np.ndarray | None = None
+    if flags & 0x80:
+        gct_len = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(
+            payload, np.uint8, count=gct_len * 3, offset=pos
+        ).reshape(gct_len, 3)
+        pos += gct_len * 3
+    transparent = -1
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF with no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos]
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                size = payload[pos]
+                if label == 0xF9 and size >= 4 and payload[pos + 1] & 0x01:
+                    transparent = payload[pos + 4]
+                pos += size + 1
+            pos += 1  # block terminator
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        left, top, fw, fh, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        pal = global_pal
+        if iflags & 0x80:
+            lct_len = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                payload, np.uint8, count=lct_len * 3, offset=pos
+            ).reshape(lct_len, 3)
+            pos += lct_len * 3
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image block")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+        parts = []
+        while pos < len(payload) and payload[pos]:
+            size = payload[pos]
+            parts.append(payload[pos + 1 : pos + 1 + size])
+            pos += size + 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(b"".join(parts), min_code_size, fw * fh), np.uint8
+        ).reshape(fh, fw)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                n = len(range(start, fh, step))
+                rows[start::step] = idx[src : src + n]
+                src += n
+            idx = rows
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF pixel index out of palette range")
+        # composite the frame onto the logical screen: background color
+        # where the screen is uncovered or the pixel is GCE-transparent
+        bg = pal[bg_index] if (global_pal is not None and bg_index < len(pal)) \
+            else np.zeros(3, np.uint8)
+        screen = np.broadcast_to(bg, (sh, sw, 3)).copy()
+        y1, x1 = min(top + fh, sh), min(left + fw, sw)
+        frame = pal[idx][: y1 - top, : x1 - left]
+        if transparent >= 0:
+            keep = (idx[: y1 - top, : x1 - left] != transparent)[:, :, None]
+            screen[top:y1, left:x1] = np.where(keep, frame, screen[top:y1, left:x1])
+        else:
+            screen[top:y1, left:x1] = frame
+        return sw, sh, 3, screen.tobytes()
+    raise ValueError("GIF with no image data")
+
+
 def image_feature_decoder(payload: bytes, meta: dict) -> list[float]:
     """Real image decode → 16-dim feature vector
     ``[w, h, channels, mean_ch0..3, std_lum, 8-bin lum histogram]``.
 
-    PNG (stdlib zlib) and 24-bit BMP decode pixels for real; JPEG/GIF get
-    a real header dimension probe with payload-byte statistics in the
-    pixel slots (``[w, h, c, byte_mean, 0, 0, 0, byte_std, 8-bin byte
-    histogram]`` — no stdlib Huffman/LZW pixel path, documented); other
-    formats fall back to the deterministic byte-histogram stand-in so the
-    pipeline keeps its poison-tolerance contract.
+    PNG (stdlib zlib), 24-bit BMP, JPEG (operators/jpeg.py — baseline AND
+    progressive), and GIF (LZW, interlace, transparency compositing)
+    decode pixels for real; streams those decoders reject (arithmetic
+    JPEG, truncated LZW) get a real header dimension probe with
+    payload-byte statistics in the pixel slots (``[w, h, c, byte_mean,
+    0, 0, 0, byte_std, 8-bin byte histogram]``); other formats fall back
+    to the deterministic byte-histogram stand-in so the pipeline keeps
+    its poison-tolerance contract.
     """
     import numpy as np
 
     if payload[:2] == b"\xff\xd8":
-        # real pixel decode first (operators/jpeg.py — baseline AND
-        # progressive); arithmetic / truncated streams fall back to the
-        # header probe
         try:
             from crawl4ai_spark.operators.jpeg import jpeg_decode
 
@@ -244,8 +400,11 @@ def image_feature_decoder(payload: bytes, meta: dict) -> list[float]:
             w, h, c = jpeg_probe(payload)
             pix = None
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
-        w, h, c = gif_probe(payload)
-        pix = None
+        try:
+            w, h, c, pix = gif_decode(payload)
+        except ValueError:
+            w, h, c = gif_probe(payload)
+            pix = None
     elif payload[:8] == _PNG_MAGIC:
         w, h, c, pix = png_decode(payload)
     elif payload[:2] == b"BM":
@@ -488,6 +647,109 @@ def synth_png(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF variable-width LZW compression (LSB-first), emitting a clear
+    code up front and again whenever the dictionary hits the 4096-entry
+    spec cap. Test/fixture mirror of ``_gif_lzw_decode``."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], code_size)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_pattern_indices(width: int, height: int, seed: int = 0) -> bytes:
+    """The closed-form 8-color palette-index pattern synth_gif encodes —
+    exported so tests/oracles can recompute expected pixels from (w, h,
+    seed) alone."""
+    return bytes(
+        (x * 3 + y * 5 + seed) % 8 for y in range(height) for x in range(width)
+    )
+
+
+def synth_gif(
+    width: int,
+    height: int,
+    seed: int = 0,
+    interlace: bool = False,
+    local_palette: bool = False,
+    transparent: bool = False,
+) -> bytes:
+    """Deterministic GIF89a (8-color palette, real LZW compression) whose
+    pixels follow ``gif_pattern_indices``. ``interlace`` emits the 4-pass
+    row order; ``local_palette`` moves the table onto the image
+    descriptor; ``transparent`` marks index 7 transparent via a GCE (the
+    decoder composites those pixels to the background color, index 0)."""
+    import struct
+
+    pal = b"".join(
+        bytes(((i * 40 + 15) % 256, (i * 80 + 7) % 256, (i * 25 + 90) % 256))
+        for i in range(8)
+    )
+    head = b"GIF89a" + struct.pack(
+        "<HHBBB", width, height, 0x00 if local_palette else 0xF2, 0, 0
+    )
+    if not local_palette:
+        head += pal
+    gce = b""
+    if transparent:
+        gce = b"\x21\xf9\x04\x01\x00\x00\x07\x00"
+    iflags = (0x80 | 0x02 if local_palette else 0x00) | (0x40 if interlace else 0x00)
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, iflags)
+    if local_palette:
+        desc += pal
+    idx = gif_pattern_indices(width, height, seed)
+    if interlace:
+        rows = [idx[y * width : (y + 1) * width] for y in range(height)]
+        idx = b"".join(
+            rows[y]
+            for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, height, step)
+        )
+    lzw = _gif_lzw_encode(idx, 3)
+    blocks = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return head + gce + desc + b"\x03" + blocks + b"\x00" + b"\x3b"
+
+
 def synth_wav(n_samples: int, rate: int = 8000, seed: int = 0) -> bytes:
     """Deterministic 16-bit mono PCM WAV (stdlib ``wave``)."""
     import io
@@ -532,7 +794,13 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
                 if i % 12 == 0:
                     payload = synth_png(8 + i % 4, 6 + i % 3, seed=i)
                     mime = "image/png"
-                else:  # even image ids alternate PNG / JPEG; every other
+                elif i % 36 == 18:  # GIF ids (18 interlaced at 54): real
+                    # LZW pixel path with closed-form dims for the oracle
+                    payload = synth_gif(
+                        10 + i % 7, 7 + i % 5, seed=i, interlace=i % 72 == 54
+                    )
+                    mime = "image/gif"
+                else:  # remaining even image ids are JPEG; every other
                     # JPEG id is a progressive (SOF2) stream with the same
                     # 16×16 closed-form pixels, pinning the multi-scan path
                     from crawl4ai_spark.operators.jpeg import synth_jpeg

@@ -502,6 +502,66 @@ def test_jpeg_gif_dimension_probes():
     assert fg[0] == 40.0 and fg[1] == 25.0
 
 
+def test_gif_decoder_roundtrip_all_variants():
+    """gif_decode inverts synth_gif exactly across plain / interlaced /
+    local-palette / transparent variants (pixels checked against the
+    closed-form pattern + palette), and LZW survives the 4096-entry
+    dictionary reset on a large frame."""
+    import numpy as np
+
+    from crawl4ai_spark.operators.multimodal import (
+        gif_decode,
+        gif_pattern_indices,
+        synth_gif,
+    )
+
+    pal = np.array(
+        [((i * 40 + 15) % 256, (i * 80 + 7) % 256, (i * 25 + 90) % 256)
+         for i in range(8)],
+        np.uint8,
+    )
+    cases = [
+        (10, 7, 3, {}),
+        (13, 11, 5, {"interlace": True}),
+        (8, 8, 1, {"local_palette": True}),
+        (9, 6, 2, {"transparent": True}),
+        (257, 131, 9, {"interlace": True, "local_palette": True}),  # >4096 codes
+    ]
+    for w, h, seed, kw in cases:
+        gw, gh, gc, pix = gif_decode(synth_gif(w, h, seed, **kw))
+        assert (gw, gh, gc) == (w, h, 3)
+        idx = np.frombuffer(gif_pattern_indices(w, h, seed), np.uint8).reshape(h, w)
+        exp = pal[idx]
+        if kw.get("transparent"):  # index 7 composited to background (index 0)
+            exp = np.where((idx == 7)[:, :, None], pal[0], exp)
+        assert np.array_equal(np.frombuffer(pix, np.uint8).reshape(h, w, 3), exp), kw
+
+
+def test_gif_decoder_rejects_malformed_falls_back_in_pipeline():
+    import struct
+
+    import pytest as _pytest
+
+    from crawl4ai_spark.operators.multimodal import (
+        gif_decode,
+        image_feature_decoder,
+        synth_gif,
+    )
+
+    ok = synth_gif(6, 5, seed=1)
+    for bad in (b"GIF89a", ok[:20], b"GIF89a" + bytes(7) + b"\x3b"):
+        with _pytest.raises(ValueError):
+            gif_decode(bad)
+    # a GIF whose image data is stripped still yields probe features
+    # (dimension + byte stats) through the decoder ladder, decode_ok path
+    headerless = b"GIF89a" + struct.pack("<HH", 40, 25) + b"\x00\x00\x00"
+    f = image_feature_decoder(headerless, {})
+    assert f[0] == 40.0 and f[1] == 25.0 and len(f) == 16
+    # and a well-formed GIF yields exact-pixel features
+    f2 = image_feature_decoder(ok, {})
+    assert f2[0] == 6.0 and f2[1] == 5.0 and f2[2] == 3.0
+
+
 def test_real_codecs_through_pipeline_on_synth_table(spark):
     """synth_media_table's even ids carry real PNG/WAV/y4m payloads: the
     distributed stage must decode them with the format-true feature
@@ -517,6 +577,10 @@ def test_real_codecs_through_pipeline_on_synth_table(spark):
             if r.kind == "image":     # [w, h, channels, ...]
                 if i % 12 == 0:       # PNG rows
                     assert r.features[0] == float(8 + i % 4) and r.features[2] == 3.0
+                elif i % 36 == 18:    # GIF rows (real LZW pixel decode)
+                    assert r.features[0] == float(10 + i % 7)
+                    assert r.features[1] == float(7 + i % 5)
+                    assert r.features[2] == 3.0
                 else:                 # baseline-JPEG rows (16x16 flat quads)
                     assert r.features[0] == 16.0 and r.features[1] == 16.0
                     assert r.features[2] == 3.0
