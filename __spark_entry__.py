@@ -376,13 +376,14 @@ def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_chunking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-length, sliding-window, and token-budget chunking in one
-    multi-kind row (the three single-kind registry entries merged to fit
+    """Fixed-length, sliding-window, token-budget, and sentence chunking
+    in one multi-kind row (the single-kind registry entries merged to fit
     the driver's 50-entry correctness cap — each leg keeps its own exact
-    DuckDB oracle arm in the UNION ALL). All three are map-only column
+    DuckDB oracle arm in the UNION ALL). All four are map-only column
     algebra; the union is narrow, so the combined plan stays zero-shuffle."""
     from crawl4ai_spark.operators.chunking import (
         fixed_length_word_chunking,
+        sentence_chunking,
         sliding_window_chunking,
         token_budget_chunking,
     )
@@ -392,6 +393,7 @@ def _q_chunking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("fixed", fixed_length_word_chunking(docs, chunk_size=20)),
         ("sliding", sliding_window_chunking(docs, window_size=30, step=15)),
         ("token", token_budget_chunking(docs, chunk_token_threshold=64, overlap=16)),
+        ("sentence", sentence_chunking(docs)),
     ]
     out = None
     for kind, df in legs:
@@ -745,12 +747,18 @@ def _q_schema_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_sentence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex sentence chunking (NlpSentenceChunking surface)."""
-    from crawl4ai_spark.operators.chunking import sentence_chunking
+def _q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021): duplicated sliding
+    15-token windows keep only the corpus-global first occurrence; all
+    other sites' covered tokens are deleted (operators/dedup.py
+    exact_substring_dedup — distributed hash-gram re-expression of the
+    paper's suffix-array formulation)."""
+    from crawl4ai_spark.operators.dedup import exact_substring_dedup
 
     docs = _read(spark, sf_dir, "documents")
-    return sentence_chunking(docs)
+    return exact_substring_dedup(docs, min_tokens=15).select(
+        F.col("id").alias("doc_id"), "dedup_text", "n_tokens", "n_tokens_kept"
+    )
 
 
 _CATALOG_LABELS = (
@@ -1101,7 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_heuristic": _q_langid_heuristic,
         "bm25_scores": _q_bm25_scores,
         "chunking_battery": _q_chunking_battery,
-        "sentence_chunking": _q_sentence_chunking,
+        "exact_substring_dedup": _q_exact_substring_dedup,
         "schema_extract_nested": _q_schema_extract_nested,
         "link_intrinsic_scores": _q_link_intrinsic_scores,
         "link_contextual_scores": _q_link_contextual_scores,
@@ -1381,8 +1389,25 @@ def oracle_sql() -> dict[str, str]:
             tokenc AS (
                 SELECT doc_id, 'token' AS kind, chunk_index, chunk
                 FROM ts WHERE trim(chunk) <> ''
+            ),
+            sraw AS (
+                SELECT doc_id,
+                       unnest(string_split(
+                           regexp_replace(text, '([.!?])\\s+', '\\1' || chr(31), 'g'),
+                           chr(31))) AS raw,
+                       generate_subscripts(string_split(
+                           regexp_replace(text, '([.!?])\\s+', '\\1' || chr(31), 'g'),
+                           chr(31)), 1) - 1 AS pos
+                FROM documents),
+            sentc AS (
+                SELECT doc_id, 'sentence' AS kind,
+                       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                            AS INT) AS chunk_index,
+                       trim(raw) AS chunk
+                FROM sraw WHERE trim(raw) <> ''
             )
-            SELECT * FROM fixed UNION ALL SELECT * FROM sliding UNION ALL SELECT * FROM tokenc
+            SELECT * FROM fixed UNION ALL SELECT * FROM sliding
+            UNION ALL SELECT * FROM tokenc UNION ALL SELECT * FROM sentc
         """,
         "url_scoring": """
             WITH u AS (
@@ -1511,21 +1536,37 @@ def oracle_sql() -> dict[str, str]:
             FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_regionkey, r.r_name
         """,
-        "sentence_chunking": """
-            WITH s AS (
-                SELECT doc_id,
-                       unnest(string_split(
-                           regexp_replace(text, '([.!?])\\s+', '\\1' || chr(31), 'g'),
-                           chr(31))) AS raw,
-                       generate_subscripts(string_split(
-                           regexp_replace(text, '([.!?])\\s+', '\\1' || chr(31), 'g'),
-                           chr(31)), 1) - 1 AS pos
-                FROM documents)
-            SELECT doc_id,
-                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS INT)
-                       AS chunk_index,
-                   trim(raw) AS chunk
-            FROM s WHERE trim(raw) <> ''
+        # exact-substring dedup (Lee et al. 2021): duplicated sliding
+        # 15-token windows keep only the global-first (doc_id, pos) site;
+        # covered token positions at every other site are deleted
+        "exact_substring_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE length(trim(text)) > 0),
+            grams AS (
+                SELECT doc_id, pos, array_to_string(t[pos+1 : pos+15], ' ') AS g
+                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 14)) AS pos
+                      FROM toks WHERE len(t) >= 15)),
+            sited AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY g) AS cnt,
+                       row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+                FROM grams),
+            covered AS (
+                SELECT DISTINCT doc_id, p FROM (
+                    SELECT doc_id, unnest(range(pos, pos + 15)) AS p
+                    FROM sited WHERE cnt > 1 AND rn > 1)),
+            tok_rows AS (
+                SELECT doc_id, p, t[p+1] AS tok
+                FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS p FROM toks))
+            SELECT tr.doc_id,
+                   coalesce(string_agg(CASE WHEN c.p IS NULL THEN tr.tok END,
+                                       ' ' ORDER BY tr.p), '') AS dedup_text,
+                   CAST(count(*) AS INT) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE c.p IS NULL) AS INT) AS n_tokens_kept
+            FROM tok_rows tr
+            LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.p = c.p
+            GROUP BY tr.doc_id
         """,
         "regex_catalog": """
             WITH t AS (

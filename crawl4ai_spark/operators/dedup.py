@@ -624,6 +624,98 @@ def span_dedup(
     )
 
 
+def exact_substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 15,
+) -> DataFrame:
+    """Exact-substring deduplication at token granularity (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"):
+    every ``min_tokens``-token window that occurs more than once in the
+    corpus keeps only its globally-first occurrence (minimum ``(id,
+    pos)``) — every other site's covered tokens are deleted, overlapping
+    duplicate windows merging naturally. Unlike :func:`span_dedup` (C4's
+    fixed non-overlapping spans), the window SLIDES at stride 1, so
+    duplicated passages are caught at any alignment — the property the
+    paper's suffix-array formulation provides on one node, re-expressed
+    as distributed hash-gram aggregation.
+
+    Scale shape: tokens are hashed once per doc (map-side); sliding gram
+    keys are chained xxhash64 folds over 8-byte token hashes, so the
+    shuffle carries one ``(ghash, id, pos)`` row per token — the
+    algorithm's inherent O(total tokens) — into one hash aggregation
+    (map-side partial ``min(struct)``/count) plus one join back. Doc
+    reconstruction never explodes tokens: duplicate starts fold into a
+    covered-position array and ``array_except(sequence(n), covered)``
+    rebuilds the keep-list in O(n) per doc (hash-set semantics — no
+    quadratic exists() scan even on fully-duplicated documents).
+
+    Returns ``(id, dedup_text, n_tokens, n_tokens_kept)`` for every
+    non-empty-text document.
+    """
+    try:
+        nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # "auto" on AQE-managed deployments
+        nparts = docs.sparkSession.sparkContext.defaultParallelism
+    L = int(min_tokens)
+    base = (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .repartition(nparts, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+        )
+    )
+    # gram_hash[i] = fold of xxhash64 over token hashes [i, i+L): tokens
+    # hashed once, then L-long folds over longs — all before the explode
+    tok_hashes = F.transform("toks", lambda t: F.xxhash64(t))
+    grams = F.when(
+        F.size("toks") >= L,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - L),
+            lambda i: F.aggregate(
+                F.slice(tok_hashes, i + 1, L),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.xxhash64(acc, x),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    sites = base.select("id", F.posexplode(grams).alias("pos", "ghash"))
+    keepers = sites.groupBy("ghash").agg(
+        F.min(F.struct("id", "pos")).alias("keep"), F.count("*").alias("cnt")
+    )
+    dup_sites = (
+        sites.join(keepers.where(F.col("cnt") > 1), "ghash")
+        .where(~((F.col("keep.id") == F.col("id")) & (F.col("keep.pos") == F.col("pos"))))
+        .select("id", "pos")
+    )
+    covered = dup_sites.groupBy("id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("pos"), F.col("pos") + (L - 1)))
+            )
+        ).alias("covered")
+    )
+    joined = base.join(covered, "id", "left").select(
+        "id",
+        "toks",
+        F.coalesce("covered", F.array().cast("array<int>")).alias("covered"),
+    )
+    kept_pos = F.array_sort(
+        F.array_except(F.sequence(F.lit(0), F.size("toks") - 1), F.col("covered"))
+    )
+    out = joined.select(
+        "id",
+        F.array_join(
+            F.transform(kept_pos, lambda p: F.element_at("toks", p + 1)), " "
+        ).alias("dedup_text"),
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size("covered")).alias("n_tokens_kept"),
+    )
+    return out
+
+
 # ── benchmark decontamination (GPT-3 appendix C / PaLM) ──────────────────
 
 

@@ -63,9 +63,13 @@ CHECKS = {
         ("!ArrowEvalPython", "closed-form segment arithmetic, no Python"),
         ("ReadSchema: struct<doc_id:bigint,text:string>", "pruned scan"),
     ],
-    "sentence_chunking": [
-        ("!Exchange", "map-only (zero shuffle)"),
-        ("posexplode(filter(transform(split(text", "native split/trim/filter explode"),
+    "exact_substring_dedup": [
+        ("xxhash64", "token hashed once; sliding gram keys are chained xxhash64 folds — the site shuffle carries 8-byte keys, never gram strings"),
+        ("HashAggregate", "global-first keeper = min(struct(id,pos)) hash agg with map-side partials"),
+        ("array_except", "token keep-list rebuilt per doc as a hash-set difference — O(n), no per-token exists() scan"),
+        ("!BatchEvalPython", "no row-at-a-time Python UDF anywhere"),
+        ("!MapInPandas", "whole operator is native column algebra"),
+        ("!Window", "no corpus-wide rank window — keeper selection is an aggregation"),
     ],
     "media_extraction": [
         ("ArrowEvalPython", "scrape stage as one Arrow UDF pass"),

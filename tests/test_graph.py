@@ -169,6 +169,47 @@ def test_span_dedup_keeps_first_occurrence_only(spark):
     assert (out[3]["n_spans"], out[3]["n_spans_kept"]) == (1, 0)
 
 
+def test_exact_substring_dedup_any_alignment_and_overlap(spark):
+    """Sliding-window exact-substring dedup (Lee et al. 2021): a shared
+    passage is caught at ANY token alignment (the case C4-style fixed
+    spans miss), self-repeats within one doc keep only the first site,
+    overlapping duplicate windows merge, and short docs pass through."""
+    from crawl4ai_spark.operators.dedup import exact_substring_dedup
+
+    P = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (0, "start0 " + P + " tail0 tail0b"),   # first occurrence: kept
+            (1, "x1 y1 z1 " + P + " end1"),          # different alignment: cut
+            (2, "tiny doc"),                          # shorter than the window
+            (3, P + " mid3 " + P),                    # two internal copies: both cut
+        ],
+        "doc_id long, text string",
+    ).repartition(3)
+    out = {r["id"]: r for r in exact_substring_dedup(docs, min_tokens=6).collect()}
+    assert out[0]["dedup_text"] == "start0 " + P + " tail0 tail0b"
+    assert (out[0]["n_tokens"], out[0]["n_tokens_kept"]) == (9, 9)
+    assert out[1]["dedup_text"] == "x1 y1 z1 end1"
+    assert (out[1]["n_tokens"], out[1]["n_tokens_kept"]) == (10, 4)
+    assert out[2]["dedup_text"] == "tiny doc"
+    assert (out[2]["n_tokens"], out[2]["n_tokens_kept"]) == (2, 2)
+    assert out[3]["dedup_text"] == "mid3"
+    assert (out[3]["n_tokens"], out[3]["n_tokens_kept"]) == (13, 1)
+
+
+def test_exact_substring_dedup_unique_corpus_is_identity(spark):
+    from crawl4ai_spark.operators.dedup import exact_substring_dedup
+
+    docs = spark.createDataFrame(
+        [(i, _doc([f"d{i}w{j}" for j in range(12)])) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = exact_substring_dedup(docs, min_tokens=4)
+    assert out.where(F.col("n_tokens") != F.col("n_tokens_kept")).count() == 0
+    joined = out.join(docs, out["id"] == docs["doc_id"])
+    assert joined.where(F.col("dedup_text") != F.col("text")).count() == 0
+
+
 def test_span_dedup_unique_corpus_is_identity(spark):
     docs = spark.createDataFrame(
         [(i, _doc([f"d{i}w{j}" for j in range(10)])) for i in range(5)],
