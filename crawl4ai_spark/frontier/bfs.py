@@ -152,9 +152,13 @@ class CrawlConfig:
     # numbering coalesces (results/lineage/metrics label every step in a
     # band with the band's wave index; intra-band order remains fully
     # determined by the (score desc, depth asc, url asc) key + depth
-    # column). Steps keep their narrow work frames persisted until the
-    # band commits, so size bands for narrow waves (the only shape that
-    # needs them); 1/None = commit every wave (default).
+    # column). max_waves counts STEPS, not commits — the same selection
+    # budget as the unbanded loop — so the equality also holds when
+    # max_waves truncates the crawl mid-frontier; resume restarts at a
+    # band boundary with the consumed step count reloaded from the
+    # committed markers. Steps keep their narrow work frames persisted
+    # until the band commits, so size bands for narrow waves (the only
+    # shape that needs them); 1/None = commit every wave (default).
     depth_band: int | None = None
     # memory-adaptive wave sizing (operators.dispatch
     # .MemoryAdaptiveGovernor) — the Spark analog of the reference's
@@ -455,9 +459,18 @@ def _banded_loop(
     gate / max_pages cap / backoff tick as one unbanded wave, so a banded
     crawl selects the same URL multiset (tests/test_depth_band.py pins
     set equality); only the store's wave numbering coalesces. max_waves
-    counts committed (band) waves."""
+    counts politeness STEPS — the same selection budget as the unbanded
+    loop — so the multiset equality holds even when max_waves truncates
+    the crawl mid-frontier (counting committed bands instead would hand a
+    banded crawl depth_band× the budget; caught by the deep-crawl bench's
+    seen-set assertion). On resume the consumed step count reloads from
+    the committed markers' ``band_steps`` meta (1 per wave for waves
+    committed by the unbanded loop)."""
     band_steps = int(config.depth_band)
-    while wave < config.max_waves:
+    steps_done = 0
+    for w in store.committed_waves():
+        steps_done += int(store.marker(w).get("meta", {}).get("band_steps", 1))
+    while steps_done < config.max_waves:
         t0 = time.time()
         step_works: list[DataFrame] = []   # persisted; union -> results
         step_fresh: list[DataFrame] = []   # persisted; union -> frontier delta
@@ -465,7 +478,7 @@ def _banded_loop(
         step_counts: list[tuple[int, int]] = []  # (n_selected, n_throttled)
         hs_cur = host_state
         crawl_done = False
-        for _step in range(band_steps):
+        for _step in range(min(band_steps, config.max_waves - steps_done)):
             pending = frontier_all.select(*FRONTIER_COLS)
             for fr in step_fresh:
                 pending = pending.unionByName(fr.select(*FRONTIER_COLS))
@@ -548,6 +561,7 @@ def _banded_loop(
                     break
             step_works.append(work)
             step_counts.append((n_sel, n_thr))
+            steps_done += 1
             outcomes = work.groupBy("host").agg(
                 F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("n_ok"),
                 F.sum(F.when(F.col("status") == "throttled", 1).otherwise(0)).alias(

@@ -45,6 +45,21 @@ def test_depth_band_same_seen_set_fewer_commits(spark, site_dir, tmp_path):  # n
     assert m.agg(F.sum("n_attempted")).collect()[0][0] == banded["total_attempted"]
 
 
+def test_depth_band_max_waves_truncation_same_step_budget(spark, site_dir, tmp_path):  # noqa: F811
+    """max_waves counts politeness STEPS, not committed bands: a banded
+    crawl truncated by max_waves mid-frontier must select exactly the
+    unbanded crawl's URL multiset (counting bands would hand it
+    depth_band× the budget — the regression the deep-crawl bench's
+    seen-set assertion caught)."""
+    base = dict(max_depth=40, max_waves=6, default_budget=1)
+    free = _crawl(spark, site_dir, str(tmp_path / "free"), **base)
+    banded = _crawl(spark, site_dir, str(tmp_path / "band"), depth_band=3, **base)
+    assert _seen(spark, str(tmp_path / "free")) == _seen(spark, str(tmp_path / "band"))
+    assert banded["total_attempted"] == free["total_attempted"]
+    assert len(banded["waves"]) <= 2  # 6 steps / band of 3
+    assert sum(w["band_steps"] for w in banded["waves"]) <= 6
+
+
 def test_depth_band_with_max_pages_cap(spark, site_dir, tmp_path):  # noqa: F811
     """The global max_pages cap applies per step exactly as per wave —
     the banded crawl attempts the same number of pages and never
