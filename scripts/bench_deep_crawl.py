@@ -142,19 +142,27 @@ def main() -> int:
                 f" {leg['n_committed_waves']} | {leg['head_median_sec']} |"
                 f" {leg['tail_median_sec']} | {leg['cpu_steal_ticks']} |\n"
             )
-        speedup = plain["total_wall_sec"] / both["total_wall_sec"]
+        band_speedup = plain["total_wall_sec"] / band["total_wall_sec"]
+        both_speedup = plain["total_wall_sec"] / both["total_wall_sec"]
         fh.write(
             "\n`compact_every=8` flattens the O(waves) state-read tail;\n"
             "`depth_band=4` runs up to 4 politeness waves (\"steps\") inside one\n"
             "committed wave — one state reload, one commit, one metrics row per\n"
             "BAND — so the fixed per-wave constant is paid "
-            f"{plain['n_committed_waves']}→{band['n_committed_waves']} times.\n"
-            f"Composed, the two cut the scenario's wall {speedup:.2f}× with a\n"
-            "byte-identical crawl result. At the 10³–10⁴-wave depths the\n"
-            "reference's deep-crawl examples run, banding divides the dominant\n"
-            "n_waves × overhead term by k while each politeness step inside the\n"
-            "band still enforces exact per-host budgets (ordering contract in\n"
-            "CrawlConfig.depth_band's docstring).\n\n"
+            f"{plain['n_committed_waves']}→{band['n_committed_waves']} times and\n"
+            f"the scenario's wall drops {band_speedup:.2f}× with a byte-identical\n"
+            f"crawl result. Composing both ({both_speedup:.2f}×) is SLOWER than\n"
+            f"banding alone at this depth: with only {both['n_committed_waves']}\n"
+            "committed waves, each fold rewrites a band-sized (4×-larger)\n"
+            "snapshot and the fold-wave spikes outweigh the avoided state reads\n"
+            "— compose them only when the committed wave count itself grows into\n"
+            "the hundreds. At the 10³–10⁴-wave depths the reference's deep-crawl\n"
+            "examples run, banding divides the dominant n_waves × overhead term\n"
+            "by k while each politeness step inside the band still enforces\n"
+            "exact per-host budgets (ordering contract in CrawlConfig.depth_band\n"
+            "docstring); max_waves counts steps, so a truncated banded crawl\n"
+            "still selects the exact unbanded URL multiset. Legs with 10⁴+ steal\n"
+            "ticks (shared-VM interference) overstate their walls.\n\n"
             "Trade-offs (documented on the config): banding trades per-depth\n"
             "commit granularity for overhead — resume restarts at a band\n"
             "boundary; compact_every folds rewrite snapshot + tail, cumulative\n"
