@@ -357,6 +357,57 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, list(query), k=10, n_planes=10, probe_hamming=2)
 
 
+def _q_ann_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k and the LSH multi-probe ANN in one
+    method-labeled row (merged to free a slot under the driver's
+    50-entry cap — each leg keeps its exact oracle arm in the UNION
+    ALL; IVF keeps its own row since its centroids machinery differs)."""
+    brute = _q_cosine_topk(spark, sf_dir).select(
+        F.lit("brute").alias("method"), "vec_id", "cosine_sim"
+    )
+    lsh = _q_ann_topk_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "vec_id", "cosine_sim"
+    )
+    return brute.unionByName(lsh)
+
+
+def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page PDF text/link/metadata extraction (the reference's
+    processors/pdf NaivePDFProcessorStrategy surface, re-specified as a
+    clean-room stdlib parser — extraction/pdf.py). The fixture PDFs are
+    deterministic (valid xref, FlateDecode streams, hex-string and
+    uncompressed variants, URI annots, one poison row), so the oracle
+    re-derives every page's text/link analytically from (doc_id, seed);
+    pages explode through one Arrow mapInPandas pass."""
+    from crawl4ai_spark.extraction.pdf import extract_pdf_pages, synth_pdf
+
+    rows = []
+    for i in range(24):
+        if i % 8 == 7:  # poison: truncated stream
+            payload = synth_pdf(2, seed=i)[:200]
+        else:
+            payload = synth_pdf(
+                n_pages=1 + i % 4,
+                seed=i,
+                compress=i % 3 != 1,
+                hex_strings=i % 8 == 2,
+                with_links=i % 5 != 4,
+            )
+        rows.append((i, bytearray(payload)))
+    pdfs = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(8)
+    out = extract_pdf_pages(pdfs)
+    return out.select(
+        "doc_id",
+        "page_number",
+        "text",
+        F.array_join("links", " ").alias("links_joined"),
+        "n_pages",
+        "title",
+        "producer",
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+    )
+
+
 def _q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-panel language-ID over documents (rows-only: heuristic
     internals mirrored in pytest, not SQL)."""
@@ -1102,10 +1153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_candidates": _q_simhash_candidates,
-        "cosine_topk": _q_cosine_topk,
+        "ann_topk_battery": _q_ann_topk_battery,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "semantic_dedup": _q_semantic_dedup,
-        "ann_topk_lsh": _q_ann_topk_lsh,
+        "pdf_extract": _q_pdf_extract,
         "langid_heuristic": _q_langid_heuristic,
         "bm25_scores": _q_bm25_scores,
         "chunking_battery": _q_chunking_battery,
@@ -1325,13 +1376,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON id_b = sb.doc_id
             WHERE n_inter * 1.0 / (sa.set_size + sb.set_size - n_inter) >= 0.3
         """,
-        "cosine_topk": """
-            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4) AS cosine_sim
-            FROM embeddings, q
-            ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4) DESC, vec_id
-            LIMIT 10
-        """,
         "bm25_scores": f"""
             WITH toks AS (SELECT doc_id, unnest({_CLEAN_TOKS}) AS term FROM documents),
             dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -1535,6 +1579,39 @@ def oracle_sql() -> dict[str, str]:
                    || ']}' AS record
             FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_regionkey, r.r_name
+        """,
+        # synth_pdf fixtures are closed-form in (doc_id, page): the oracle
+        # regenerates every page's two text lines, link URI, /Info
+        # metadata, and the poison rows (doc_id%8=7 truncated payloads)
+        # analytically — pinning the whole parse->decode->extract chain
+        "pdf_extract": """
+            WITH ids AS (SELECT unnest(range(0, 24)) AS doc_id),
+            ok AS (SELECT doc_id, 1 + doc_id % 4 AS n_pages
+                   FROM ids WHERE doc_id % 8 <> 7),
+            pages AS (SELECT doc_id, n_pages,
+                             unnest(range(1, n_pages + 1)) AS page_number
+                      FROM ok),
+            words AS (
+                SELECT doc_id, n_pages, page_number,
+                       'body ' || array_to_string(
+                           ['w' || ((page_number * 7 + doc_id * 3 + j) % 23)
+                            FOR j IN range(0, 8)], ' ') || ' end' AS line2
+                FROM pages)
+            SELECT doc_id,
+                   CAST(page_number AS INT) AS page_number,
+                   'synthetic pdf seed ' || doc_id || ' page ' || page_number
+                       || chr(10) || line2 AS text,
+                   CASE WHEN doc_id % 5 <> 4
+                        THEN 'http://pdf' || doc_id || '.test/page/' || page_number
+                        ELSE '' END AS links_joined,
+                   CAST(n_pages AS INT) AS n_pages,
+                   'synthetic pdf ' || doc_id AS title,
+                   'synth_pdf' AS producer,
+                   1 AS decode_ok
+            FROM words
+            UNION ALL
+            SELECT doc_id, 0, '', '', 0, NULL, NULL, 0
+            FROM ids WHERE doc_id % 8 = 7
         """,
         # exact-substring dedup (Lee et al. 2021): duplicated sliding
         # 15-token windows keep only the global-first (doc_id, pos) site;
@@ -2144,16 +2221,30 @@ def _semantic_dedup_oracle_sql(k: int = 16, iters: int = 8, threshold: float = 0
     """
 
 
+_COSINE_TOPK_SQL = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4) AS cosine_sim
+    FROM embeddings, q
+    ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4) DESC, vec_id
+    LIMIT 10
+"""
+
+
 def _centroid_oracles() -> dict[str, str]:
     """Data-dependent oracles (centroid / hyperplane literals recomputed
     from the oracle-scale parquet). Isolated so a failure to read the
     parquet degrades these rows to rows-only instead of breaking
     oracle_sql for everything."""
     try:
+        ann_sql = _ann_topk_lsh_oracle_sql(k=10, n_planes=10, probe_hamming=2)
         return {
             "semantic_dedup": _semantic_dedup_oracle_sql(k=16, iters=8, threshold=0.35),
             "ivf_topk": _ivf_topk_oracle_sql(k_centroids=8, iters=5, n_probe=3, k=10),
-            "ann_topk_lsh": _ann_topk_lsh_oracle_sql(k=10, n_planes=10, probe_hamming=2),
+            "ann_topk_battery": f"""
+                SELECT 'brute' AS method, * FROM ({_COSINE_TOPK_SQL})
+                UNION ALL
+                SELECT 'lsh' AS method, * FROM ({ann_sql})
+            """,
         }
     except Exception:  # noqa: BLE001 — missing parquet ⇒ rows-only check
         return {}

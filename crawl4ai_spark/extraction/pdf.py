@@ -1,0 +1,621 @@
+"""Clean-room minimal PDF text/link/metadata extraction (pure stdlib).
+
+The reference ships a PDF pipeline (``processors/pdf/processor.py``,
+``NaivePDFProcessorStrategy``) built on the external ``pypdf`` package:
+per-page raw text, page links (/Annots URIs), and document metadata
+(/Info). That package is absent from this environment, so this module
+is a from-scratch parser for a well-defined PDF subset, written from the
+PDF 1.7 spec (ISO 32000-1):
+
+- body parsing: every ``N G obj .. endobj`` span is scanned directly
+  (works with classic xref tables AND broken/absent xref — the tolerant
+  posture a web corpus needs); streams resolve ``/Length`` through
+  indirect refs; ``/FlateDecode`` inflates via stdlib zlib, filterless
+  streams pass through raw.
+- page order: ``trailer /Root -> /Pages`` tree walked through ``/Kids``
+  (inherited attributes not needed for text); fallback to object-number
+  order over ``/Type /Page`` leaves when the trailer is missing/broken.
+- text: content-stream operators ``Tj``, ``'``, ``"``, ``TJ`` inside
+  BT/ET blocks; literal strings with all escape forms (incl. octal and
+  line continuations) and hex strings; bytes decode as Latin-1.
+  Line breaks: ``Td``/``TD``/``T*`` and the ``'``/``"`` operators start
+  a new output line; ``TJ`` kern numbers are ignored. This matches the
+  reference's "naive" per-page ``extract_text`` granularity, not glyph
+  positioning.
+- links: per-page ``/Annots`` -> ``/A /URI`` (or direct ``/URI``).
+- metadata: ``trailer /Info`` Title/Author/Producer + page count +
+  ``/Encrypt`` presence (encrypted docs are flagged, never decrypted).
+
+Out of scope (documented; such pages yield empty/garbled text with the
+whole row still poison-tolerant): CID/composite fonts and /ToUnicode
+CMaps, object streams (/ObjStm), xref streams as the only object source,
+LZW/RunLength/DCT filters, encryption.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
+_TRAILER_RE = re.compile(rb"trailer\b", re.S)
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"Ref({self.num})"
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # % comment to EOL
+            while pos < n and data[pos] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    return pos
+
+
+def _parse_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Literal string ``( .. )`` with escapes and balanced parens."""
+    out = bytearray()
+    depth = 1
+    pos += 1
+    n = len(data)
+    while pos < n and depth:
+        c = data[pos]
+        if c == 0x5C:  # backslash
+            pos += 1
+            if pos >= n:
+                break
+            e = data[pos]
+            if e in b"nrtbf":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                pos += 1
+            elif e in b"()\\":
+                out.append(e)
+                pos += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                oct_digits = bytearray()
+                while pos < n and len(oct_digits) < 3 and 0x30 <= data[pos] <= 0x37:
+                    oct_digits.append(data[pos])
+                    pos += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                pos += 1
+                if e == 0x0D and pos < n and data[pos] == 0x0A:
+                    pos += 1
+            else:  # unknown escape: PDF spec says drop the backslash
+                out.append(e)
+                pos += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    return bytes(out), pos
+
+
+def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    end = data.index(b">", pos)
+    hexes = re.sub(rb"[^0-9A-Fa-f]", b"", data[pos + 1 : end])
+    if len(hexes) % 2:
+        hexes += b"0"
+    return bytes.fromhex(hexes.decode("ascii")), end + 1
+
+
+_NAME_ESC = re.compile(rb"#([0-9A-Fa-f]{2})")
+
+
+def _parse_name(data: bytes, pos: int) -> tuple[str, int]:
+    pos += 1
+    start = pos
+    n = len(data)
+    while pos < n and data[pos] not in _WS and data[pos] not in _DELIM:
+        pos += 1
+    raw = _NAME_ESC.sub(lambda m: bytes([int(m.group(1), 16)]), data[start:pos])
+    return raw.decode("latin-1"), pos
+
+
+_NUM_RE = re.compile(rb"[+-]?\d*\.?\d+")
+
+
+def parse_value(data: bytes, pos: int):
+    """Parse one PDF object value at ``pos`` → (value, next_pos). Indirect
+    references become ``_Ref``; names become ``'/Name'`` strings."""
+    pos = _skip_ws(data, pos)
+    if pos >= len(data):
+        raise ValueError("unexpected end of PDF data")
+    c = data[pos]
+    if c == 0x3C:  # < : dict or hex string
+        if data[pos : pos + 2] == b"<<":
+            d = {}
+            pos += 2
+            while True:
+                pos = _skip_ws(data, pos)
+                if data[pos : pos + 2] == b">>":
+                    return d, pos + 2
+                if data[pos] != 0x2F:
+                    raise ValueError("bad PDF dict key")
+                key, pos = _parse_name(data, pos)
+                val, pos = parse_value(data, pos)
+                d["/" + key] = val
+        return _parse_hex_string(data, pos)
+    if c == 0x28:
+        return _parse_string(data, pos)
+    if c == 0x2F:
+        name, pos = _parse_name(data, pos)
+        return "/" + name, pos
+    if c == 0x5B:  # array
+        arr = []
+        pos += 1
+        while True:
+            pos = _skip_ws(data, pos)
+            if data[pos] == 0x5D:
+                return arr, pos + 1
+            val, pos = parse_value(data, pos)
+            arr.append(val)
+    if data[pos : pos + 4] == b"true":
+        return True, pos + 4
+    if data[pos : pos + 5] == b"false":
+        return False, pos + 5
+    if data[pos : pos + 4] == b"null":
+        return None, pos + 4
+    m = _NUM_RE.match(data, pos)
+    if not m:
+        raise ValueError(f"bad PDF token at {pos}: {data[pos:pos+16]!r}")
+    # "N G R" indirect reference lookahead
+    ref = re.match(rb"(\d+)\s+\d+\s+R\b", data[pos:])
+    if ref:
+        return _Ref(int(ref.group(1))), pos + ref.end()
+    tok = m.group(0)
+    num = float(tok) if b"." in tok else int(tok)
+    return num, m.end()
+
+
+def _scan_objects(data: bytes) -> dict[int, tuple]:
+    """All ``N G obj`` spans → {num: (value, raw_stream_or_None)}. The raw
+    stream keeps its bytes unresolved (length fixed up in a second pass)."""
+    objects: dict[int, tuple] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        try:
+            val, pos = parse_value(data, m.end())
+        except (ValueError, IndexError):
+            continue
+        pos = _skip_ws(data, pos)
+        stream = None
+        if data[pos : pos + 6] == b"stream":
+            pos += 6
+            if data[pos : pos + 2] == b"\r\n":
+                pos += 2
+            elif pos < len(data) and data[pos : pos + 1] in (b"\n", b"\r"):
+                pos += 1
+            stream = pos  # start offset; sliced after /Length resolves
+        objects[num] = (val, stream)
+    return objects
+
+
+def _resolve(objects: dict, v, depth: int = 0):
+    while isinstance(v, _Ref) and depth < 32:
+        v = objects.get(v.num, (None, None))[0]
+        depth += 1
+    return v
+
+
+def _stream_bytes(data: bytes, objects: dict, num: int) -> bytes | None:
+    val, start = objects.get(num, (None, None))
+    if start is None or not isinstance(val, dict):
+        return None
+    length = _resolve(objects, val.get("/Length"))
+    if isinstance(length, (int, float)) and length >= 0:
+        raw = data[start : start + int(length)]
+    else:  # broken /Length: scan to endstream
+        end = data.find(b"endstream", start)
+        raw = data[start : end if end >= 0 else len(data)]
+    filt = _resolve(objects, val.get("/Filter"))
+    filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    for f in filters:
+        if f == "/FlateDecode":
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"bad FlateDecode stream in obj {num}") from exc
+        elif f is None:
+            continue
+        else:  # LZW/DCT/...: out of the documented subset
+            raise ValueError(f"unsupported PDF filter {f}")
+    return raw
+
+
+_TEXT_OPS = {b"Tj", b"'", b'"', b"TJ"}
+# BT included: each text object starts a new output line (pypdf-like
+# block granularity); TJ deliberately absent (same-line continuation)
+_NEWLINE_OPS = {b"Td", b"TD", b"T*", b"'", b'"', b"BT"}
+_OP_RE = re.compile(rb"[A-Za-z'\"*][A-Za-z0-9'\"*]*")
+
+
+def _content_text(content: bytes) -> str:
+    """Show-text operators → text. Operand stack discipline: values
+    accumulate until an operator token; text ops consume the last string
+    (or array for TJ); line-move ops emit a newline."""
+    out: list[str] = []
+    stack: list = []
+    pos, n = 0, len(content)
+    line_open = False
+    while pos < n:
+        pos = _skip_ws(content, pos)
+        if pos >= n:
+            break
+        c = content[pos]
+        if c == 0x28:
+            s, pos = _parse_string(content, pos)
+            stack.append(s)
+            continue
+        if c == 0x3C and content[pos : pos + 2] != b"<<":
+            s, pos = _parse_hex_string(content, pos)
+            stack.append(s)
+            continue
+        if c == 0x3C:  # inline dict (BDC etc.)
+            try:
+                v, pos = parse_value(content, pos)
+            except (ValueError, IndexError):
+                pos += 2
+            stack.clear()
+            continue
+        if c == 0x5B:
+            try:
+                v, pos = parse_value(content, pos)
+                stack.append(v)
+            except (ValueError, IndexError):
+                pos += 1
+            continue
+        if c == 0x2F:
+            name, pos = _parse_name(content, pos)
+            stack.append("/" + name)
+            continue
+        m = _NUM_RE.match(content, pos)
+        if m:  # numbers and operators are disjoint token classes
+            stack.append(m.group(0))
+            pos = m.end()
+            continue
+        op_m = _OP_RE.match(content, pos)
+        if not op_m:
+            pos += 1
+            continue
+        op = op_m.group(0)
+        pos = op_m.end()
+        if op in _NEWLINE_OPS and line_open:
+            out.append("\n")
+            line_open = False
+        if op in _TEXT_OPS:
+            if op == b"TJ":
+                arr = stack[-1] if stack and isinstance(stack[-1], list) else []
+                text = "".join(
+                    e.decode("latin-1") for e in arr if isinstance(e, bytes)
+                )
+            else:
+                last = next(
+                    (s for s in reversed(stack) if isinstance(s, bytes)), b""
+                )
+                text = last.decode("latin-1")
+            if text:
+                out.append(text)
+                line_open = True
+        stack.clear()
+    return "".join(out)
+
+
+def _walk_pages(objects: dict, node, acc: list[int], seen: set[int]) -> None:
+    if not isinstance(node, _Ref) or node.num in seen:
+        return
+    seen.add(node.num)
+    val = objects.get(node.num, (None, None))[0]
+    if not isinstance(val, dict):
+        return
+    if val.get("/Type") == "/Page":
+        acc.append(node.num)
+        return
+    kids = _resolve(objects, val.get("/Kids"))
+    if isinstance(kids, list):
+        for kid in kids:
+            _walk_pages(objects, kid, acc, seen)
+
+
+def _pdf_string(v) -> str | None:
+    if isinstance(v, bytes):
+        if v[:2] == b"\xfe\xff":  # UTF-16BE per spec
+            try:
+                return v[2:].decode("utf-16-be")
+            except UnicodeDecodeError:
+                return v.decode("latin-1")
+        return v.decode("latin-1")
+    return None
+
+
+def parse_pdf(data: bytes) -> dict:
+    """Parse PDF bytes → ``{"n_pages", "encrypted", "title", "author",
+    "producer", "pages": [{"page_number", "text", "links"}]}``.
+    Raises ValueError on non-PDF input; tolerates broken xref (body
+    scan), bad /Length, missing trailer."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF")
+    objects = _scan_objects(data)
+    if not objects:
+        raise ValueError("PDF with no parseable objects")
+
+    trailer: dict = {}
+    for m in _TRAILER_RE.finditer(data):
+        try:
+            t, _ = parse_value(data, m.end())
+        except (ValueError, IndexError):
+            continue
+        if isinstance(t, dict):
+            trailer.update(t)
+
+    encrypted = "/Encrypt" in trailer
+    info = _resolve(objects, trailer.get("/Info"))
+    meta = {
+        "title": _pdf_string(info.get("/Title")) if isinstance(info, dict) else None,
+        "author": _pdf_string(info.get("/Author")) if isinstance(info, dict) else None,
+        "producer": _pdf_string(info.get("/Producer"))
+        if isinstance(info, dict)
+        else None,
+    }
+
+    page_nums: list[int] = []
+    root = _resolve(objects, trailer.get("/Root"))
+    if isinstance(root, dict):
+        pages_ref = root.get("/Pages")
+        if isinstance(pages_ref, _Ref):
+            _walk_pages(objects, pages_ref, page_nums, set())
+        elif isinstance(_resolve(objects, pages_ref), dict):
+            # direct /Pages dict: walk its kids
+            kids = _resolve(objects, _resolve(objects, pages_ref).get("/Kids"))
+            if isinstance(kids, list):
+                seen: set[int] = set()
+                for kid in kids:
+                    _walk_pages(objects, kid, page_nums, seen)
+    if not page_nums:  # broken/absent catalog: object-order fallback
+        page_nums = sorted(
+            num
+            for num, (val, _s) in objects.items()
+            if isinstance(val, dict) and val.get("/Type") == "/Page"
+        )
+
+    pages = []
+    for idx, num in enumerate(page_nums, start=1):
+        val = objects[num][0]
+        text = ""
+        if not encrypted:
+            contents = _resolve(objects, val.get("/Contents"))
+            refs = (
+                contents
+                if isinstance(contents, list)
+                else [val.get("/Contents")]
+                if isinstance(val.get("/Contents"), _Ref)
+                else []
+            )
+            chunks = []
+            for ref in refs:
+                if isinstance(ref, _Ref):
+                    raw = _stream_bytes(data, objects, ref.num)
+                    if raw is not None:
+                        chunks.append(raw)
+            text = _content_text(b"\n".join(chunks)) if chunks else ""
+        links: list[str] = []
+        annots = _resolve(objects, val.get("/Annots"))
+        if isinstance(annots, list):
+            for a in annots:
+                ad = _resolve(objects, a)
+                if not isinstance(ad, dict):
+                    continue
+                action = _resolve(objects, ad.get("/A"))
+                uri = None
+                if isinstance(action, dict):
+                    uri = _pdf_string(_resolve(objects, action.get("/URI")))
+                if uri is None:
+                    uri = _pdf_string(_resolve(objects, ad.get("/URI")))
+                if uri:
+                    links.append(uri)
+        pages.append({"page_number": idx, "text": text, "links": links})
+
+    return {
+        "n_pages": len(pages),
+        "encrypted": encrypted,
+        **meta,
+        "pages": pages,
+    }
+
+
+# ── deterministic fixture encoder (test/oracle mirror) ───────────────────
+
+
+def synth_pdf(
+    n_pages: int = 2,
+    seed: int = 0,
+    compress: bool = True,
+    hex_strings: bool = False,
+    with_links: bool = True,
+) -> bytes:
+    """Deterministic valid PDF (classic xref, FlateDecode content
+    streams, /Info metadata, URI link annotations). Page ``p`` shows two
+    lines whose text is closed-form in (p, seed) — see
+    ``synth_pdf_page_text`` — so oracles re-derive the extraction
+    analytically."""
+
+    def esc(s: str) -> bytes:
+        return (
+            s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        ).encode("latin-1")
+
+    objs: dict[int, bytes] = {}
+    n_fixed = 3  # catalog=1, pages=2, info=3
+    page_ids = [n_fixed + 1 + i * 3 for i in range(n_pages)]
+
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kids = b" ".join(b"%d 0 R" % pid for pid in page_ids)
+    objs[2] = b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    objs[3] = (
+        b"<< /Title (synthetic pdf %d) /Author (crawl4ai-spark) "
+        b"/Producer (synth_pdf) >>" % seed
+    )
+
+    for i, pid in enumerate(page_ids):
+        line1, line2 = synth_pdf_page_lines(i + 1, seed)
+        if hex_strings:
+            shown1 = b"<" + line1.encode("latin-1").hex().encode() + b"> Tj"
+        else:
+            shown1 = b"(" + esc(line1) + b") Tj"
+        content = (
+            b"BT /F1 12 Tf 50 700 Td " + shown1 + b" 0 -20 Td ("
+            + esc(line2) + b") Tj ET"
+        )
+        if compress:
+            payload = zlib.compress(content)
+            stream_dict = b"<< /Length %d /Filter /FlateDecode >>" % len(payload)
+        else:
+            payload = content
+            stream_dict = b"<< /Length %d >>" % len(payload)
+        annots = b" /Annots [%d 0 R]" % (pid + 2) if with_links else b""
+        objs[pid] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 "
+            b"/BaseFont /Helvetica >> >> >> /Contents %d 0 R" % (pid + 1)
+        ) + annots + b" >>"
+        objs[pid + 1] = (stream_dict, payload)
+        if with_links:
+            objs[pid + 2] = (
+                b"<< /Type /Annot /Subtype /Link /Rect [50 680 300 700] "
+                b"/A << /S /URI /URI (" + esc(synth_pdf_link(i + 1, seed)) + b") >> >>"
+            )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        body = objs[num]
+        out += b"%d 0 obj\n" % num
+        if isinstance(body, tuple):
+            d, payload = body
+            out += d + b"\nstream\n" + payload + b"\nendstream"
+        else:
+            out += body
+        out += b"\nendobj\n"
+    xref_pos = len(out)
+    max_num = max(objs)
+    out += b"xref\n0 %d\n" % (max_num + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 3 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (max_num + 1, xref_pos)
+    )
+    return bytes(out)
+
+
+def synth_pdf_page_lines(page_number: int, seed: int) -> tuple[str, str]:
+    """The two closed-form text lines synth_pdf draws on a page."""
+    words = " ".join(
+        f"w{(page_number * 7 + seed * 3 + j) % 23}" for j in range(8)
+    )
+    return (
+        f"synthetic pdf seed {seed} page {page_number}",
+        f"body {words} end",
+    )
+
+
+def synth_pdf_page_text(page_number: int, seed: int) -> str:
+    """Exactly what parse_pdf extracts for a synth_pdf page."""
+    a, b = synth_pdf_page_lines(page_number, seed)
+    return a + "\n" + b
+
+
+def synth_pdf_link(page_number: int, seed: int) -> str:
+    return f"http://pdf{seed}.test/page/{page_number}"
+
+
+# ── Spark operator ───────────────────────────────────────────────────────
+
+PDF_PAGES_SCHEMA = (
+    "doc_id long, page_number int, text string, links array<string>, "
+    "n_pages int, title string, producer string, encrypted boolean, "
+    "decode_ok boolean"
+)
+
+
+def extract_pdf_pages(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """Distributed per-page PDF extraction: one output row per page
+    (``PDF_PAGES_SCHEMA``), Arrow-batched ``mapInPandas``, poison-
+    tolerant — an unparseable payload yields one ``decode_ok=false`` row
+    instead of failing the batch (the contract every decoder in this
+    engine follows; see operators/multimodal.py)."""
+    import pandas as pd
+
+    cols = [id_col, payload_col]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    parsed = parse_pdf(bytes(payload))
+                    for page in parsed["pages"]:
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "page_number": page["page_number"],
+                                "text": page["text"],
+                                "links": page["links"],
+                                "n_pages": parsed["n_pages"],
+                                "title": parsed["title"],
+                                "producer": parsed["producer"],
+                                "encrypted": parsed["encrypted"],
+                                "decode_ok": True,
+                            }
+                        )
+                    if not parsed["pages"]:
+                        raise ValueError("PDF with zero pages")
+                except (ValueError, IndexError, KeyError, OverflowError):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "page_number": 0,
+                            "text": "",
+                            "links": [],
+                            "n_pages": 0,
+                            "title": None,
+                            "producer": None,
+                            "encrypted": False,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "page_number", "text", "links", "n_pages",
+                    "title", "producer", "encrypted", "decode_ok",
+                ],
+            )
+
+    return df.select(*cols).mapInPandas(run, PDF_PAGES_SCHEMA)

@@ -46,8 +46,13 @@ CHECKS = {
         ("LeftAnti", "anti-join"),
         ("ReadSchema: struct<o_custkey:bigint>", "orders scan pruned to the join key"),
     ],
-    "cosine_topk": [
-        ("TakeOrderedAndProject", "global top-k without full sort"),
+    "ann_topk_battery": [
+        ("TakeOrderedAndProject", "global top-k without full sort (both legs)"),
+    ],
+    "pdf_extract": [
+        ("MapInPandas", "parse->decode->extract as one Arrow-batched pass"),
+        ("!BatchEvalPython", "no row-at-a-time Python UDF"),
+        ("!Window", "page explode inside the pandas iterator, no rank windows"),
     ],
     "term_df_top20": [
         ("HashAggregate", "tf/df hash agg"),
@@ -59,7 +64,7 @@ CHECKS = {
         ("PushedFilters: [IsNotNull(event_id), LessThan(event_id,300)]", "id filter pushed to scan"),
     ],
     "chunking_battery": [
-        ("!Exchange", "all three chunkers map-only; the union is narrow (zero shuffle)"),
+        ("!Exchange", "all four chunkers map-only; the union is narrow (zero shuffle)"),
         ("!ArrowEvalPython", "closed-form segment arithmetic, no Python"),
         ("ReadSchema: struct<doc_id:bigint,text:string>", "pruned scan"),
     ],

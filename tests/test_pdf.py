@@ -1,0 +1,162 @@
+"""Clean-room PDF extraction (extraction/pdf.py): parser round-trips
+against the deterministic synth_pdf mirror encoder, content-stream
+string/escape semantics, tolerant parsing fallbacks, and the
+poison-tolerant Spark operator (reference surface:
+processors/pdf/processor.py NaivePDFProcessorStrategy via pypdf)."""
+
+import zlib
+
+import pytest
+
+from crawl4ai_spark.extraction.pdf import (
+    parse_pdf,
+    synth_pdf,
+    synth_pdf_link,
+    synth_pdf_page_lines,
+    synth_pdf_page_text,
+)
+
+from tests.conftest import spark  # noqa: F401
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"compress": False},
+        {"hex_strings": True},
+        {"with_links": False},
+        {"n_pages": 5, "seed": 9},
+    ],
+)
+def test_parse_pdf_roundtrips_synth_variants(kw):
+    n = kw.get("n_pages", 2)
+    seed = kw.get("seed", 0)
+    doc = parse_pdf(synth_pdf(**kw))
+    assert doc["n_pages"] == n
+    assert doc["title"] == f"synthetic pdf {seed}"
+    assert doc["author"] == "crawl4ai-spark"
+    assert doc["producer"] == "synth_pdf"
+    assert not doc["encrypted"]
+    for p in doc["pages"]:
+        assert p["text"] == synth_pdf_page_text(p["page_number"], seed)
+        if kw.get("with_links", True):
+            assert p["links"] == [synth_pdf_link(p["page_number"], seed)]
+        else:
+            assert p["links"] == []
+
+
+def _splice_content(seed: int, new_content: bytes) -> bytes:
+    """Replace page 1's (uncompressed) content stream with raw operators."""
+    pdf = synth_pdf(1, seed, compress=False)
+    l1, l2 = synth_pdf_page_lines(1, seed)
+    orig = (
+        "BT /F1 12 Tf 50 700 Td (" + l1 + ") Tj 0 -20 Td (" + l2 + ") Tj ET"
+    ).encode("latin-1")
+    assert orig in pdf
+    return pdf.replace(orig, new_content)
+
+
+def test_string_escapes_and_line_ops():
+    # \( \) \\ octal \101='A' \12='\n'-in-string, T* newline, ' shows on
+    # a new line, TJ concatenates array strings ignoring kern numbers
+    content = (
+        rb"BT (a\(b\)c\\d\101) Tj T* (f) Tj "
+        rb"(next) ' [(x) -250 (y) 120 (z)] TJ ET"
+    )
+    doc = parse_pdf(_splice_content(0, content))
+    # TJ continues the line the ' op opened — no line move of its own
+    assert doc["pages"][0]["text"] == "a(b)c\\dA\nf\nnextxyz"
+
+
+def test_hex_strings_and_octal_overflow():
+    content = rb"BT <48656C6C6F2> Tj (\377) Tj ET"  # odd hex pads with 0
+    doc = parse_pdf(_splice_content(0, content))
+    assert doc["pages"][0]["text"] == "Hello \xff"
+
+
+def test_indirect_length_and_multiple_content_streams():
+    """/Length as an indirect ref and /Contents as an array of streams."""
+    c1 = b"BT (part one) Tj ET"
+    c2 = b"BT (part two) Tj ET"
+    parts = [
+        b"%PDF-1.4\n",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 6 0 R] >>\nendobj\n",
+        b"4 0 obj\n<< /Length 5 0 R >>\nstream\n" + c1 + b"\nendstream\nendobj\n",
+        b"5 0 obj\n" + str(len(c1)).encode() + b"\nendobj\n",
+        b"6 0 obj\n<< /Length " + str(len(c2)).encode() + b" >>\nstream\n" + c2
+        + b"\nendstream\nendobj\n",
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n",
+    ]
+    doc = parse_pdf(b"".join(parts))
+    assert doc["n_pages"] == 1
+    assert doc["pages"][0]["text"] == "part one\npart two"
+
+
+def test_broken_xref_and_missing_trailer_fallback():
+    """A body with no trailer/catalog still extracts pages in object
+    order (the tolerant posture for truncated web PDFs)."""
+    content = zlib.compress(b"BT (rescued) Tj ET")
+    pdf = b"".join(
+        [
+            b"%PDF-1.4\n",
+            b"7 0 obj\n<< /Type /Page /Contents 8 0 R >>\nendobj\n",
+            b"8 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + content
+            + b"\nendstream\nendobj\n",
+        ]
+    )
+    doc = parse_pdf(pdf)
+    assert doc["n_pages"] == 1 and doc["pages"][0]["text"] == "rescued"
+    assert doc["title"] is None
+
+
+def test_encrypted_flagged_not_decrypted():
+    pdf = synth_pdf(1, 3)
+    pdf = pdf.replace(
+        b"/Root 1 0 R /Info 3 0 R", b"/Root 1 0 R /Info 3 0 R /Encrypt 3 0 R"
+    )
+    doc = parse_pdf(pdf)
+    assert doc["encrypted"] and doc["pages"][0]["text"] == ""
+
+
+def test_utf16be_metadata_string():
+    pdf = synth_pdf(1, 0)
+    title_utf16 = b"\xfe\xff" + "Tïtle".encode("utf-16-be")
+    pdf = pdf.replace(b"(synthetic pdf 0)", b"<" + title_utf16.hex().encode() + b">")
+    assert parse_pdf(pdf)["title"] == "Tïtle"
+
+
+def test_malformed_inputs_raise():
+    for bad in (b"", b"not a pdf", b"%PDF-1.4\njunk", synth_pdf(2, 1)[:150]):
+        with pytest.raises(ValueError):
+            doc = parse_pdf(bad)
+            if not doc["pages"]:  # header-only shells must not pass silently
+                raise ValueError("no pages")
+
+
+def test_extract_pdf_pages_distributed_poison_tolerant(spark):  # noqa: F811
+    from crawl4ai_spark.extraction.pdf import extract_pdf_pages
+
+    rows = [
+        (0, bytearray(synth_pdf(3, seed=4))),
+        (1, bytearray(b"%PDF-1.4\ngarbage everywhere")),
+        (2, bytearray(synth_pdf(1, seed=5, hex_strings=True))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(3)
+    got = extract_pdf_pages(df).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[0]) == 3 and all(r.decode_ok for r in by_doc[0])
+    assert sorted(r.page_number for r in by_doc[0]) == [1, 2, 3]
+    for r in by_doc[0]:
+        assert r.text == synth_pdf_page_text(r.page_number, 4)
+        assert list(r.links) == [synth_pdf_link(r.page_number, 4)]
+        assert r.title == "synthetic pdf 4" and r.n_pages == 3
+    assert len(by_doc[1]) == 1 and not by_doc[1][0].decode_ok
+    assert by_doc[1][0].text == "" and by_doc[1][0].n_pages == 0
+    assert by_doc[2][0].decode_ok
+    assert by_doc[2][0].text == synth_pdf_page_text(1, 5)
