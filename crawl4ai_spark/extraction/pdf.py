@@ -10,8 +10,11 @@ PDF 1.7 spec (ISO 32000-1):
 - body parsing: every ``N G obj .. endobj`` span is scanned directly
   (works with classic xref tables AND broken/absent xref — the tolerant
   posture a web corpus needs); streams resolve ``/Length`` through
-  indirect refs; ``/FlateDecode`` inflates via stdlib zlib, filterless
-  streams pass through raw.
+  indirect refs; filters: ``/FlateDecode`` (stdlib zlib),
+  ``/ASCIIHexDecode``, ``/ASCII85Decode`` (stdlib base64),
+  ``/RunLengthDecode``; filterless streams pass through raw; inline
+  images (``BI..EI``) are skipped so their binary bodies can't poison
+  the token stream.
 - page order: ``trailer /Root -> /Pages`` tree walked through ``/Kids``
   (inherited attributes not needed for text); fallback to object-number
   order over ``/Type /Page`` leaves when the trailer is missing/broken.
@@ -240,9 +243,40 @@ def _stream_bytes(data: bytes, objects: dict, num: int) -> bytes | None:
                 raw = zlib.decompress(raw)
             except zlib.error as exc:
                 raise ValueError(f"bad FlateDecode stream in obj {num}") from exc
+        elif f in ("/ASCIIHexDecode", "/AHx"):
+            body = raw.split(b">")[0]
+            hexes = re.sub(rb"[^0-9A-Fa-f]", b"", body)
+            if len(hexes) % 2:
+                hexes += b"0"
+            raw = bytes.fromhex(hexes.decode("ascii"))
+        elif f in ("/ASCII85Decode", "/A85"):
+            import base64
+
+            body = raw.split(b"~>")[0]
+            body = re.sub(rb"\s", b"", body)
+            if body.startswith(b"<~"):
+                body = body[2:]
+            try:
+                raw = base64.a85decode(body)
+            except ValueError as exc:
+                raise ValueError(f"bad ASCII85 stream in obj {num}") from exc
+        elif f in ("/RunLengthDecode", "/RL"):
+            out = bytearray()
+            i = 0
+            while i < len(raw):
+                l = raw[i]
+                if l == 128:
+                    break
+                if l < 128:
+                    out += raw[i + 1 : i + 2 + l]
+                    i += 2 + l
+                else:
+                    out += raw[i + 1 : i + 2] * (257 - l)
+                    i += 2
+            raw = bytes(out)
         elif f is None:
             continue
-        else:  # LZW/DCT/...: out of the documented subset
+        else:  # LZW/DCT/JBIG2/...: out of the documented subset
             raise ValueError(f"unsupported PDF filter {f}")
     return raw
 
@@ -304,6 +338,12 @@ def _content_text(content: bytes) -> str:
             continue
         op = op_m.group(0)
         pos = op_m.end()
+        if op == b"BI":  # inline image: skip to EI (binary body would
+            # otherwise poison the token stream)
+            end = re.search(rb"\bEI\b", content[pos:])
+            pos = pos + end.end() if end else n
+            stack.clear()
+            continue
         if op in _NEWLINE_OPS and line_open:
             out.append("\n")
             line_open = False

@@ -113,6 +113,50 @@ def test_broken_xref_and_missing_trailer_fallback():
     assert doc["title"] is None
 
 
+def test_additional_filters_and_inline_image_skip():
+    """ASCIIHex / ASCII85 / RunLength filter chains decode, and a BI..EI
+    inline image's binary body never leaks into the extracted text."""
+    import base64
+
+    content = b"BT (before) Tj BI /W 2 /H 2 /BPC 8 ID \x00\xff(\\junk ET EI (after) Tj ET"
+    # splice as an uncompressed stream first: inline image skip
+    doc = parse_pdf(_splice_content(0, content))
+    # same line (no line-move op after EI); the binary body never leaks
+    assert doc["pages"][0]["text"] == "beforeafter"
+
+    plain = b"BT (filtered) Tj ET"
+
+    def one_filter_pdf(fname: str, body: bytes) -> bytes:
+        return b"".join(
+            [
+                b"%PDF-1.4\n",
+                b"1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n",
+                b"2 0 obj\n<< /Length " + str(len(body)).encode()
+                + b" /Filter " + fname.encode() + b" >>\nstream\n" + body
+                + b"\nendstream\nendobj\n",
+            ]
+        )
+
+    hex_body = plain.hex().encode() + b">"
+    assert parse_pdf(one_filter_pdf("/ASCIIHexDecode", hex_body))["pages"][0][
+        "text"
+    ] == "filtered"
+    a85_body = base64.a85encode(plain) + b"~>"
+    assert parse_pdf(one_filter_pdf("/ASCII85Decode", a85_body))["pages"][0][
+        "text"
+    ] == "filtered"
+    # RunLength: literal run (len-1 prefix) + EOD marker 128
+    rl_body = bytes([len(plain) - 1]) + plain + b"\x80"
+    assert parse_pdf(one_filter_pdf("/RunLengthDecode", rl_body))["pages"][0][
+        "text"
+    ] == "filtered"
+    # RunLength replicate run: 257-250=7 copies of 'x'
+    rl2 = bytes([250]) + b"x" + b"\x80"
+    pdf2 = one_filter_pdf("/RunLengthDecode", bytes([1]) + b"BT" + rl2)
+    # decoded stream is "BT" + "x"*7 — no text ops, but must not crash
+    assert parse_pdf(pdf2)["pages"][0]["text"] == ""
+
+
 def test_encrypted_flagged_not_decrypted():
     pdf = synth_pdf(1, 3)
     pdf = pdf.replace(
