@@ -362,14 +362,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """IVF search: brute-force rerank restricted to the ``n_probe`` cells
-    nearest the query. Recall/cost dial = (n_cells, n_probe)."""
+    nearest the query. Recall/cost dial = (n_cells, n_probe).
+
+    ``cell_col``: name of a PRECOMPUTED cell column (``ivf_assign`` run
+    once at ingest and stored — the at-scale shape, mirroring
+    ``ann_topk_lsh(bucket_col=...)``): a query is then a cell IN-list
+    filter + rerank, no assignment pass over the corpus. With a
+    cell-partitioned/bucketed table the probe filter prunes partitions
+    at the scan."""
     q = np.asarray(query, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
     probe_cells = np.argsort(-(centroids @ q))[:n_probe].tolist()
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
-    cand = assigned.where(F.col("ivf_cell").isin(probe_cells)).select(id_col, vec_col)
+    if cell_col is not None:
+        assigned = embeddings
+    else:
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        cell_col = "ivf_cell"
+    cand = assigned.where(F.col(cell_col).isin(probe_cells)).select(id_col, vec_col)
     return cosine_topk(cand, query, k, id_col, vec_col, round_to)
 
 

@@ -145,6 +145,66 @@ def ann_leg(spark, n: int, workdir: str) -> dict:
     }
 
 
+IVF_K = 64
+IVF_PROBE = 8
+
+
+def ivf_leg(spark, n: int, workdir: str) -> dict:
+    """IVF coarse-quantizer search at scale: centroids train on a bounded
+    deterministic sample, cells are assigned ONCE at ingest and stored
+    (the at-scale shape — ``ivf_topk(cell_col=...)``), a query probes the
+    IVF_PROBE nearest cells and reranks."""
+    from crawl4ai_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    n_clusters = max(n // 1000, 16)
+    raw = os.path.join(workdir, f"ann_{n}")  # reuse the ANN leg's table
+    if not os.path.exists(raw):
+        make_table(spark, n, 0.08, n_clusters, False, raw)
+    emb = spark.read.parquet(raw)
+    t0 = time.time()
+    cents = kmeans_centroids(emb, k=IVF_K, iters=5, sample=10_000, seed=SEED)
+    t_train = time.time() - t0
+    cell_path = os.path.join(workdir, f"ivf_cells_{n}")
+    t0 = time.time()
+    ivf_assign(emb, cents).write.mode("overwrite").parquet(cell_path)
+    t_ingest = time.time() - t0
+    assigned = spark.read.parquet(cell_path)
+
+    true_cents = _centroids(n_clusters)
+    rng = np.random.RandomState(SEED + 2)
+    recalls, t_ivf, t_exact = [], 0.0, 0.0
+    for qi in range(5):
+        q = (true_cents[qi] + 0.05 * rng.standard_normal(DIM)).tolist()
+        t0 = time.time()
+        exact = {r.vec_id for r in cosine_topk(emb, q, K).collect()}
+        t_exact += time.time() - t0
+        t0 = time.time()
+        approx = {
+            r.vec_id
+            for r in ivf_topk(
+                assigned, q, cents, K, n_probe=IVF_PROBE, cell_col="ivf_cell"
+            ).collect()
+        }
+        t_ivf += time.time() - t0
+        recalls.append(len(exact & approx) / K)
+    return {
+        "n": n,
+        "recall_at_10": round(float(np.mean(recalls)), 4),
+        "recalls": recalls,
+        "ivf_sec_per_query": round(t_ivf / 5, 3),
+        "exact_sec_per_query": round(t_exact / 5, 3),
+        "train_sec": round(t_train, 3),
+        "cell_ingest_sec": round(t_ingest, 3),
+        "k_centroids": IVF_K,
+        "n_probe": IVF_PROBE,
+    }
+
+
 def neardup_leg(spark, n: int, workdir: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -187,11 +247,13 @@ def main() -> int:
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
     )
-    out = {"dim": DIM, "cpus": int(cpus), "ann": [], "neardup": []}
+    out = {"dim": DIM, "cpus": int(cpus), "ann": [], "ivf": [], "neardup": []}
     with tempfile.TemporaryDirectory(dir="/tmp") as workdir:
         for n in sizes:
             out["ann"].append(ann_leg(spark, n, workdir))
             print(json.dumps({"leg": "ann", **out["ann"][-1]}), flush=True)
+            out["ivf"].append(ivf_leg(spark, n, workdir))
+            print(json.dumps({"leg": "ivf", **out["ivf"][-1]}), flush=True)
             out["neardup"].append(neardup_leg(spark, n, workdir))
             print(json.dumps({"leg": "neardup", **out["neardup"][-1]}), flush=True)
     print(json.dumps(out), flush=True)

@@ -178,6 +178,22 @@ def test_ivf_topk_recall_on_clusters(spark):
     # determinism: same centroids, same result
     centroids2 = kmeans_centroids(df, k=4, iters=6)
     assert np.allclose(centroids, centroids2)
+    # precomputed-cell path (cells assigned at ingest, query = IN-list
+    # filter + rerank) must return the identical result rows
+    from crawl4ai_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(df, centroids)
+    pre = [
+        (r.vec_id, r.cosine_sim)
+        for r in ivf_topk(
+            assigned, query, centroids, k=10, n_probe=2, cell_col="ivf_cell"
+        ).collect()
+    ]
+    inline = [
+        (r.vec_id, r.cosine_sim)
+        for r in ivf_topk(df, query, centroids, k=10, n_probe=2).collect()
+    ]
+    assert pre == inline
 
 
 def test_ivf_assign_udf_path_matches_literal_path(spark):
