@@ -29,10 +29,15 @@ PDF 1.7 spec (ISO 32000-1):
 - metadata: ``trailer /Info`` Title/Author/Producer + page count +
   ``/Encrypt`` presence (encrypted docs are flagged, never decrypted).
 
+- modern (PDF 1.5+) layouts: ``/ObjStm`` object streams expand into the
+  object map (page trees/annots/info hidden in compressed containers),
+  and when no ``trailer`` keyword exists the ``/Type /XRef``
+  cross-reference stream's dict supplies /Root /Info /Encrypt.
+
 Out of scope (documented; such pages yield empty/garbled text with the
 whole row still poison-tolerant): CID/composite fonts and /ToUnicode
-CMaps, object streams (/ObjStm), xref streams as the only object source,
-LZW/RunLength/DCT filters, encryption.
+CMaps, LZW/DCT/JBIG2 filters, xref-stream predictors (not needed — the
+body scan replaces xref lookup), encryption.
 """
 
 from __future__ import annotations
@@ -365,6 +370,43 @@ def _content_text(content: bytes) -> str:
     return "".join(out)
 
 
+def _expand_object_streams(data: bytes, objects: dict) -> None:
+    """PDF 1.5+ object streams (``/Type /ObjStm``): compressed containers
+    holding many small objects (page dicts, annots, info) that have no
+    ``N 0 obj`` marker of their own — a body scan alone would miss them
+    entirely, which is most modern writers' layout. Decompress each
+    container, parse the ``N``-pair header (obj-number, offset), and
+    merge the embedded objects into the map (container objects never
+    carry streams, so the stream slot is None). First-wins against
+    direct body objects? No — spec says later incremental updates win,
+    and body objects were scanned in document order already, so embedded
+    objects only fill numbers the scan did not see."""
+    for num in list(objects):
+        val, start = objects[num]
+        if not (isinstance(val, dict) and val.get("/Type") == "/ObjStm"):
+            continue
+        try:
+            raw = _stream_bytes(data, objects, num)
+            if raw is None:
+                continue
+            n_objs = int(_resolve(objects, val.get("/N")) or 0)
+            first = int(_resolve(objects, val.get("/First")) or 0)
+            pairs = []
+            pos = 0
+            for _ in range(n_objs):
+                m1 = _NUM_RE.match(raw, _skip_ws(raw, pos))
+                m2 = _NUM_RE.match(raw, _skip_ws(raw, m1.end()))
+                pairs.append((int(m1.group(0)), int(m2.group(0))))
+                pos = m2.end()
+            for onum, off in pairs:
+                if onum in objects:  # a direct body object wins
+                    continue
+                oval, _pos = parse_value(raw, first + off)
+                objects[onum] = (oval, None)
+        except (ValueError, IndexError, AttributeError, zlib.error):
+            continue  # a broken container degrades, never fails the doc
+
+
 def _walk_pages(objects: dict, node, acc: list[int], seen: set[int]) -> None:
     if not isinstance(node, _Ref) or node.num in seen:
         return
@@ -400,6 +442,7 @@ def parse_pdf(data: bytes) -> dict:
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF")
     objects = _scan_objects(data)
+    _expand_object_streams(data, objects)
     if not objects:
         raise ValueError("PDF with no parseable objects")
 
@@ -411,6 +454,14 @@ def parse_pdf(data: bytes) -> dict:
             continue
         if isinstance(t, dict):
             trailer.update(t)
+    if "/Root" not in trailer:
+        # PDF 1.5+ cross-reference STREAMS replace the trailer keyword:
+        # the /Type /XRef object's dict carries /Root /Info /Encrypt
+        for val, _s in objects.values():
+            if isinstance(val, dict) and val.get("/Type") == "/XRef":
+                for k in ("/Root", "/Info", "/Encrypt"):
+                    if k in val and k not in trailer:
+                        trailer[k] = val[k]
 
     encrypted = "/Encrypt" in trailer
     info = _resolve(objects, trailer.get("/Info"))

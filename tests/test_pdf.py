@@ -173,6 +173,46 @@ def test_utf16be_metadata_string():
     assert parse_pdf(pdf)["title"] == "Tïtle"
 
 
+def test_objstm_layout_modern_pdf():
+    """PDF 1.5+ layout: catalog/pages/page/info dicts live INSIDE a
+    compressed /ObjStm container (no 'N 0 obj' markers of their own) and
+    the trailer is an xref STREAM dict, not a trailer keyword. The body
+    scan alone would see zero pages; ObjStm expansion + /Type /XRef
+    trailer fallback must recover everything."""
+    content = b"BT (modern layout) Tj ET"
+    embedded = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+        (4, b"<< /Title (objstm title) /Producer (mirror) >>"),
+    ]
+    offsets, body = [], b""
+    for num, obj in embedded:
+        offsets.append((num, len(body)))
+        body += obj + b" "
+    header = " ".join(f"{n} {o}" for n, o in offsets).encode() + b" "
+    objstm_raw = header + body
+    objstm = zlib.compress(objstm_raw)
+    parts = [
+        b"%PDF-1.5\n",
+        b"6 0 obj\n<< /Type /ObjStm /N 4 /First " + str(len(header)).encode()
+        + b" /Length " + str(len(objstm)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + objstm
+        + b"\nendstream\nendobj\n",
+        b"5 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n",
+        # xref stream dict carries /Root + /Info; its data is irrelevant
+        # to the body scan, so a stub stream suffices
+        b"7 0 obj\n<< /Type /XRef /Size 8 /Root 1 0 R /Info 4 0 R "
+        b"/W [1 2 1] /Length 2 >>\nstream\n\x00\x00\nendstream\nendobj\n",
+        b"startxref\n0\n%%EOF\n",
+    ]
+    doc = parse_pdf(b"".join(parts))
+    assert doc["n_pages"] == 1
+    assert doc["pages"][0]["text"] == "modern layout"
+    assert doc["title"] == "objstm title" and doc["producer"] == "mirror"
+
+
 def test_malformed_inputs_raise():
     for bad in (b"", b"not a pdf", b"%PDF-1.4\njunk", synth_pdf(2, 1)[:150]):
         with pytest.raises(ValueError):
