@@ -20,7 +20,11 @@ PDF 1.7 spec (ISO 32000-1):
   order over ``/Type /Page`` leaves when the trailer is missing/broken.
 - text: content-stream operators ``Tj``, ``'``, ``"``, ``TJ`` inside
   BT/ET blocks; literal strings with all escape forms (incl. octal and
-  line continuations) and hex strings; bytes decode as Latin-1.
+  line continuations) and hex strings. Fonts: ``Tf`` switches the
+  active decode — fonts carrying a ``/ToUnicode`` CMap (the
+  subset-embedded-font case every modern generator produces) decode
+  through it (bfchar + both bfrange forms, 1- and 2-byte codes,
+  unmapped codes → U+FFFD); fonts without one decode Latin-1.
   Line breaks: ``Td``/``TD``/``T*`` and the ``'``/``"`` operators start
   a new output line; ``TJ`` kern numbers are ignored. This matches the
   reference's "naive" per-page ``extract_text`` granularity, not glyph
@@ -35,9 +39,10 @@ PDF 1.7 spec (ISO 32000-1):
   cross-reference stream's dict supplies /Root /Info /Encrypt.
 
 Out of scope (documented; such pages yield empty/garbled text with the
-whole row still poison-tolerant): CID/composite fonts and /ToUnicode
-CMaps, LZW/DCT/JBIG2 filters, xref-stream predictors (not needed — the
-body scan replaces xref lookup), encryption.
+whole row still poison-tolerant): CID fonts WITHOUT a /ToUnicode CMap
+(pure CIDSystemInfo/Identity-H glyph ids), LZW/DCT/JBIG2 filters,
+xref-stream predictors (not needed — the body scan replaces xref
+lookup), encryption.
 """
 
 from __future__ import annotations
@@ -293,10 +298,75 @@ _NEWLINE_OPS = {b"Td", b"TD", b"T*", b"'", b'"', b"BT"}
 _OP_RE = re.compile(rb"[A-Za-z'\"*][A-Za-z0-9'\"*]*")
 
 
-def _content_text(content: bytes) -> str:
+def _hex_utf16(hexs: bytes) -> str:
+    b = bytes.fromhex(hexs.decode("ascii"))
+    try:
+        return b.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
+def _parse_tounicode(raw: bytes) -> tuple[int, dict[int, str]]:
+    """/ToUnicode CMap → (code byte-width, {code: unicode}). Supports
+    begincodespacerange, beginbfchar, and both beginbfrange forms
+    (continuous <lo> <hi> <dstStart> — last UTF-16 unit increments — and
+    the explicit-array form)."""
+    width = 1
+    mapping: dict[int, str] = {}
+    for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange", raw, re.S):
+        for h in re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1)):
+            width = max(width, len(h) // 2)
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", raw, re.S):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            width = max(width, len(src) // 2)
+            mapping[int(src, 16)] = _hex_utf16(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", raw, re.S):
+        body = m.group(1)
+        for lo, hi, arr in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", body, re.S
+        ):
+            width = max(width, len(lo) // 2)
+            for i, d in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", arr)):
+                mapping[int(lo, 16) + i] = _hex_utf16(d)
+        for lo, hi, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", body
+        ):
+            width = max(width, len(lo) // 2)
+            base = int(dst, 16)
+            for i in range(int(hi, 16) - int(lo, 16) + 1):
+                h = format(base + i, f"0{len(dst)}x").encode("ascii")
+                mapping[int(lo, 16) + i] = _hex_utf16(h)
+    return width, mapping
+
+
+def _decode_shown(
+    raw: bytes, font: tuple[int, dict[int, str]] | None
+) -> str:
+    """One shown string → text: Latin-1 byte-per-glyph without a CMap;
+    with a /ToUnicode CMap, split into width-byte codes and map
+    (unmapped codes → U+FFFD, the honest signal for a subset hole)."""
+    if font is None:
+        return raw.decode("latin-1")
+    width, mapping = font
+    if width <= 1:
+        return "".join(mapping.get(b, chr(b)) for b in raw)
+    out = []
+    for i in range(0, len(raw) - width + 1, width):
+        code = int.from_bytes(raw[i : i + width], "big")
+        out.append(mapping.get(code, "�"))
+    return "".join(out)
+
+
+def _content_text(content: bytes, fonts: dict | None = None) -> str:
     """Show-text operators → text. Operand stack discipline: values
     accumulate until an operator token; text ops consume the last string
-    (or array for TJ); line-move ops emit a newline."""
+    (or array for TJ); line-move ops emit a newline. ``fonts`` maps
+    resource names ("/F1") to parsed /ToUnicode CMaps (or None); the
+    ``Tf`` operator switches the active decode."""
+    fonts = fonts or {}
+    cur_font: tuple[int, dict[int, str]] | None = None
     out: list[str] = []
     stack: list = []
     pos, n = 0, len(content)
@@ -349,6 +419,15 @@ def _content_text(content: bytes) -> str:
             pos = pos + end.end() if end else n
             stack.clear()
             continue
+        if op == b"Tf":
+            name = next(
+                (s for s in reversed(stack)
+                 if isinstance(s, str) and s.startswith("/")),
+                None,
+            )
+            cur_font = fonts.get(name)
+            stack.clear()
+            continue
         if op in _NEWLINE_OPS and line_open:
             out.append("\n")
             line_open = False
@@ -356,13 +435,13 @@ def _content_text(content: bytes) -> str:
             if op == b"TJ":
                 arr = stack[-1] if stack and isinstance(stack[-1], list) else []
                 text = "".join(
-                    e.decode("latin-1") for e in arr if isinstance(e, bytes)
+                    _decode_shown(e, cur_font) for e in arr if isinstance(e, bytes)
                 )
             else:
                 last = next(
                     (s for s in reversed(stack) if isinstance(s, bytes)), b""
                 )
-                text = last.decode("latin-1")
+                text = _decode_shown(last, cur_font)
             if text:
                 out.append(text)
                 line_open = True
@@ -493,6 +572,37 @@ def parse_pdf(data: bytes) -> dict:
             if isinstance(val, dict) and val.get("/Type") == "/Page"
         )
 
+    def _page_fonts(page_val: dict) -> dict:
+        """Resource /Font dict (with /Parent inheritance) → {"/F1":
+        (width, cmap) | None} for _content_text's Tf switching."""
+        res = None
+        node, hops = page_val, 0
+        while isinstance(node, dict) and hops < 32:
+            res = _resolve(objects, node.get("/Resources"))
+            if isinstance(res, dict):
+                break
+            node = _resolve(objects, node.get("/Parent"))
+            hops += 1
+        fonts: dict = {}
+        fdict = _resolve(objects, res.get("/Font")) if isinstance(res, dict) else None
+        if isinstance(fdict, dict):
+            for fname, fref in fdict.items():
+                fval = _resolve(objects, fref)
+                tounicode = None
+                if isinstance(fval, dict) and isinstance(
+                    fval.get("/ToUnicode"), _Ref
+                ):
+                    try:
+                        raw = _stream_bytes(
+                            data, objects, fval["/ToUnicode"].num
+                        )
+                        if raw:
+                            tounicode = _parse_tounicode(raw)
+                    except ValueError:
+                        tounicode = None  # broken CMap: latin-1 fallback
+                fonts["/" + fname.lstrip("/")] = tounicode
+        return fonts
+
     pages = []
     for idx, num in enumerate(page_nums, start=1):
         val = objects[num][0]
@@ -512,7 +622,11 @@ def parse_pdf(data: bytes) -> dict:
                     raw = _stream_bytes(data, objects, ref.num)
                     if raw is not None:
                         chunks.append(raw)
-            text = _content_text(b"\n".join(chunks)) if chunks else ""
+            text = (
+                _content_text(b"\n".join(chunks), _page_fonts(val))
+                if chunks
+                else ""
+            )
         links: list[str] = []
         annots = _resolve(objects, val.get("/Annots"))
         if isinstance(annots, list):

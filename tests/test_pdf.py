@@ -173,6 +173,44 @@ def test_utf16be_metadata_string():
     assert parse_pdf(pdf)["title"] == "Tïtle"
 
 
+def test_tounicode_cmap_two_byte_codes():
+    """A subset-embedded font with a /ToUnicode CMap (the modern-writer
+    layout): 2-byte codes map through bfchar + both bfrange forms; a
+    Tf switch to a CMap-less font falls back to Latin-1; unmapped codes
+    become U+FFFD."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar <0001> <00DC> <0002> <006E> endbfchar\n"
+        b"1 beginbfrange <0010> <0012> <0061> endbfrange\n"        # a b c
+        b"1 beginbfrange <0020> <0021> [<20AC> <D83DDE00>] endbfrange\n"
+        b"endcmap\n"
+    )
+    # shown 2-byte codes: 0001 0002 0010 0011 0012 0020 0021 0099
+    shown = b"\x00\x01\x00\x02\x00\x10\x00\x11\x00\x12\x00\x20\x00\x21\x00\x99"
+    content = (
+        b"BT /FU 12 Tf <" + shown.hex().encode() + b"> Tj "
+        b"/F1 12 Tf (plain) Tj ET"
+    )
+    parts = [
+        b"%PDF-1.5\n",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /FU 5 0 R /F1 << /Subtype /Type1 >> >> >>"
+        b" >>\nendobj\n",
+        b"4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n",
+        b"5 0 obj\n<< /Subtype /Type0 /ToUnicode 6 0 R >>\nendobj\n",
+        b"6 0 obj\n<< /Length " + str(len(cmap)).encode()
+        + b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n",
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n",
+    ]
+    doc = parse_pdf(b"".join(parts))
+    # \U0001F600 arrives via the surrogate-pair bfrange entry
+    assert doc["pages"][0]["text"] == "Ünabc€\U0001F600�plain"
+
+
 def test_objstm_layout_modern_pdf():
     """PDF 1.5+ layout: catalog/pages/page/info dicts live INSIDE a
     compressed /ObjStm container (no 'N 0 obj' markers of their own) and
