@@ -11,6 +11,7 @@ PDF 1.7 spec (ISO 32000-1):
   (works with classic xref tables AND broken/absent xref — the tolerant
   posture a web corpus needs); streams resolve ``/Length`` through
   indirect refs; filters: ``/FlateDecode`` (stdlib zlib),
+  ``/LZWDecode`` (TIFF-style MSB-first with ``/EarlyChange``),
   ``/ASCIIHexDecode``, ``/ASCII85Decode`` (stdlib base64),
   ``/RunLengthDecode``; filterless streams pass through raw; inline
   images (``BI..EI``) are skipped so their binary bodies can't poison
@@ -40,8 +41,8 @@ PDF 1.7 spec (ISO 32000-1):
 
 Out of scope (documented; such pages yield empty/garbled text with the
 whole row still poison-tolerant): CID fonts WITHOUT a /ToUnicode CMap
-(pure CIDSystemInfo/Identity-H glyph ids), LZW/DCT/JBIG2 filters,
-xref-stream predictors (not needed — the body scan replaces xref
+(pure CIDSystemInfo/Identity-H glyph ids), image filters (DCT/JBIG2/
+JPX), xref-stream predictors (not needed — the body scan replaces xref
 lookup), encryption.
 """
 
@@ -235,6 +236,54 @@ def _resolve(objects: dict, v, depth: int = 0):
     return v
 
 
+def _lzw_decode_pdf(data: bytes, early_change: int = 1) -> bytes:
+    """PDF /LZWDecode (TIFF-style): MSB-first bit packing, 8-bit symbols
+    (clear=256, EOD=257), code width 9→12 with the ``/EarlyChange``
+    one-early widening every writer uses by default."""
+    clear, eod = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    code_size = 9
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out)  # spec-tolerant: EOD may be omitted
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - code_size)) & ((1 << code_size) - 1)
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = 9
+            prev = None
+            continue
+        if code == eod:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad initial LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # full table: stop adding (deferred clear)
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("bad LZW code")
+        out += entry
+        prev = entry
+        # the decoder's table lags the encoder's next_code by one (the
+        # first code after a clear adds no entry), hence the −1
+        if len(table) >= (1 << code_size) - early_change - 1 and code_size < 12:
+            code_size += 1
+
+
 def _stream_bytes(data: bytes, objects: dict, num: int) -> bytes | None:
     val, start = objects.get(num, (None, None))
     if start is None or not isinstance(val, dict):
@@ -270,6 +319,13 @@ def _stream_bytes(data: bytes, objects: dict, num: int) -> bytes | None:
                 raw = base64.a85decode(body)
             except ValueError as exc:
                 raise ValueError(f"bad ASCII85 stream in obj {num}") from exc
+        elif f in ("/LZWDecode", "/LZW"):
+            parms = _resolve(objects, val.get("/DecodeParms")) or {}
+            ec = parms.get("/EarlyChange", 1) if isinstance(parms, dict) else 1
+            try:
+                raw = _lzw_decode_pdf(raw, int(ec))
+            except ValueError as exc:
+                raise ValueError(f"bad LZW stream in obj {num}") from exc
         elif f in ("/RunLengthDecode", "/RL"):
             out = bytearray()
             i = 0

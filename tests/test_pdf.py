@@ -157,6 +157,72 @@ def test_additional_filters_and_inline_image_skip():
     assert parse_pdf(pdf2)["pages"][0]["text"] == ""
 
 
+def _lzw_encode_pdf(data: bytes, early_change: int = 1) -> bytes:
+    """Independent MSB-first TIFF-LZW mirror encoder for the filter test."""
+    clear, eod = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << size) | code
+        nbits += size
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = eod + 1
+    code_size = 9
+    emit(clear, code_size)
+    run = b""
+    for b in data:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], code_size)
+        table[cand] = next_code
+        next_code += 1
+        if next_code >= (1 << code_size) - early_change and code_size < 12:
+            code_size += 1
+        if next_code >= 4095:  # mid-stream clear before the table fills
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = eod + 1
+            code_size = 9
+        run = bytes([b])
+    if run:
+        emit(table[run], code_size)
+    emit(eod, code_size)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_filter_roundtrip():
+    import random
+
+    from crawl4ai_spark.extraction.pdf import _lzw_decode_pdf
+
+    rng = random.Random(5)
+    for n in (10, 500, 20000):
+        data = bytes(rng.randrange(8) for _ in range(n))  # repetitive
+        assert _lzw_decode_pdf(_lzw_encode_pdf(data)) == data, n
+    content = b"BT (lzw filtered) Tj ET"
+    body = _lzw_encode_pdf(content)
+    pdf = b"".join(
+        [
+            b"%PDF-1.4\n",
+            b"1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n",
+            b"2 0 obj\n<< /Length " + str(len(body)).encode()
+            + b" /Filter /LZWDecode >>\nstream\n" + body
+            + b"\nendstream\nendobj\n",
+        ]
+    )
+    assert parse_pdf(pdf)["pages"][0]["text"] == "lzw filtered"
+
+
 def test_encrypted_flagged_not_decrypted():
     pdf = synth_pdf(1, 3)
     pdf = pdf.replace(
