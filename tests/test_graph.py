@@ -210,6 +210,50 @@ def test_exact_substring_dedup_unique_corpus_is_identity(spark):
     assert joined.where(F.col("dedup_text") != F.col("text")).count() == 0
 
 
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_exact_substring_dedup_random_matches_reference(spark, seed):
+    """Seeded collision-rich corpora (4-token alphabet, lengths 0-25,
+    window 3 — dense overlaps, self-repeats, cross-doc repeats at every
+    alignment) must match an independent pure-Python reference of the
+    keep-global-first / delete-covered-tokens rule exactly."""
+    import random
+    from collections import defaultdict
+
+    from crawl4ai_spark.operators.dedup import exact_substring_dedup
+
+    L = 3
+    rng = random.Random(seed)
+    docs = [
+        (i, " ".join(rng.choice("aa bb cc dd".split()) for _ in range(rng.randrange(26))))
+        for i in range(40)
+    ]
+
+    toks = {i: t.split() for i, t in docs if t.strip()}
+    occ = defaultdict(list)
+    for i in sorted(toks):
+        tt = toks[i]
+        for p in range(len(tt) - L + 1):
+            occ[tuple(tt[p : p + L])].append((i, p))
+    expected = {}
+    cov = defaultdict(set)
+    for sites in occ.values():
+        if len(sites) > 1:
+            keep = min(sites)
+            for i, p in sites:
+                if (i, p) != keep:
+                    cov[i].update(range(p, p + L))
+    for i, tt in toks.items():
+        kept = [tok for q, tok in enumerate(tt) if q not in cov[i]]
+        expected[i] = (" ".join(kept), len(tt), len(tt) - len(cov[i]))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(7)
+    got = {
+        r["id"]: (r["dedup_text"], r["n_tokens"], r["n_tokens_kept"])
+        for r in exact_substring_dedup(df, min_tokens=L).collect()
+    }
+    assert got == expected
+
+
 def test_span_dedup_unique_corpus_is_identity(spark):
     docs = spark.createDataFrame(
         [(i, _doc([f"d{i}w{j}" for j in range(10)])) for i in range(5)],
