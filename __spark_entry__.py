@@ -376,9 +376,12 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     processors/pdf NaivePDFProcessorStrategy surface, re-specified as a
     clean-room stdlib parser — extraction/pdf.py). The fixture PDFs are
     deterministic (valid xref, FlateDecode streams, hex-string and
-    uncompressed variants, URI annots, one poison row), so the oracle
-    re-derives every page's text/link analytically from (doc_id, seed);
-    pages explode through one Arrow mapInPandas pass."""
+    uncompressed variants, URI annots, one poison row, and RC4-encrypted
+    variants — Standard Security Handler /V 1-2 with an empty user
+    password, which parse_pdf decrypts transparently to byte-identical
+    content), so the oracle re-derives every page's text/link
+    analytically from (doc_id, seed); pages explode through one Arrow
+    mapInPandas pass."""
     from crawl4ai_spark.extraction.pdf import extract_pdf_pages, synth_pdf
 
     rows = []
@@ -392,6 +395,9 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 compress=i % 3 != 1,
                 hex_strings=i % 8 == 2,
                 with_links=i % 5 != 4,
+                # empty-user-password RC4 decrypts to identical output,
+                # so the unchanged oracle also pins the decryption path
+                encrypt={3: "rc4-40", 5: "rc4-128"}.get(i % 6),
             )
         rows.append((i, bytearray(payload)))
     pdfs = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(8)

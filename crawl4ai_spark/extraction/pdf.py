@@ -32,23 +32,35 @@ PDF 1.7 spec (ISO 32000-1):
   positioning.
 - links: per-page ``/Annots`` -> ``/A /URI`` (or direct ``/URI``).
 - metadata: ``trailer /Info`` Title/Author/Producer + page count +
-  ``/Encrypt`` presence (encrypted docs are flagged, never decrypted).
+  ``/Encrypt`` presence.
 
 - modern (PDF 1.5+) layouts: ``/ObjStm`` object streams expand into the
   object map (page trees/annots/info hidden in compressed containers),
   and when no ``trailer`` keyword exists the ``/Type /XRef``
   cross-reference stream's dict supplies /Root /Info /Encrypt.
+- encryption: the Standard Security Handler's RC4 variants
+  (ISO 32000-1 §7.6.3: /V 1-2, /R 2-3, 40..128-bit) decrypt
+  transparently when the EMPTY user password verifies against /U —
+  the "owner-password-only" protection that dominates encrypted PDFs
+  on the open web and that the reference's pypdf backend also opens
+  without a password. Per-object keys per Algorithm 1; strings and
+  streams decrypt before filter decoding; ObjStm-embedded objects
+  inherit the container's decryption (spec: their strings are not
+  individually encrypted). Docs whose user password is non-empty (or
+  AES /V 4-5) stay flagged ``encrypted`` with empty text.
 
 Out of scope (documented; such pages yield empty/garbled text with the
 whole row still poison-tolerant): CID fonts WITHOUT a /ToUnicode CMap
 (pure CIDSystemInfo/Identity-H glyph ids), image filters (DCT/JBIG2/
 JPX), xref-stream predictors (not needed — the body scan replaces xref
-lookup), encryption.
+lookup), AES encryption (/V 4-5) and password-protected user passwords.
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
+import struct
 import zlib
 
 _WS = b"\x00\t\n\x0c\r "
@@ -284,7 +296,9 @@ def _lzw_decode_pdf(data: bytes, early_change: int = 1) -> bytes:
             code_size += 1
 
 
-def _stream_bytes(data: bytes, objects: dict, num: int) -> bytes | None:
+def _stream_bytes(
+    data: bytes, objects: dict, num: int, decryptor=None
+) -> bytes | None:
     val, start = objects.get(num, (None, None))
     if start is None or not isinstance(val, dict):
         return None
@@ -294,6 +308,8 @@ def _stream_bytes(data: bytes, objects: dict, num: int) -> bytes | None:
     else:  # broken /Length: scan to endstream
         end = data.find(b"endstream", start)
         raw = data[start : end if end >= 0 else len(data)]
+    if decryptor is not None:  # encryption wraps OUTSIDE the filters
+        raw = decryptor(num, raw)
     filt = _resolve(objects, val.get("/Filter"))
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
     for f in filters:
@@ -505,7 +521,142 @@ def _content_text(content: bytes, fonts: dict | None = None) -> str:
     return "".join(out)
 
 
-def _expand_object_streams(data: bytes, objects: dict) -> None:
+# ── Standard Security Handler (ISO 32000-1 §7.6.3, RC4 /V 1-2 /R 2-3) ────
+
+# the 32-byte password pad string from the spec (Table 3.19 / §7.6.3.3)
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (public algorithm; KSA + PRGA)."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(
+    o: bytes, p: int, file_id: bytes, r: int, n: int, password: bytes = b""
+) -> bytes:
+    """Algorithm 2: padded password + /O + /P (4-byte LE two's
+    complement) + first file ID → MD5 (+50 rounds when R≥3) → n-byte
+    file encryption key."""
+    digest = hashlib.md5(
+        (password + _PW_PAD)[:32]
+        + o[:32]
+        + struct.pack("<I", p & 0xFFFFFFFF)
+        + file_id
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:n]).digest()
+    return digest[:n]
+
+
+def _std_user_matches(key: bytes, u: bytes, r: int, file_id: bytes) -> bool:
+    """Algorithms 4 (R2) / 5 (R3): does the candidate file key reproduce
+    the stored /U entry?"""
+    if r == 2:
+        return _rc4(key, _PW_PAD) == u[:32]
+    exp = _rc4(key, hashlib.md5(_PW_PAD + file_id).digest())
+    for i in range(1, 20):
+        exp = _rc4(bytes(b ^ i for b in key), exp)
+    return exp == u[:16]
+
+
+def _std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
+    """Algorithm 3: the /O entry (used by the fixture encoder)."""
+    okey = hashlib.md5((owner_pw + _PW_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey[:n]).digest()
+    okey = okey[:n]
+    o = _rc4(okey, (user_pw + _PW_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    return o
+
+
+def _std_user_entry(key: bytes, r: int, file_id: bytes) -> bytes:
+    """Algorithms 4/5 forward direction: the /U entry for a file key."""
+    if r == 2:
+        return _rc4(key, _PW_PAD)
+    u = _rc4(key, hashlib.md5(_PW_PAD + file_id).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: per-object RC4 key = MD5(file key + obj num low 3
+    LE + gen low 2 LE), truncated to min(n+5, 16)."""
+    digest = hashlib.md5(
+        file_key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+    ).digest()
+    return digest[: min(len(file_key) + 5, 16)]
+
+
+def _decrypt_strings(val, key: bytes):
+    """Recursively RC4-decrypt every string (bytes) inside a parsed
+    object value with its per-object key."""
+    if isinstance(val, bytes):
+        return _rc4(key, val)
+    if isinstance(val, list):
+        return [_decrypt_strings(v, key) for v in val]
+    if isinstance(val, dict):
+        return {k: _decrypt_strings(v, key) for k, v in val.items()}
+    return val
+
+
+def _setup_decryption(objects: dict, trailer: dict):
+    """If the trailer names a Standard-handler RC4 /Encrypt dict whose
+    EMPTY user password verifies, return the file key; else None.
+    (Non-empty user passwords and AES /V 4-5 stay undecryptable.)"""
+    enc_ref = trailer.get("/Encrypt")
+    enc = _resolve(objects, enc_ref)
+    if not (isinstance(enc, dict) and enc.get("/Filter") == "/Standard"):
+        return None
+    try:
+        v = int(_resolve(objects, enc.get("/V")) or 0)
+        r = int(_resolve(objects, enc.get("/R")) or 0)
+        nbits = int(_resolve(objects, enc.get("/Length")) or 40)
+        p = int(_resolve(objects, enc.get("/P", -1)))
+    except (TypeError, ValueError):
+        return None
+    o, u = enc.get("/O"), enc.get("/U")
+    if v not in (1, 2) or r not in (2, 3):
+        return None
+    if not (isinstance(o, bytes) and isinstance(u, bytes)):
+        return None
+    ids = trailer.get("/ID")
+    file_id = (
+        ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
+    )
+    key = _std_file_key(o, p, file_id, r, max(5, nbits // 8))
+    if _std_user_matches(key, u, r, file_id):
+        return key
+    return None
+
+
+def _expand_object_streams(data: bytes, objects: dict, decryptor=None) -> None:
     """PDF 1.5+ object streams (``/Type /ObjStm``): compressed containers
     holding many small objects (page dicts, annots, info) that have no
     ``N 0 obj`` marker of their own — a body scan alone would miss them
@@ -521,7 +672,7 @@ def _expand_object_streams(data: bytes, objects: dict) -> None:
         if not (isinstance(val, dict) and val.get("/Type") == "/ObjStm"):
             continue
         try:
-            raw = _stream_bytes(data, objects, num)
+            raw = _stream_bytes(data, objects, num, decryptor)
             if raw is None:
                 continue
             n_objs = int(_resolve(objects, val.get("/N")) or 0)
@@ -577,7 +728,6 @@ def parse_pdf(data: bytes) -> dict:
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF")
     objects = _scan_objects(data)
-    _expand_object_streams(data, objects)
     if not objects:
         raise ValueError("PDF with no parseable objects")
 
@@ -594,12 +744,37 @@ def parse_pdf(data: bytes) -> dict:
         # the /Type /XRef object's dict carries /Root /Info /Encrypt
         for val, _s in objects.values():
             if isinstance(val, dict) and val.get("/Type") == "/XRef":
-                for k in ("/Root", "/Info", "/Encrypt"):
+                for k in ("/Root", "/Info", "/Encrypt", "/ID"):
                     if k in val and k not in trailer:
                         trailer[k] = val[k]
 
     encrypted = "/Encrypt" in trailer
-    info = _resolve(objects, trailer.get("/Info"))
+    decryptor = None
+    if encrypted:
+        file_key = _setup_decryption(objects, trailer)
+        if file_key is not None:
+            # Decrypt every direct body object's strings in place with
+            # its per-object key (the /Encrypt dict itself is exempt per
+            # spec); streams decrypt lazily inside _stream_bytes.
+            enc_ref = trailer.get("/Encrypt")
+            skip_num = enc_ref.num if isinstance(enc_ref, _Ref) else -1
+            for num, (val, start) in list(objects.items()):
+                if num == skip_num:
+                    continue
+                objects[num] = (
+                    _decrypt_strings(val, _object_key(file_key, num)),
+                    start,
+                )
+
+            def decryptor(num, raw, _k=file_key):
+                return _rc4(_object_key(_k, num), raw)
+
+    # ObjStm expansion AFTER decryption: container streams decrypt as
+    # streams; their embedded objects' strings are plaintext (spec —
+    # not individually encrypted).
+    _expand_object_streams(data, objects, decryptor)
+    readable = not encrypted or decryptor is not None
+    info = _resolve(objects, trailer.get("/Info")) if readable else None
     meta = {
         "title": _pdf_string(info.get("/Title")) if isinstance(info, dict) else None,
         "author": _pdf_string(info.get("/Author")) if isinstance(info, dict) else None,
@@ -650,7 +825,7 @@ def parse_pdf(data: bytes) -> dict:
                 ):
                     try:
                         raw = _stream_bytes(
-                            data, objects, fval["/ToUnicode"].num
+                            data, objects, fval["/ToUnicode"].num, decryptor
                         )
                         if raw:
                             tounicode = _parse_tounicode(raw)
@@ -663,7 +838,7 @@ def parse_pdf(data: bytes) -> dict:
     for idx, num in enumerate(page_nums, start=1):
         val = objects[num][0]
         text = ""
-        if not encrypted:
+        if readable:
             contents = _resolve(objects, val.get("/Contents"))
             refs = (
                 contents
@@ -675,7 +850,7 @@ def parse_pdf(data: bytes) -> dict:
             chunks = []
             for ref in refs:
                 if isinstance(ref, _Ref):
-                    raw = _stream_bytes(data, objects, ref.num)
+                    raw = _stream_bytes(data, objects, ref.num, decryptor)
                     if raw is not None:
                         chunks.append(raw)
             text = (
@@ -684,7 +859,7 @@ def parse_pdf(data: bytes) -> dict:
                 else ""
             )
         links: list[str] = []
-        annots = _resolve(objects, val.get("/Annots"))
+        annots = _resolve(objects, val.get("/Annots")) if readable else None
         if isinstance(annots, list):
             for a in annots:
                 ad = _resolve(objects, a)
@@ -717,17 +892,60 @@ def synth_pdf(
     compress: bool = True,
     hex_strings: bool = False,
     with_links: bool = True,
+    encrypt: str | None = None,
+    user_password: bytes = b"",
 ) -> bytes:
     """Deterministic valid PDF (classic xref, FlateDecode content
     streams, /Info metadata, URI link annotations). Page ``p`` shows two
     lines whose text is closed-form in (p, seed) — see
     ``synth_pdf_page_text`` — so oracles re-derive the extraction
-    analytically."""
+    analytically. ``encrypt``: None, ``"rc4-40"`` (/V 1 /R 2) or
+    ``"rc4-128"`` (/V 2 /R 3 /Length 128) — Standard Security Handler
+    with owner password ``synth-owner`` and the given user password
+    (empty ⇒ parse_pdf decrypts transparently; the extracted content is
+    byte-identical to the unencrypted document's)."""
+
+    file_key = None
+    enc_obj: bytes | None = None
+    if encrypt is not None:
+        r, n, v = (2, 5, 1) if encrypt == "rc4-40" else (3, 16, 2)
+        file_id = hashlib.md5(b"synth-pdf-id-%d-%d" % (seed, n_pages)).digest()
+        p_flags = -44
+        o_entry = _std_owner_entry(b"synth-owner", user_password, r, n)
+        file_key = _std_file_key(o_entry, p_flags, file_id, r, n, user_password)
+        u_entry = _std_user_entry(file_key, r, file_id)
+        enc_obj = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+            b"/O <%s> /U <%s> >>"
+            % (
+                v,
+                r,
+                n * 8,
+                p_flags,
+                o_entry.hex().encode(),
+                u_entry.hex().encode(),
+            )
+        )
 
     def esc(s: str) -> bytes:
         return (
             s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
         ).encode("latin-1")
+
+    def pstr(s: str, objnum: int) -> bytes:
+        """A PDF string literal; RC4-encrypted (emitted hex) when the
+        document is encrypted."""
+        if file_key is None:
+            return b"(" + esc(s) + b")"
+        ct = _rc4(_object_key(file_key, objnum), s.encode("latin-1"))
+        return b"<" + ct.hex().encode() + b">"
+
+    def pstream(payload: bytes, objnum: int) -> bytes:
+        return (
+            payload
+            if file_key is None
+            else _rc4(_object_key(file_key, objnum), payload)
+        )
 
     objs: dict[int, bytes] = {}
     n_fixed = 3  # catalog=1, pages=2, info=3
@@ -737,8 +955,9 @@ def synth_pdf(
     kids = b" ".join(b"%d 0 R" % pid for pid in page_ids)
     objs[2] = b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
     objs[3] = (
-        b"<< /Title (synthetic pdf %d) /Author (crawl4ai-spark) "
-        b"/Producer (synth_pdf) >>" % seed
+        b"<< /Title " + pstr(f"synthetic pdf {seed}", 3)
+        + b" /Author " + pstr("crawl4ai-spark", 3)
+        + b" /Producer " + pstr("synth_pdf", 3) + b" >>"
     )
 
     for i, pid in enumerate(page_ids):
@@ -753,10 +972,12 @@ def synth_pdf(
         )
         if compress:
             payload = zlib.compress(content)
-            stream_dict = b"<< /Length %d /Filter /FlateDecode >>" % len(payload)
+            stream_dict_tpl = b"<< /Length %d /Filter /FlateDecode >>"
         else:
             payload = content
-            stream_dict = b"<< /Length %d >>" % len(payload)
+            stream_dict_tpl = b"<< /Length %d >>"
+        payload = pstream(payload, pid + 1)
+        stream_dict = stream_dict_tpl % len(payload)
         annots = b" /Annots [%d 0 R]" % (pid + 2) if with_links else b""
         objs[pid] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
@@ -767,8 +988,14 @@ def synth_pdf(
         if with_links:
             objs[pid + 2] = (
                 b"<< /Type /Annot /Subtype /Link /Rect [50 680 300 700] "
-                b"/A << /S /URI /URI (" + esc(synth_pdf_link(i + 1, seed)) + b") >> >>"
+                b"/A << /S /URI /URI "
+                + pstr(synth_pdf_link(i + 1, seed), pid + 2)
+                + b" >> >>"
             )
+
+    if enc_obj is not None:
+        objs[max(objs) + 1] = enc_obj
+        enc_num = max(objs)
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
@@ -788,9 +1015,14 @@ def synth_pdf(
     out += b"0000000000 65535 f \n"
     for num in range(1, max_num + 1):
         out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    extra = b""
+    if enc_obj is not None:
+        idh = file_id.hex().encode()
+        extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_num, idh, idh)
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R /Info 3 0 R >>\n"
-        b"startxref\n%d\n%%%%EOF\n" % (max_num + 1, xref_pos)
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 3 0 R" % (max_num + 1)
+        + extra
+        + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
     )
     return bytes(out)
 

@@ -4,6 +4,7 @@ string/escape semantics, tolerant parsing fallbacks, and the
 poison-tolerant Spark operator (reference surface:
 processors/pdf/processor.py NaivePDFProcessorStrategy via pypdf)."""
 
+import hashlib
 import zlib
 
 import pytest
@@ -224,12 +225,97 @@ def test_lzw_filter_roundtrip():
 
 
 def test_encrypted_flagged_not_decrypted():
+    """/Encrypt pointing at a non-Standard dict: flagged, nothing
+    readable, nothing leaked."""
     pdf = synth_pdf(1, 3)
     pdf = pdf.replace(
         b"/Root 1 0 R /Info 3 0 R", b"/Root 1 0 R /Info 3 0 R /Encrypt 3 0 R"
     )
     doc = parse_pdf(pdf)
     assert doc["encrypted"] and doc["pages"][0]["text"] == ""
+    assert doc["title"] is None
+
+
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128"])
+@pytest.mark.parametrize(
+    "kw",
+    [{}, {"hex_strings": True}, {"compress": False}, {"with_links": False}],
+)
+def test_rc4_encrypted_decrypts_transparently(mode, kw):
+    """Standard Security Handler RC4 (/V 1 /R 2 and /V 2 /R 3) with an
+    empty user password: pages, links, and /Info must equal the
+    unencrypted document's byte-for-byte (ISO 32000-1 §7.6.3
+    Algorithms 1-5)."""
+    plain = parse_pdf(synth_pdf(3, seed=11, **kw))
+    doc = parse_pdf(synth_pdf(3, seed=11, encrypt=mode, **kw))
+    assert doc["encrypted"] is True
+    for k in ("n_pages", "title", "author", "producer", "pages"):
+        assert doc[k] == plain[k]
+
+
+def test_rc4_nonempty_user_password_stays_locked():
+    doc = parse_pdf(
+        synth_pdf(2, seed=7, encrypt="rc4-128", user_password=b"secret")
+    )
+    assert doc["encrypted"] is True and doc["n_pages"] == 2
+    assert all(p["text"] == "" and p["links"] == [] for p in doc["pages"])
+    assert doc["title"] is None and doc["producer"] is None
+
+
+def test_rc4_encrypted_objstm_layout():
+    """Encryption × modern layout: the /ObjStm container decrypts as a
+    stream; its embedded objects' strings are NOT individually encrypted
+    (spec), while direct body streams/strings are."""
+    from crawl4ai_spark.extraction.pdf import (
+        _object_key,
+        _rc4,
+        _std_file_key,
+        _std_owner_entry,
+        _std_user_entry,
+    )
+
+    r, n = 3, 16
+    file_id = hashlib.md5(b"objstm-enc-id").digest()
+    o_entry = _std_owner_entry(b"synth-owner", b"", r, n)
+    key = _std_file_key(o_entry, -44, file_id, r, n, b"")
+    u_entry = _std_user_entry(key, r, file_id)
+
+    content = b"BT (modern encrypted) Tj ET"
+    embedded = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+        (4, b"<< /Title (objstm enc title) /Producer (mirror) >>"),
+    ]
+    offsets, body = [], b""
+    for num, obj in embedded:
+        offsets.append((num, len(body)))
+        body += obj + b" "
+    header = " ".join(f"{nu} {o}" for nu, o in offsets).encode() + b" "
+    objstm = _rc4(_object_key(key, 6), zlib.compress(header + body))
+    enc_content = _rc4(_object_key(key, 5), content)
+    idh = file_id.hex().encode()
+    parts = [
+        b"%PDF-1.5\n",
+        b"6 0 obj\n<< /Type /ObjStm /N 4 /First " + str(len(header)).encode()
+        + b" /Length " + str(len(objstm)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + objstm
+        + b"\nendstream\nendobj\n",
+        b"5 0 obj\n<< /Length " + str(len(enc_content)).encode()
+        + b" >>\nstream\n" + enc_content + b"\nendstream\nendobj\n",
+        b"8 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 /O <"
+        + o_entry.hex().encode() + b"> /U <" + u_entry.hex().encode()
+        + b"> >>\nendobj\n",
+        b"7 0 obj\n<< /Type /XRef /Size 9 /Root 1 0 R /Info 4 0 R "
+        b"/Encrypt 8 0 R /ID [<" + idh + b"> <" + idh + b">] "
+        b"/W [1 2 1] /Length 2 >>\nstream\n\x00\x00\nendstream\nendobj\n",
+        b"startxref\n0\n%%EOF\n",
+    ]
+    doc = parse_pdf(b"".join(parts))
+    assert doc["encrypted"] is True
+    assert doc["n_pages"] == 1
+    assert doc["pages"][0]["text"] == "modern encrypted"
+    assert doc["title"] == "objstm enc title" and doc["producer"] == "mirror"
 
 
 def test_utf16be_metadata_string():
