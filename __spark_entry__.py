@@ -395,9 +395,13 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 compress=i % 3 != 1,
                 hex_strings=i % 8 == 2,
                 with_links=i % 5 != 4,
-                # empty-user-password RC4 decrypts to identical output,
-                # so the unchanged oracle also pins the decryption path
-                encrypt={3: "rc4-40", 5: "rc4-128"}.get(i % 6),
+                # empty-user-password encryption decrypts to identical
+                # output, so the unchanged oracle also pins the RC4 and
+                # AES decryption paths (one aes-256 doc: the R6 hash
+                # costs ~1s/doc by design — pure-stdlib AES)
+                encrypt="aes-256"
+                if i == 4
+                else {3: "rc4-40", 5: "rc4-128", 1: "aes-128"}.get(i % 6),
             )
         rows.append((i, bytearray(payload)))
     pdfs = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(8)

@@ -38,26 +38,32 @@ PDF 1.7 spec (ISO 32000-1):
   object map (page trees/annots/info hidden in compressed containers),
   and when no ``trailer`` keyword exists the ``/Type /XRef``
   cross-reference stream's dict supplies /Root /Info /Encrypt.
-- encryption: the Standard Security Handler's RC4 variants
-  (ISO 32000-1 §7.6.3: /V 1-2, /R 2-3, 40..128-bit) decrypt
-  transparently when the EMPTY user password verifies against /U —
-  the "owner-password-only" protection that dominates encrypted PDFs
-  on the open web and that the reference's pypdf backend also opens
-  without a password. Per-object keys per Algorithm 1; strings and
-  streams decrypt before filter decoding; ObjStm-embedded objects
-  inherit the container's decryption (spec: their strings are not
-  individually encrypted). Docs whose user password is non-empty (or
-  AES /V 4-5) stay flagged ``encrypted`` with empty text.
+- encryption: the Standard Security Handler decrypts transparently
+  when the EMPTY user password verifies — the "owner-password-only"
+  protection that dominates encrypted PDFs on the open web and that
+  the reference's pypdf backend also opens without a password. All
+  four mainstream variants: RC4 (ISO 32000-1 §7.6.3: /V 1-2, /R 2-3,
+  40..128-bit), AES-128 (/V 4 /R 4 crypt filters, /CFM /AESV2) and
+  AES-256 (/V 5 /R 5-6, ISO 32000-2 Algorithm 2.B hash) — AES is a
+  clean-room FIPS-197 implementation pinned by the published appendix-C
+  known-answer vectors. Per-object keys per Algorithm 1 (file key
+  direct for V5); strings and streams decrypt before filter decoding;
+  ObjStm-embedded objects inherit the container's decryption (spec:
+  their strings are not individually encrypted). Docs whose user
+  password is non-empty stay flagged ``encrypted`` with empty text.
 
 Out of scope (documented; such pages yield empty/garbled text with the
 whole row still poison-tolerant): CID fonts WITHOUT a /ToUnicode CMap
 (pure CIDSystemInfo/Identity-H glyph ids), image filters (DCT/JBIG2/
 JPX), xref-stream predictors (not needed — the body scan replaces xref
-lookup), AES encryption (/V 4-5) and password-protected user passwords.
+lookup), password-protected (non-empty) user passwords, and exotic /V 4
+crypt-filter layouts (per-stream /Crypt filter overrides, /Identity
+string filter with AES streams).
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 import struct
@@ -553,16 +559,24 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _std_file_key(
-    o: bytes, p: int, file_id: bytes, r: int, n: int, password: bytes = b""
+    o: bytes,
+    p: int,
+    file_id: bytes,
+    r: int,
+    n: int,
+    password: bytes = b"",
+    extra: bytes = b"",
 ) -> bytes:
     """Algorithm 2: padded password + /O + /P (4-byte LE two's
-    complement) + first file ID → MD5 (+50 rounds when R≥3) → n-byte
+    complement) + first file ID [+ ffffffff when R≥4 and
+    /EncryptMetadata false] → MD5 (+50 rounds when R≥3) → n-byte
     file encryption key."""
     digest = hashlib.md5(
         (password + _PW_PAD)[:32]
         + o[:32]
         + struct.pack("<I", p & 0xFFFFFFFF)
         + file_id
+        + extra
     ).digest()
     if r >= 3:
         for _ in range(50):
@@ -605,31 +619,200 @@ def _std_user_entry(key: bytes, r: int, file_id: bytes) -> bytes:
     return u + b"\x00" * 16
 
 
-def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
-    """Algorithm 1: per-object RC4 key = MD5(file key + obj num low 3
-    LE + gen low 2 LE), truncated to min(n+5, 16)."""
+# ── AES (FIPS-197, clean-room, table-driven; CBC for /AESV2 /AESV3) ──────
+
+
+def _build_aes_tables():
+    """GF(2^8) log/exp tables (generator 3), the S-box via inverse +
+    affine map, and per-coefficient multiply tables for MixColumns —
+    all derived from the public FIPS-197 definitions."""
+    exp = [0] * 510
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x ^= ((x << 1) & 0xFF) ^ (0x1B if x & 0x80 else 0)  # x *= 3
+    for i in range(255, 510):
+        exp[i] = exp[i - 255]
+
+    def gmul(a, b):
+        return exp[log[a] + log[b]] if a and b else 0
+
+    sbox = [0] * 256
+    inv_sbox = [0] * 256
+    for b in range(256):
+        inv = exp[255 - log[b]] if b else 0
+        s = inv
+        for _ in range(4):
+            inv = ((inv << 1) | (inv >> 7)) & 0xFF
+            s ^= inv
+        s ^= 0x63
+        sbox[b] = s
+        inv_sbox[s] = b
+    mul = {c: [gmul(b, c) for b in range(256)] for c in (2, 3, 9, 11, 13, 14)}
+    return sbox, inv_sbox, mul
+
+
+_SBOX, _INV_SBOX, _GMUL = _build_aes_tables()
+
+
+def _aes_round_keys(key: bytes):
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    rcon = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = [_SBOX[t[1]] ^ rcon, _SBOX[t[2]], _SBOX[t[3]], _SBOX[t[0]]]
+            rcon = ((rcon << 1) ^ (0x1B if rcon & 0x80 else 0)) & 0xFF
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        prev = w[i - nk]
+        w.append([prev[j] ^ t[j] for j in range(4)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(nr + 1)], nr
+
+
+def _aes_encrypt_block(rk, nr, block):
+    m2, m3 = _GMUL[2], _GMUL[3]
+    s = [block[i] ^ rk[0][i] for i in range(16)]
+    for rnd in range(1, nr + 1):
+        # SubBytes + ShiftRows (column-major state: index = row + 4*col)
+        s = [_SBOX[s[(i + 4 * (i % 4)) % 16]] for i in range(16)]
+        if rnd != nr:
+            t = []
+            for c in (0, 4, 8, 12):
+                a0, a1, a2, a3 = s[c], s[c + 1], s[c + 2], s[c + 3]
+                t += [
+                    m2[a0] ^ m3[a1] ^ a2 ^ a3,
+                    a0 ^ m2[a1] ^ m3[a2] ^ a3,
+                    a0 ^ a1 ^ m2[a2] ^ m3[a3],
+                    m3[a0] ^ a1 ^ a2 ^ m2[a3],
+                ]
+            s = t
+        k = rk[rnd]
+        s = [s[i] ^ k[i] for i in range(16)]
+    return s
+
+
+def _aes_decrypt_block(rk, nr, block):
+    m9, m11, m13, m14 = _GMUL[9], _GMUL[11], _GMUL[13], _GMUL[14]
+    s = [block[i] ^ rk[nr][i] for i in range(16)]
+    for rnd in range(nr - 1, -1, -1):
+        # InvShiftRows + InvSubBytes
+        s = [_INV_SBOX[s[(i - 4 * (i % 4)) % 16]] for i in range(16)]
+        k = rk[rnd]
+        s = [s[i] ^ k[i] for i in range(16)]
+        if rnd != 0:
+            t = []
+            for c in (0, 4, 8, 12):
+                a0, a1, a2, a3 = s[c], s[c + 1], s[c + 2], s[c + 3]
+                t += [
+                    m14[a0] ^ m11[a1] ^ m13[a2] ^ m9[a3],
+                    m9[a0] ^ m14[a1] ^ m11[a2] ^ m13[a3],
+                    m13[a0] ^ m9[a1] ^ m14[a2] ^ m11[a3],
+                    m11[a0] ^ m13[a1] ^ m9[a2] ^ m14[a3],
+                ]
+            s = t
+    return s
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-CBC encrypt; ``data`` length must be a 16 multiple."""
+    rk, nr = _aes_round_keys(key)
+    out = bytearray()
+    prev = list(iv)
+    for off in range(0, len(data), 16):
+        blk = [data[off + i] ^ prev[i] for i in range(16)]
+        prev = _aes_encrypt_block(rk, nr, blk)
+        out += bytes(prev)
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rk, nr = _aes_round_keys(key)
+    out = bytearray()
+    prev = list(iv)
+    for off in range(0, len(data) - len(data) % 16, 16):
+        blk = list(data[off : off + 16])
+        dec = _aes_decrypt_block(rk, nr, blk)
+        out += bytes(d ^ p for d, p in zip(dec, prev))
+        prev = blk
+    return bytes(out)
+
+
+def _aes_decrypt_pdf(key: bytes, data: bytes) -> bytes:
+    """PDF AES payload layout (§7.6.2): 16-byte IV prefix, CBC body,
+    PKCS#7 padding. Malformed payloads yield b'' (poison-tolerant)."""
+    if len(data) < 32 or (len(data) - 16) % 16:
+        return b""
+    pt = _aes_cbc_decrypt(key, data[:16], data[16:])
+    pad = pt[-1] if pt else 0
+    return pt[:-pad] if 1 <= pad <= 16 else pt
+
+
+def _aes_encrypt_pdf(key: bytes, iv: bytes, data: bytes) -> bytes:
+    pad = 16 - len(data) % 16
+    return iv + _aes_cbc_encrypt(key, iv, data + bytes([pad]) * pad)
+
+
+@functools.lru_cache(maxsize=256)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6 password hash): iterated
+    SHA-256/384/512 selected by an AES-CBC feedback block."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _v5_password_hash(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    # R5 (the deprecated Acrobat-9 extension) is a single SHA-256
+    return (
+        _hash_2b(password, salt, udata)
+        if r == 6
+        else hashlib.sha256(password + salt + udata).digest()
+    )
+
+
+def _object_key(file_key: bytes, num: int, gen: int = 0, aes: bool = False) -> bytes:
+    """Algorithm 1: per-object key = MD5(file key + obj num low 3 LE +
+    gen low 2 LE [+ b'sAlT' for AESV2]), truncated to min(n+5, 16)."""
     digest = hashlib.md5(
-        file_key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+        file_key
+        + struct.pack("<I", num)[:3]
+        + struct.pack("<I", gen)[:2]
+        + (b"sAlT" if aes else b"")
     ).digest()
     return digest[: min(len(file_key) + 5, 16)]
 
 
-def _decrypt_strings(val, key: bytes):
-    """Recursively RC4-decrypt every string (bytes) inside a parsed
-    object value with its per-object key."""
+def _decrypt_strings(val, key: bytes, dec):
+    """Recursively decrypt every string (bytes) inside a parsed object
+    value with its per-object key and cipher primitive."""
     if isinstance(val, bytes):
-        return _rc4(key, val)
+        return dec(key, val)
     if isinstance(val, list):
-        return [_decrypt_strings(v, key) for v in val]
+        return [_decrypt_strings(v, key, dec) for v in val]
     if isinstance(val, dict):
-        return {k: _decrypt_strings(v, key) for k, v in val.items()}
+        return {k: _decrypt_strings(v, key, dec) for k, v in val.items()}
     return val
 
 
 def _setup_decryption(objects: dict, trailer: dict):
-    """If the trailer names a Standard-handler RC4 /Encrypt dict whose
-    EMPTY user password verifies, return the file key; else None.
-    (Non-empty user passwords and AES /V 4-5 stay undecryptable.)"""
+    """If the trailer names a Standard-handler /Encrypt dict whose EMPTY
+    user password verifies, return ``(cipher, file_key)`` with cipher in
+    {'rc4' (/V 1-2 /R 2-3), 'aesv2' (/V 4 /R 4 /CFM /AESV2), 'aesv3'
+    (/V 5 /R 5-6 AES-256)}; else None (docs needing a real user
+    password stay locked)."""
     enc_ref = trailer.get("/Encrypt")
     enc = _resolve(objects, enc_ref)
     if not (isinstance(enc, dict) and enc.get("/Filter") == "/Standard"):
@@ -642,18 +825,55 @@ def _setup_decryption(objects: dict, trailer: dict):
     except (TypeError, ValueError):
         return None
     o, u = enc.get("/O"), enc.get("/U")
-    if v not in (1, 2) or r not in (2, 3):
-        return None
     if not (isinstance(o, bytes) and isinstance(u, bytes)):
         return None
+
+    if v == 5 and r in (5, 6):
+        # ISO 32000-2 §7.6.4.4 Algorithms 2.A/8: /U = hash(48) where
+        # bytes 32-39 are the validation salt, 40-47 the key salt; the
+        # file key is AES-256-CBC(iv=0) of /UE under the key-salt hash.
+        ue = enc.get("/UE")
+        if len(u) < 48 or not (isinstance(ue, bytes) and len(ue) >= 32):
+            return None
+        vsalt, ksalt = u[32:40], u[40:48]
+        if _v5_password_hash(b"", vsalt, b"", r) != u[:32]:
+            return None
+        ik = _v5_password_hash(b"", ksalt, b"", r)
+        return ("aesv3", _aes_cbc_decrypt(ik, bytes(16), ue[:32]))
+
     ids = trailer.get("/ID")
     file_id = (
         ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
     )
+    if v == 4 and r == 4:
+        # /V 4: crypt filters. Only the common layout — /StmF and /StrF
+        # both /StdCF with /CFM /AESV2 (AES-128) or /V2 (RC4-128).
+        cf = _resolve(objects, enc.get("/CF"))
+        stdcf = _resolve(objects, cf.get("/StdCF")) if isinstance(cf, dict) else None
+        cfm = stdcf.get("/CFM") if isinstance(stdcf, dict) else None
+        if cfm not in ("/AESV2", "/V2"):
+            return None
+        extra = b"" if enc.get("/EncryptMetadata", True) else b"\xff\xff\xff\xff"
+        key = _std_file_key(o, p, file_id, r, max(5, nbits // 8), extra=extra)
+        if _std_user_matches(key, u, 3, file_id):
+            return ("aesv2" if cfm == "/AESV2" else "rc4", key)
+        return None
+
+    if v not in (1, 2) or r not in (2, 3):
+        return None
     key = _std_file_key(o, p, file_id, r, max(5, nbits // 8))
     if _std_user_matches(key, u, r, file_id):
-        return key
+        return ("rc4", key)
     return None
+
+
+def _make_decryptor(cipher: str, file_key: bytes):
+    """(per-object-key fn, cipher primitive) for a verified handler."""
+    if cipher == "rc4":
+        return (lambda num: _object_key(file_key, num)), _rc4
+    if cipher == "aesv2":
+        return (lambda num: _object_key(file_key, num, aes=True)), _aes_decrypt_pdf
+    return (lambda num: file_key), _aes_decrypt_pdf  # aesv3: file key direct
 
 
 def _expand_object_streams(data: bytes, objects: dict, decryptor=None) -> None:
@@ -751,8 +971,10 @@ def parse_pdf(data: bytes) -> dict:
     encrypted = "/Encrypt" in trailer
     decryptor = None
     if encrypted:
-        file_key = _setup_decryption(objects, trailer)
-        if file_key is not None:
+        handler = _setup_decryption(objects, trailer)
+        if handler is not None:
+            cipher, file_key = handler
+            okey, dec = _make_decryptor(cipher, file_key)
             # Decrypt every direct body object's strings in place with
             # its per-object key (the /Encrypt dict itself is exempt per
             # spec); streams decrypt lazily inside _stream_bytes.
@@ -761,13 +983,10 @@ def parse_pdf(data: bytes) -> dict:
             for num, (val, start) in list(objects.items()):
                 if num == skip_num:
                     continue
-                objects[num] = (
-                    _decrypt_strings(val, _object_key(file_key, num)),
-                    start,
-                )
+                objects[num] = (_decrypt_strings(val, okey(num), dec), start)
 
-            def decryptor(num, raw, _k=file_key):
-                return _rc4(_object_key(_k, num), raw)
+            def decryptor(num, raw):
+                return dec(okey(num), raw)
 
     # ObjStm expansion AFTER decryption: container streams decrypt as
     # streams; their embedded objects' strings are plaintext (spec —
@@ -899,53 +1118,112 @@ def synth_pdf(
     streams, /Info metadata, URI link annotations). Page ``p`` shows two
     lines whose text is closed-form in (p, seed) — see
     ``synth_pdf_page_text`` — so oracles re-derive the extraction
-    analytically. ``encrypt``: None, ``"rc4-40"`` (/V 1 /R 2) or
-    ``"rc4-128"`` (/V 2 /R 3 /Length 128) — Standard Security Handler
-    with owner password ``synth-owner`` and the given user password
-    (empty ⇒ parse_pdf decrypts transparently; the extracted content is
-    byte-identical to the unencrypted document's)."""
+    analytically. ``encrypt``: None, ``"rc4-40"`` (/V 1 /R 2),
+    ``"rc4-128"`` (/V 2 /R 3 /Length 128), ``"aes-128"`` (/V 4 /R 4
+    /CFM /AESV2) or ``"aes-256"`` (/V 5 /R 6 /CFM /AESV3, ISO 32000-2)
+    — Standard Security Handler with owner password ``synth-owner`` and
+    the given user password (empty ⇒ parse_pdf decrypts transparently;
+    the extracted content is byte-identical to the unencrypted
+    document's)."""
 
     file_key = None
+    enc_cipher = None
     enc_obj: bytes | None = None
     if encrypt is not None:
-        r, n, v = (2, 5, 1) if encrypt == "rc4-40" else (3, 16, 2)
         file_id = hashlib.md5(b"synth-pdf-id-%d-%d" % (seed, n_pages)).digest()
         p_flags = -44
-        o_entry = _std_owner_entry(b"synth-owner", user_password, r, n)
-        file_key = _std_file_key(o_entry, p_flags, file_id, r, n, user_password)
-        u_entry = _std_user_entry(file_key, r, file_id)
-        enc_obj = (
-            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
-            b"/O <%s> /U <%s> >>"
-            % (
-                v,
-                r,
-                n * 8,
-                p_flags,
-                o_entry.hex().encode(),
-                u_entry.hex().encode(),
+        if encrypt == "aes-256":
+            enc_cipher = "aesv3"
+            file_key = hashlib.sha256(
+                b"synth-file-key-%d-%d" % (seed, n_pages)
+            ).digest()
+            s16 = hashlib.md5(b"u-salts-%d-%d" % (seed, n_pages)).digest()
+            vsalt, ksalt = s16[:8], s16[8:16]
+            u_entry = _v5_password_hash(user_password, vsalt, b"", 6) + vsalt + ksalt
+            ue = _aes_cbc_encrypt(
+                _v5_password_hash(user_password, ksalt, b"", 6), bytes(16), file_key
             )
-        )
+            o16 = hashlib.md5(b"o-salts-%d-%d" % (seed, n_pages)).digest()
+            ovs, oks = o16[:8], o16[8:16]
+            o_entry = _hash_2b(b"synth-owner", ovs, u_entry) + ovs + oks
+            oe = _aes_cbc_encrypt(
+                _hash_2b(b"synth-owner", oks, u_entry), bytes(16), file_key
+            )
+            # /Perms: single-block AES-ECB (== CBC, zero IV) of P + pad
+            perms = _aes_cbc_encrypt(
+                file_key,
+                bytes(16),
+                struct.pack("<i", p_flags) + b"\xff\xff\xff\xffTadb\x00\x00\x00\x00",
+            )
+            enc_obj = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d "
+                b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> "
+                b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF >>"
+                % (
+                    p_flags,
+                    o_entry.hex().encode(),
+                    u_entry.hex().encode(),
+                    oe.hex().encode(),
+                    ue.hex().encode(),
+                    perms.hex().encode(),
+                )
+            )
+        else:
+            r, n, v = {
+                "rc4-40": (2, 5, 1),
+                "rc4-128": (3, 16, 2),
+                "aes-128": (4, 16, 4),
+            }[encrypt]
+            enc_cipher = "aesv2" if encrypt == "aes-128" else "rc4"
+            o_entry = _std_owner_entry(b"synth-owner", user_password, r, n)
+            file_key = _std_file_key(o_entry, p_flags, file_id, r, n, user_password)
+            u_entry = _std_user_entry(file_key, min(r, 3), file_id)
+            cf = (
+                b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+                if encrypt == "aes-128"
+                else b""
+            )
+            enc_obj = (
+                b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+                b"/O <%s> /U <%s>%s >>"
+                % (
+                    v,
+                    r,
+                    n * 8,
+                    p_flags,
+                    o_entry.hex().encode(),
+                    u_entry.hex().encode(),
+                    cf,
+                )
+            )
 
     def esc(s: str) -> bytes:
         return (
             s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
         ).encode("latin-1")
 
+    def enc_payload(objnum: int, payload: bytes) -> bytes:
+        if enc_cipher == "rc4":
+            return _rc4(_object_key(file_key, objnum), payload)
+        key = (
+            _object_key(file_key, objnum, aes=True)
+            if enc_cipher == "aesv2"
+            else file_key
+        )
+        iv = hashlib.md5(b"iv-%d-%d-" % (seed, objnum) + payload[:16]).digest()
+        return _aes_encrypt_pdf(key, iv, payload)
+
     def pstr(s: str, objnum: int) -> bytes:
-        """A PDF string literal; RC4-encrypted (emitted hex) when the
+        """A PDF string literal; encrypted (emitted hex) when the
         document is encrypted."""
         if file_key is None:
             return b"(" + esc(s) + b")"
-        ct = _rc4(_object_key(file_key, objnum), s.encode("latin-1"))
-        return b"<" + ct.hex().encode() + b">"
+        return b"<" + enc_payload(objnum, s.encode("latin-1")).hex().encode() + b">"
 
     def pstream(payload: bytes, objnum: int) -> bytes:
-        return (
-            payload
-            if file_key is None
-            else _rc4(_object_key(file_key, objnum), payload)
-        )
+        return payload if file_key is None else enc_payload(objnum, payload)
 
     objs: dict[int, bytes] = {}
     n_fixed = 3  # catalog=1, pages=2, info=3

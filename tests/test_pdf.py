@@ -236,16 +236,17 @@ def test_encrypted_flagged_not_decrypted():
     assert doc["title"] is None
 
 
-@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128"])
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128", "aes-256"])
 @pytest.mark.parametrize(
     "kw",
     [{}, {"hex_strings": True}, {"compress": False}, {"with_links": False}],
 )
-def test_rc4_encrypted_decrypts_transparently(mode, kw):
-    """Standard Security Handler RC4 (/V 1 /R 2 and /V 2 /R 3) with an
-    empty user password: pages, links, and /Info must equal the
-    unencrypted document's byte-for-byte (ISO 32000-1 §7.6.3
-    Algorithms 1-5)."""
+def test_encrypted_decrypts_transparently(mode, kw):
+    """Standard Security Handler — RC4 (/V 1 /R 2, /V 2 /R 3), AES-128
+    (/V 4 /R 4 /AESV2) and AES-256 (/V 5 /R 6 /AESV3) — with an empty
+    user password: pages, links, and /Info must equal the unencrypted
+    document's byte-for-byte (ISO 32000-1 §7.6.3 Algorithms 1-5;
+    ISO 32000-2 §7.6.4 Algorithms 2.A/2.B/8)."""
     plain = parse_pdf(synth_pdf(3, seed=11, **kw))
     doc = parse_pdf(synth_pdf(3, seed=11, encrypt=mode, **kw))
     assert doc["encrypted"] is True
@@ -253,13 +254,34 @@ def test_rc4_encrypted_decrypts_transparently(mode, kw):
         assert doc[k] == plain[k]
 
 
-def test_rc4_nonempty_user_password_stays_locked():
+@pytest.mark.parametrize("mode", ["rc4-128", "aes-128", "aes-256"])
+def test_nonempty_user_password_stays_locked(mode):
     doc = parse_pdf(
-        synth_pdf(2, seed=7, encrypt="rc4-128", user_password=b"secret")
+        synth_pdf(2, seed=7, encrypt=mode, user_password=b"secret")
     )
     assert doc["encrypted"] is True and doc["n_pages"] == 2
     assert all(p["text"] == "" and p["links"] == [] for p in doc["pages"])
     assert doc["title"] is None and doc["producer"] is None
+
+
+def test_aes_fips197_known_answer_vectors():
+    """The clean-room AES core must reproduce the published FIPS-197
+    appendix-C cipher examples (and invert them)."""
+    from crawl4ai_spark.extraction.pdf import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_round_keys,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for key, ct_hex in [
+        (bytes(range(16)), "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        (bytes(range(24)), "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        (bytes(range(32)), "8ea2b7ca516745bfeafc49904b496089"),
+    ]:
+        rk, nr = _aes_round_keys(key)
+        assert bytes(_aes_encrypt_block(rk, nr, list(pt))).hex() == ct_hex
+        assert bytes(_aes_decrypt_block(rk, nr, list(bytes.fromhex(ct_hex)))) == pt
 
 
 def test_rc4_encrypted_objstm_layout():
