@@ -36,7 +36,7 @@ coverage). Lines use their trimmed text; blank lines are ignored.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Gopher's "stop words present" gate (Rae et al. 2021 A1.1)
@@ -187,47 +187,59 @@ def _gram_rows(base: DataFrame) -> DataFrame:
     This removes the per-gram string build (concat_ws allocated up to
     ~100 B × 9 grams × every token position; the round-4 profile's
     dominant map-side cost) and downstream frequency rows carry 16 bytes
-    per gram."""
+    per gram.
+
+    The leads and gram structs are built as SQL text (selectExpr /
+    expr), not Column trees: the ~250 expression nodes cost one py4j
+    round-trip each when composed in Python (~0.45 s of DRIVER time per
+    query build, round-5 profile) but parse JVM-side in one call as
+    strings. Catalyst still collapses the identical OVER specs into a
+    single Window operator."""
     max_n = max((*_TOP_NS, *_DUP_NS))
     toks = base.select(
         "doc_id", "text_chars", F.posexplode(_words(F.col("_text"))).alias("pos", "t")
-    ).select(
+    ).selectExpr(
+        "doc_id", "text_chars", "pos", "xxhash64(t) AS h0", "length(t) AS l0"
+    )
+    over = "OVER (PARTITION BY doc_id ORDER BY pos)"
+    led = toks.selectExpr(
         "doc_id",
         "text_chars",
-        "pos",
-        F.xxhash64("t").alias("h0"),
-        F.length("t").alias("l0"),
+        "h0",
+        "l0",
+        *[
+            e
+            for i in range(1, max_n)
+            for e in (
+                f"lead(h0, {i}) {over} AS h{i}",
+                f"lead(l0, {i}) {over} AS l{i}",
+            )
+        ],
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    lead_cols = []
-    for i in range(1, max_n):
-        lead_cols.append(F.lead("h0", i).over(win).alias(f"h{i}"))
-        lead_cols.append(F.lead("l0", i).over(win).alias(f"l{i}"))
-    led = toks.select("doc_id", "text_chars", "h0", "l0", *lead_cols)
-    grams = [
-        F.struct(
-            F.lit(f"g{n}").alias("kind"),
-            # a valid size-n gram has a non-null last lead (leads are
-            # contiguous, so the earlier ones are then non-null too)
-            F.when(
-                F.col(f"h{n-1}").isNotNull(),
-                F.xxhash64(*[F.col(f"h{i}") for i in range(n)]),
-            ).alias("key"),
-            (
-                sum(F.col(f"l{i}") for i in range(1, n)) + F.col("l0") + F.lit(n - 1)
-            ).cast("long").alias("key_chars"),
+    structs = []
+    for n in (*_TOP_NS, *_DUP_NS):
+        # a valid size-n gram has a non-null last lead (leads are
+        # contiguous, so the earlier ones are then non-null too)
+        key = "xxhash64(" + ", ".join(f"h{i}" for i in range(n)) + ")"
+        chars = " + ".join(f"l{i}" for i in range(n)) + f" + {n - 1}"
+        structs.append(
+            f"named_struct('kind', 'g{n}', "
+            f"'key', if(h{n - 1} IS NOT NULL, {key}, CAST(NULL AS BIGINT)), "
+            f"'key_chars', CAST({chars} AS BIGINT))"
         )
-        for n in (*_TOP_NS, *_DUP_NS)
-    ]
     return (
-        led.select("doc_id", "text_chars", F.explode(F.array(*grams)).alias("kk"))
-        .where(F.col("kk.key").isNotNull())
-        .select(
+        led.select(
             "doc_id",
             "text_chars",
-            F.col("kk.kind").alias("kind"),
-            F.col("kk.key").alias("key"),
-            F.col("kk.key_chars").alias("key_chars"),
+            F.expr("explode(array(" + ", ".join(structs) + "))").alias("kk"),
+        )
+        .where("kk.key IS NOT NULL")
+        .selectExpr(
+            "doc_id",
+            "text_chars",
+            "kk.kind AS kind",
+            "kk.key AS key",
+            "kk.key_chars AS key_chars",
         )
     )
 
@@ -243,51 +255,47 @@ def _per_kind_signals(rows: DataFrame) -> DataFrame:
     this battery). The packed ordering is the same lexicographic
     (frequency, length); key_chars < 2^31 is guaranteed (a key's length
     is bounded by its document, and Spark strings cap at 2 GiB) and
-    c < 2^32 likewise (occurrences are bounded by document length)."""
+    c < 2^32 likewise (occurrences are bounded by document length).
+
+    SQL-text expressions for the same reason as ``_gram_rows``: one
+    py4j call per aggregate instead of one per expression node."""
     freq = rows.groupBy("doc_id", "kind", "key").agg(
-        F.count("*").alias("c"),
-        F.first("key_chars").alias("key_chars"),
-        F.first("text_chars").alias("text_chars"),
+        F.expr("count(*) AS c"),
+        F.expr("first(key_chars) AS key_chars"),
+        F.expr("first(text_chars) AS text_chars"),
     )
     # cover of the most frequent key (ties: longer key; further ties all
     # share the same c·len cover, so the argmax choice is moot). A key
     # must actually REPEAT to count — cover 0 when max c == 1, else every
     # short doc's longest singleton gram reads as "repetition" and
     # spuriously trips the 0.2/0.18/0.16 gates
-    packed = F.max(
-        F.when(F.col("c") >= 2, F.shiftleft(F.col("c"), 31) + F.col("key_chars"))
-    )
     per_kind = freq.groupBy("doc_id", "kind").agg(
-        F.first("text_chars").alias("text_chars"),
-        F.sum("c").alias("n_total"),
-        F.count("*").alias("n_distinct"),
-        packed.alias("_top_packed"),
-        F.sum(
-            F.when(F.col("c") >= 2, F.col("c") * F.col("key_chars"))
-        ).cast("double").alias("dup_chars"),
+        F.expr("first(text_chars) AS text_chars"),
+        F.expr("sum(c) AS n_total"),
+        F.expr("count(*) AS n_distinct"),
+        F.expr(
+            "max(if(c >= 2, shiftleft(c, 31) + key_chars, "
+            "CAST(NULL AS BIGINT))) AS _top_packed"
+        ),
+        F.expr(
+            "CAST(sum(if(c >= 2, c * key_chars, CAST(NULL AS BIGINT))) "
+            "AS DOUBLE) AS dup_chars"
+        ),
     )
     top_cover = (
-        F.shiftrightunsigned(F.col("_top_packed"), 31)
-        * F.col("_top_packed").bitwiseAND(F.lit((1 << 31) - 1))
-    ).cast("double")
-    safe_text = F.greatest(F.col("text_chars"), F.lit(1.0))
-    top_frac = F.round(
-        F.least(F.coalesce(top_cover, F.lit(0.0)) / safe_text, F.lit(1.0)), 6
+        f"CAST(shiftrightunsigned(_top_packed, 31) "
+        f"* (_top_packed & {(1 << 31) - 1}) AS DOUBLE)"
     )
-    dup_frac = F.round(
-        F.least(F.coalesce(F.col("dup_chars"), F.lit(0.0)) / safe_text, F.lit(1.0)), 6
-    )
-    line_dup_frac = F.round(
-        (F.col("n_total") - F.col("n_distinct"))
-        / F.greatest(F.col("n_total"), F.lit(1)).cast("double"),
-        6,
-    )
-    return per_kind.select(
+    safe_text = "greatest(text_chars, 1.0D)"
+    return per_kind.selectExpr(
         "doc_id",
         "kind",
-        line_dup_frac.alias("line_dup_frac"),
-        dup_frac.alias("dup_frac"),
-        top_frac.alias("top_frac"),
+        "round((n_total - n_distinct) / CAST(greatest(n_total, 1) AS DOUBLE), 6)"
+        " AS line_dup_frac",
+        f"round(least(coalesce(dup_chars, 0.0D) / {safe_text}, 1.0D), 6)"
+        " AS dup_frac",
+        f"round(least(coalesce({top_cover}, 0.0D) / {safe_text}, 1.0D), 6)"
+        " AS top_frac",
     )
 
 
@@ -312,26 +320,18 @@ def gopher_repetition_signals(
     kinded = _per_kind_signals(_line_rows(base)).unionByName(
         _per_kind_signals(_gram_rows(base))
     )
+    def pick(kind: str, src: str, out: str) -> Column:
+        return F.expr(
+            f"coalesce(max(if(kind = '{kind}', {src}, CAST(NULL AS DOUBLE))),"
+            f" 0.0D) AS {out}"
+        )
+
     agg_cols = [
-        F.coalesce(
-            F.max(F.when(F.col("kind") == "line", F.col("line_dup_frac"))), F.lit(0.0)
-        ).alias("dup_line_fraction"),
-        F.coalesce(
-            F.max(F.when(F.col("kind") == "line", F.col("dup_frac"))), F.lit(0.0)
-        ).alias("dup_line_char_fraction"),
+        pick("line", "line_dup_frac", "dup_line_fraction"),
+        pick("line", "dup_frac", "dup_line_char_fraction"),
+        *[pick(f"g{n}", "top_frac", f"top_{n}gram_char_fraction") for n in _TOP_NS],
+        *[pick(f"g{n}", "dup_frac", f"dup_{n}gram_char_fraction") for n in _DUP_NS],
     ]
-    for n in _TOP_NS:
-        agg_cols.append(
-            F.coalesce(
-                F.max(F.when(F.col("kind") == f"g{n}", F.col("top_frac"))), F.lit(0.0)
-            ).alias(f"top_{n}gram_char_fraction")
-        )
-    for n in _DUP_NS:
-        agg_cols.append(
-            F.coalesce(
-                F.max(F.when(F.col("kind") == f"g{n}", F.col("dup_frac"))), F.lit(0.0)
-            ).alias(f"dup_{n}gram_char_fraction")
-        )
     return kinded.groupBy("doc_id").agg(*agg_cols)
 
 
@@ -367,16 +367,18 @@ def gopher_filter(
     sig = gopher_signals(docs, id_col, text_col, shuffle_parts)
     fails = []
     for c, (lo, hi) in sorted(th.items()):
-        bad = F.col(c) < F.lit(float(lo))
+        bad = f"`{c}` < {float(lo)!r}D"
         if hi != float("inf"):
-            bad = bad | (F.col(c) > F.lit(float(hi)))
-        fails.append(F.when(bad, F.lit(c)))
-    reasons = F.array_join(
-        F.filter(F.array(*fails), lambda x: x.isNotNull()), ","
+            bad = f"({bad} OR `{c}` > {float(hi)!r}D)"
+        fails.append(f"if({bad}, '{c}', CAST(NULL AS STRING))")
+    reasons = (
+        "array_join(filter(array("
+        + ", ".join(fails)
+        + "), x -> x IS NOT NULL), ',')"
     )
     return sig.select(
         "*",
-        reasons.alias("fail_reasons"),
+        F.expr(reasons).alias("fail_reasons"),
     ).withColumn("gopher_pass", F.col("fail_reasons") == "")
 
 
