@@ -1066,7 +1066,13 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") < 5)
-    return decontaminate(docs.where(F.col("doc_id") >= 5), bench, n=3)
+    # the 5-doc benchmark side is small by construction: force the
+    # broadcast path instead of paying the auto-probe's counting job
+    # (the None default's probe is for real eval batteries whose
+    # distinct-gram count is not known a priori)
+    return decontaminate(
+        docs.where(F.col("doc_id") >= 5), bench, n=3, broadcast_bench=True
+    )
 
 
 def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,15 +102,19 @@ def kgram_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
         F.col(id_col).alias("doc_id"),
         F.posexplode(clean_terms_col(F.col(text_col))).alias("pos", "tok"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    grams = toks.select(
-        "doc_id", "pos", *[p.alias(f"t{i}") for i, p in enumerate(parts)]
-    ).where(F.col(f"t{n-1}").isNotNull())
-    return grams.select(
+    # leads + gram concat as SQL text: one py4j call instead of one per
+    # expression node (n=13 decontamination builds ~40 nodes here)
+    over = "OVER (PARTITION BY doc_id ORDER BY pos)"
+    grams = toks.selectExpr(
         "doc_id",
         "pos",
-        F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)]).alias("gram"),
+        "tok AS t0",
+        *[f"lead(tok, {i}) {over} AS t{i}" for i in range(1, n)],
+    ).where(f"t{n - 1} IS NOT NULL")
+    return grams.selectExpr(
+        "doc_id",
+        "pos",
+        "concat_ws(' ', " + ", ".join(f"t{i}" for i in range(n)) + ") AS gram",
     )
 
 
@@ -371,26 +375,27 @@ def lsh_banded_buckets(
     seed: int = 42,
     shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, band, bucket) LSH band assignments."""
+    """(doc_id, band, bucket) LSH band assignments.
+
+    The per-band bucket hashes are SQL text, not Column trees — the
+    bands × rows_per_band expression nodes cost one py4j round-trip each
+    when composed in Python (~0.3 s of driver time at the 16×4 default;
+    round-5 profile) but parse JVM-side in one call as a string."""
     assert k % bands == 0
     rows_per_band = k // bands
     sigs = minhash_signatures(docs, id_col, text_col, n, k, seed, shingle_sets)
+    band_hashes = ", ".join(
+        "hash(concat_ws('_', "
+        + ", ".join(
+            [str(b)]
+            + [f"signature[{b * rows_per_band + r}]" for r in range(rows_per_band)]
+        )
+        + "))"
+        for b in range(bands)
+    )
     return sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        F.concat_ws(
-                            "_",
-                            F.lit(b),
-                            *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.expr(f"array({band_hashes})")).alias("band", "bucket"),
     )
 
 
