@@ -169,6 +169,8 @@ def _parse_name(data: bytes, pos: int) -> tuple[str, int]:
 
 
 _NUM_RE = re.compile(rb"[+-]?\d*\.?\d+")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+_EI_RE = re.compile(rb"\bEI\b")
 
 
 def parse_value(data: bytes, pos: int):
@@ -215,10 +217,12 @@ def parse_value(data: bytes, pos: int):
     m = _NUM_RE.match(data, pos)
     if not m:
         raise ValueError(f"bad PDF token at {pos}: {data[pos:pos+16]!r}")
-    # "N G R" indirect reference lookahead
-    ref = re.match(rb"(\d+)\s+\d+\s+R\b", data[pos:])
+    # "N G R" indirect reference lookahead (anchored match at pos —
+    # a data[pos:] slice here is a full-buffer copy per numeric token,
+    # O(n²) on large web-corpus PDFs)
+    ref = _REF_RE.match(data, pos)
     if ref:
-        return _Ref(int(ref.group(1))), pos + ref.end()
+        return _Ref(int(ref.group(1))), ref.end()
     tok = m.group(0)
     num = float(tok) if b"." in tok else int(tok)
     return num, m.end()
@@ -493,8 +497,8 @@ def _content_text(content: bytes, fonts: dict | None = None) -> str:
         pos = op_m.end()
         if op == b"BI":  # inline image: skip to EI (binary body would
             # otherwise poison the token stream)
-            end = re.search(rb"\bEI\b", content[pos:])
-            pos = pos + end.end() if end else n
+            end = _EI_RE.search(content, pos)
+            pos = end.end() if end else n
             stack.clear()
             continue
         if op == b"Tf":

@@ -43,24 +43,37 @@ WARC_PAGES_SCHEMA = (
 _CHARSET_RE = re.compile(rb"charset=([A-Za-z0-9_\-]+)", re.I)
 
 
-def iter_gzip_members(data: bytes):
+def iter_gzip_members(data: bytes, chunk: int = 1 << 20):
     """Yield decompressed members of a (possibly multi-member) gzip blob;
-    non-gzip input yields itself once (plain .warc)."""
+    non-gzip input yields itself once (plain .warc).
+
+    Feeds the decompressor bounded zero-copy memoryview slices instead of
+    ``data[pos:]`` — a CC segment is ~1 GB with ~50k members, and a
+    tail-slice per member is O(n²) memcpy (petabytes per file); this is
+    O(n) with ``unused_data`` bounded by ``chunk``."""
     if data[:2] != b"\x1f\x8b":
         yield data
         return
+    buf = memoryview(data)
     pos = 0
     n = len(data)
-    while pos < n and data[pos : pos + 2] == b"\x1f\x8b":
+    while pos < n and data[pos] == 0x1F and data[pos + 1 : pos + 2] == b"\x8b":
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out = bytearray()
+        p = pos
         try:
-            yield d.decompress(data[pos:])
+            while not d.eof and p < n:
+                out += d.decompress(buf[p : p + chunk])
+                p += chunk
         except zlib.error as exc:
             raise ValueError(f"bad gzip member at offset {pos}") from exc
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        yield bytes(out)
+        next_pos = min(p, n) - len(d.unused_data)
+        if next_pos <= pos:
             break
-        pos += consumed
+        pos = next_pos
 
 
 def iter_warc_records(payload: bytes):
