@@ -75,56 +75,33 @@ def fake_histogram_decoder(payload: bytes, meta: dict) -> list[float]:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Pure-stdlib PNG decode (zlib inflate + filter reconstruction) →
-    (width, height, channels, raw interleaved 8-bit pixels).
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per the PNG spec —
+# the decoder reconstructs each pass as its own filtered sub-image and
+# scatters pixels back onto the full grid.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Supports the common web subset: 8-bit depth, color types 0 (gray),
-    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced. Filters 0-4 per
-    the PNG spec (None/Sub/Up/Average/Paeth). Raises ValueError on
-    anything else (palette/16-bit/interlaced) — the caller treats that as
-    decode_ok=false, not a job failure.
-    """
-    import struct
-    import zlib
 
-    if payload[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG")
-    pos = 8
-    width = height = None
-    channels = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # skip CRC
-        if ctype == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or interlace != 0:
-                raise ValueError("unsupported PNG (16-bit or interlaced)")
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-            if channels is None:
-                raise ValueError(f"unsupported PNG color type {color}")
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-    if width is None or not idat:
-        raise ValueError("truncated PNG")
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) < height * (stride + 1):
+def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
+                  channels: int, depth: int) -> tuple[list[bytearray], int]:
+    """Reverse PNG scanline filters 0-4 on one (sub-)image whose filtered
+    scanlines start at ``raw[pos]``; returns the packed unfiltered rows
+    and the position just past them. Filtering is byte-level with
+    bpp = the byte width of one pixel, rounded UP to 1 for sub-byte
+    depths, exactly as the spec defines the left-neighbor distance."""
+    bits_pp = channels * depth
+    stride = (width * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
+    if len(raw) < pos + height * (stride + 1):
         raise ValueError("short PNG pixel data")
-    out = bytearray(height * stride)
+    rows: list[bytearray] = []
     prev = bytearray(stride)
-    bpp = channels
-    for y in range(height):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
         if ftype == 1:  # Sub
             for x in range(bpp, stride):
                 line[x] = (line[x] + line[x - bpp]) & 0xFF
@@ -146,8 +123,126 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 line[x] = (line[x] + pred) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad PNG filter {ftype}")
-        out[y * stride : (y + 1) * stride] = line
+        rows.append(line)
         prev = line
+    return rows, pos
+
+
+def _png_row_samples(row: bytearray, width: int, channels: int, depth: int,
+                     scale_subbyte: bool) -> list[int]:
+    """Unpack one packed scanline into width*channels 8-bit samples.
+    16-bit samples take the high byte (the spec's own 8-bit reduction);
+    sub-byte samples unpack MSB-first and are scaled to full 8-bit range
+    for gray (palette INDICES stay raw: scale_subbyte=False)."""
+    n = width * channels
+    if depth == 8:
+        return list(row[:n])
+    if depth == 16:
+        return list(row[0 : 2 * n : 2])
+    scale = 255 // ((1 << depth) - 1) if scale_subbyte else 1
+    out = []
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    for i in range(n):
+        byte = row[i // per_byte]
+        shift = 8 - depth * (i % per_byte + 1)
+        out.append(((byte >> shift) & mask) * scale)
+    return out
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib PNG decode (zlib inflate + filter reconstruction) →
+    (width, height, channels, raw interleaved 8-bit pixels).
+
+    Full static-PNG coverage: color types 0 (gray), 2 (RGB), 3 (palette,
+    expanded to RGB — RGBA when a tRNS chunk is present), 4 (gray+alpha),
+    6 (RGBA); bit depths 1/2/4/8/16 (16-bit reduced to the high byte,
+    sub-byte gray scaled to full range); interlace 0 and 1 (Adam7 — each
+    pass unfiltered as its own sub-image then scattered). Filters 0-4
+    per the spec (None/Sub/Up/Average/Paeth). Raises ValueError on
+    malformed streams — the caller treats that as decode_ok=false, not a
+    job failure.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    channels = depth = color = interlace = None
+    palette: bytes | None = None
+    trns: bytes | None = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if depth not in (1, 2, 4, 8, 16) or interlace not in (0, 1):
+                raise ValueError(f"bad PNG depth/interlace {depth}/{interlace}")
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"tRNS" and color == 3:
+            trns = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(bytes(idat))
+    scale_subbyte = color != 3  # palette indices must stay raw
+    # samples[y] = width*channels 8-bit values (or palette indices)
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, width, height, channels, depth)
+        samples = [
+            _png_row_samples(r, width, channels, depth, scale_subbyte) for r in rows
+        ]
+    else:
+        samples = [[0] * (width * channels) for _ in range(height)]
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, off = _png_unfilter(raw, off, pw, ph, channels, depth)
+            for j, r in enumerate(rows):
+                vals = _png_row_samples(r, pw, channels, depth, scale_subbyte)
+                y = y0 + j * dy
+                for i in range(pw):
+                    x = x0 + i * dx
+                    samples[y][x * channels : (x + 1) * channels] = vals[
+                        i * channels : (i + 1) * channels
+                    ]
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        out_ch = 4 if trns is not None else 3
+        out = bytearray(height * width * out_ch)
+        k = 0
+        for row in samples:
+            for idx in row:
+                if 3 * idx + 2 >= len(palette):
+                    raise ValueError("PNG palette index out of range")
+                out[k : k + 3] = palette[3 * idx : 3 * idx + 3]
+                if out_ch == 4:
+                    out[k + 3] = trns[idx] if idx < len(trns) else 255
+                k += out_ch
+        return width, height, out_ch, bytes(out)
+    out = bytearray(height * width * channels)
+    k = 0
+    for row in samples:
+        out[k : k + len(row)] = bytes(row)
+        k += len(row)
     return width, height, channels, bytes(out)
 
 
@@ -625,8 +720,40 @@ def extract_media_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def synth_png(width: int, height: int, seed: int = 0) -> bytes:
-    """Deterministic 8-bit RGB PNG (filter 0 rows, stdlib zlib)."""
+def _png_pack_row(samples: list[int], depth: int) -> bytes:
+    """Pack one scanline's raw samples at the given bit depth (MSB-first
+    for sub-byte, big-endian sample<<8 for 16-bit)."""
+    if depth == 8:
+        return bytes(samples)
+    if depth == 16:
+        out = bytearray()
+        for v in samples:
+            out += bytes((v, 0))  # high byte carries the 8-bit value
+        return bytes(out)
+    out = bytearray((len(samples) * depth + 7) // 8)
+    for i, v in enumerate(samples):
+        shift = 8 - depth * (i % (8 // depth) + 1)
+        out[i * depth // 8] |= (v & ((1 << depth) - 1)) << shift
+    return bytes(out)
+
+
+def synth_png(
+    width: int,
+    height: int,
+    seed: int = 0,
+    *,
+    interlace: bool = False,
+    depth: int = 8,
+    color: str = "rgb",
+    trns: bool = False,
+) -> bytes:
+    """Deterministic PNG (filter 0 rows, stdlib zlib) — the test/fixture
+    mirror of ``png_decode``. ``color``: "rgb" (type 2; depth 8/16, the
+    16-bit high byte carries the same pixel values as the 8-bit encode so
+    both decode identically), "gray" (type 0; depth 1/2/4/8), "palette"
+    (type 3; depth 4/8, 16-entry deterministic palette, optional short
+    tRNS). ``interlace`` emits the Adam7 pass sequence over the same
+    logical pixel grid."""
     import struct
     import zlib
 
@@ -636,15 +763,50 @@ def synth_png(width: int, height: int, seed: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    raw = b"".join(
-        b"\x00" + bytes((x * 7 + y * 13 + seed) % 256 for x in range(width * 3))
-        for y in range(height)
-    )
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return (
-        _PNG_MAGIC + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
-    )
+    if color == "rgb":
+        ctype_n, channels = 2, 3
+        px = lambda x, y: [  # noqa: E731
+            ((3 * x + c) * 7 + y * 13 + seed) % 256 for c in range(3)
+        ]
+    elif color == "gray":
+        ctype_n, channels = 0, 1
+        px = lambda x, y: [(x * 7 + y * 13 + seed) % (1 << depth)]  # noqa: E731
+    elif color == "palette":
+        ctype_n, channels = 3, 1
+        px = lambda x, y: [(x * 7 + y * 13 + seed) % 16]  # noqa: E731
+    else:
+        raise ValueError(f"unknown synth_png color {color}")
+
+    def pass_bytes(x0: int, y0: int, dx: int, dy: int) -> bytes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            return b""
+        rows = []
+        for j in range(ph):
+            samples: list[int] = []
+            for i in range(pw):
+                samples.extend(px(x0 + i * dx, y0 + j * dy))
+            rows.append(b"\x00" + _png_pack_row(samples, depth))
+        return b"".join(rows)
+
+    if interlace:
+        raw = b"".join(pass_bytes(*p) for p in _ADAM7)
+    else:
+        raw = pass_bytes(0, 0, 1, 1)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype_n, 0, 0, int(interlace))
+    parts = [_PNG_MAGIC, chunk(b"IHDR", ihdr)]
+    if color == "palette":
+        pal = bytes(
+            b for j in range(16) for b in (j * 11 % 256, j * 59 % 256, j * 83 % 256)
+        )
+        parts.append(chunk(b"PLTE", pal))
+        if trns:
+            # deliberately SHORTER than the palette: indices past the end
+            # must decode as alpha 255
+            parts.append(chunk(b"tRNS", bytes((j * 29) % 256 for j in range(8))))
+    parts += [chunk(b"IDAT", zlib.compress(raw)), chunk(b"IEND", b"")]
+    return b"".join(parts)
 
 
 def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
@@ -792,7 +954,21 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
         if i % 2 == 0:
             if kind == "image":
                 if i % 12 == 0:
-                    payload = synth_png(8 + i % 4, 6 + i % 3, seed=i)
+                    # same closed-form dims for every PNG variant (the
+                    # oracle derives width/height from the id alone);
+                    # the variants pin the decoder's interlace / 16-bit /
+                    # palette+tRNS branches end-to-end: 0,48 plain; 12,60
+                    # Adam7; 24 16-bit; 36 palette
+                    variant = i % 48
+                    payload = synth_png(
+                        8 + i % 4,
+                        6 + i % 3,
+                        seed=i,
+                        interlace=variant == 12,
+                        depth=16 if variant == 24 else 8,
+                        color="palette" if variant == 36 else "rgb",
+                        trns=variant == 36,
+                    )
                     mime = "image/png"
                 elif i % 36 == 18:  # GIF ids (18 interlaced at 54): real
                     # LZW pixel path with closed-form dims for the oracle

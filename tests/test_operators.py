@@ -387,6 +387,71 @@ def test_png_decoder_inverts_all_filters():
     assert list(pix) == [v for px in pixels for v in px]
 
 
+def test_png_interlaced_equals_plain():
+    """Adam7 decode must reproduce the non-interlaced pixels exactly —
+    including widths/heights below the pass grid (empty passes) and odd
+    dimensions (partial passes)."""
+    from crawl4ai_spark.operators.multimodal import png_decode, synth_png
+
+    for w, h in [(8, 6), (9, 7), (3, 2), (1, 1), (16, 5), (7, 16), (2, 9)]:
+        plain = png_decode(synth_png(w, h, seed=w * 31 + h))
+        inter = png_decode(synth_png(w, h, seed=w * 31 + h, interlace=True))
+        assert inter == plain, (w, h)
+
+
+def test_png_16bit_reduces_to_8bit():
+    """16-bit samples decode to their high byte — the synth encoder puts
+    the 8-bit pixel value there, so both depths decode identically."""
+    from crawl4ai_spark.operators.multimodal import png_decode, synth_png
+
+    for w, h in [(8, 6), (5, 3)]:
+        assert png_decode(synth_png(w, h, seed=2, depth=16)) == png_decode(
+            synth_png(w, h, seed=2)
+        )
+
+
+def test_png_gray_subbyte_depths():
+    """1/2/4/8-bit grayscale: MSB-first unpack + full-range scaling, plain
+    and interlaced (per-pass packed-row boundaries)."""
+    from crawl4ai_spark.operators.multimodal import png_decode, synth_png
+
+    w, h, seed = 11, 5, 3
+    for depth in (1, 2, 4, 8):
+        scale = 255 // ((1 << depth) - 1)
+        want = bytes(
+            ((x * 7 + y * 13 + seed) % (1 << depth)) * scale
+            for y in range(h)
+            for x in range(w)
+        )
+        for interlace in (False, True):
+            gw, gh, gc, pix = png_decode(
+                synth_png(w, h, seed=seed, depth=depth, color="gray", interlace=interlace)
+            )
+            assert (gw, gh, gc) == (w, h, 1)
+            assert pix == want, (depth, interlace)
+
+
+def test_png_palette_expansion_and_trns():
+    """Color type 3 expands through PLTE (RGB), and a tRNS chunk shorter
+    than the palette yields RGBA with alpha 255 past the chunk's end."""
+    from crawl4ai_spark.operators.multimodal import png_decode, synth_png
+
+    w, h, seed = 9, 4, 5
+    idx = [(x * 7 + y * 13 + seed) % 16 for y in range(h) for x in range(w)]
+    pal = {j: (j * 11 % 256, j * 59 % 256, j * 83 % 256) for j in range(16)}
+
+    gw, gh, gc, pix = png_decode(synth_png(w, h, seed=seed, color="palette"))
+    assert (gw, gh, gc) == (w, h, 3)
+    assert pix == bytes(v for j in idx for v in pal[j])
+
+    gw, gh, gc, pix = png_decode(synth_png(w, h, seed=seed, color="palette", trns=True))
+    assert (gw, gh, gc) == (w, h, 4)
+    want = bytes(
+        v for j in idx for v in (*pal[j], (j * 29) % 256 if j < 8 else 255)
+    )
+    assert pix == want
+
+
 def test_image_feature_decoder_real_png_through_pipeline(spark):
     """A real PNG payload must produce decode_ok=true with exact channel
     means through the distributed mapInPandas stage; a garbage payload in
