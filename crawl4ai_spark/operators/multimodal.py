@@ -314,6 +314,85 @@ def gif_probe(payload: bytes) -> tuple[int, int, int]:
     return width, height, 3
 
 
+def webp_probe(payload: bytes) -> tuple[int, int, int]:
+    """WebP dimensions from the RIFF container → (width, height, c).
+    Handles all three stream kinds: VP8 (lossy key frame: 0x9D012A start
+    code then 14-bit dims), VP8L (lossless: 0x2F signature then packed
+    14-bit dims-1), VP8X (extended: 24-bit canvas dims-1). Pixel decode
+    is a VP8 codec — out of scope; the caller uses byte-stat features."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    fourcc = payload[12:16]
+    if fourcc == b"VP8 ":
+        if payload[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("WebP VP8 without key-frame start code")
+        w, h = struct.unpack("<HH", payload[26:30])
+        return (w & 0x3FFF), (h & 0x3FFF), 3
+    if fourcc == b"VP8L":
+        if len(payload) < 25 or payload[20] != 0x2F:
+            raise ValueError("bad WebP VP8L signature")
+        (bits,) = struct.unpack("<I", payload[21:25])
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, 4
+    if fourcc == b"VP8X":
+        if len(payload) < 30:
+            raise ValueError("truncated WebP VP8X")
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+        return w, h, 4 if payload[20] & 0x10 else 3  # alpha flag
+    raise ValueError(f"unknown WebP chunk {fourcc!r}")
+
+
+def ico_probe(payload: bytes) -> tuple[int, int, int]:
+    """ICO directory probe → the LARGEST icon's (width, height, 4)
+    (a 0 byte means 256 per the format)."""
+    import struct
+
+    if payload[:4] != b"\x00\x00\x01\x00" or len(payload) < 6:
+        raise ValueError("not an ICO")
+    (count,) = struct.unpack("<H", payload[4:6])
+    if count == 0 or len(payload) < 6 + 16 * count:
+        raise ValueError("empty/truncated ICO directory")
+    best = (0, 0)
+    for i in range(count):
+        off = 6 + 16 * i
+        w = payload[off] or 256
+        h = payload[off + 1] or 256
+        if w * h > best[0] * best[1]:
+            best = (w, h)
+    return best[0], best[1], 4
+
+
+def svg_probe(payload: bytes) -> tuple[int, int, int]:
+    """SVG dimension probe: width/height attributes on the root <svg>
+    (unit suffixes stripped), falling back to the viewBox box. Vector →
+    no intrinsic pixels; features use byte stats."""
+    import re
+
+    head = payload[:4096].decode("utf-8", "replace")
+    m = re.search(r"<svg\b[^>]*>", head, re.IGNORECASE | re.DOTALL)
+    if m is None:
+        raise ValueError("not an SVG")
+    tag = m.group(0)
+
+    def attr(name: str) -> float | None:
+        am = re.search(rf'{name}\s*=\s*["\']\s*([0-9.]+)', tag, re.IGNORECASE)
+        return float(am.group(1)) if am else None
+
+    w, h = attr("width"), attr("height")
+    if w is None or h is None:
+        vb = re.search(
+            r'viewBox\s*=\s*["\']\s*[-0-9.]+[\s,]+[-0-9.]+[\s,]+([0-9.]+)[\s,]+([0-9.]+)',
+            tag,
+            re.IGNORECASE,
+        )
+        if vb is None:
+            raise ValueError("SVG without width/height or viewBox")
+        w, h = float(vb.group(1)), float(vb.group(2))
+    return int(round(w)), int(round(h)), 4
+
+
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
@@ -478,11 +557,12 @@ def image_feature_decoder(payload: bytes, meta: dict) -> list[float]:
     PNG (stdlib zlib), 24-bit BMP, JPEG (operators/jpeg.py — baseline AND
     progressive), and GIF (LZW, interlace, transparency compositing)
     decode pixels for real; streams those decoders reject (arithmetic
-    JPEG, truncated LZW) get a real header dimension probe with
-    payload-byte statistics in the pixel slots (``[w, h, c, byte_mean,
-    0, 0, 0, byte_std, 8-bin byte histogram]``); other formats fall back
-    to the deterministic byte-histogram stand-in so the pipeline keeps
-    its poison-tolerance contract.
+    JPEG, truncated LZW) and formats with header-only support — WebP
+    (VP8/VP8L/VP8X), ICO directories, SVG (vector) — get a real
+    dimension probe with payload-byte statistics in the pixel slots
+    (``[w, h, c, byte_mean, 0, 0, 0, byte_std, 8-bin byte histogram]``);
+    everything else falls back to the deterministic byte-histogram
+    stand-in so the pipeline keeps its poison-tolerance contract.
     """
     import numpy as np
 
@@ -504,6 +584,24 @@ def image_feature_decoder(payload: bytes, meta: dict) -> list[float]:
         w, h, c, pix = png_decode(payload)
     elif payload[:2] == b"BM":
         w, h, c, pix = bmp_decode(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        try:
+            w, h, c = webp_probe(payload)
+            pix = None
+        except ValueError:
+            return fake_histogram_decoder(payload, meta)
+    elif payload[:4] == b"\x00\x00\x01\x00":
+        try:
+            w, h, c = ico_probe(payload)
+            pix = None
+        except ValueError:
+            return fake_histogram_decoder(payload, meta)
+    elif b"<svg" in payload[:256].lower():
+        try:
+            w, h, c = svg_probe(payload)
+            pix = None
+        except ValueError:
+            return fake_histogram_decoder(payload, meta)
     else:
         return fake_histogram_decoder(payload, meta)
     if pix is None:  # dimension probe only: byte-level stats

@@ -583,6 +583,61 @@ def test_jpeg_gif_dimension_probes():
     assert fg[0] == 40.0 and fg[1] == 25.0
 
 
+def test_webp_ico_svg_dimension_probes():
+    """Header-only formats: WebP (all three stream kinds), ICO (largest
+    entry, 0-means-256), SVG (attrs, units, viewBox fallback) probe real
+    dimensions; malformed variants fall back to byte-histogram features
+    through image_feature_decoder."""
+    import struct
+
+    from crawl4ai_spark.operators.multimodal import (
+        ico_probe,
+        image_feature_decoder,
+        svg_probe,
+        webp_probe,
+    )
+
+    # VP8 lossy: key-frame start code, 14-bit dims
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8 " + struct.pack("<I", 18)
+        + b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240) + b"\x00" * 8
+    )
+    assert webp_probe(vp8) == (320, 240, 3)
+    # VP8L lossless: 0x2F then packed (w-1, h-1)
+    bits = (199 - 1) | ((83 - 1) << 14)
+    vp8l = (
+        b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8L" + struct.pack("<I", 8)
+        + b"\x2f" + struct.pack("<I", bits) + b"\x00" * 3
+    )
+    assert webp_probe(vp8l) == (199, 83, 4)
+    # VP8X extended: alpha flag + 24-bit canvas dims-1
+    vp8x = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8X" + struct.pack("<I", 10)
+        + bytes([0x10]) + b"\x00" * 3
+        + (512 - 1).to_bytes(3, "little") + (300 - 1).to_bytes(3, "little")
+    )
+    assert webp_probe(vp8x) == (512, 300, 4)
+
+    ico = (
+        b"\x00\x00\x01\x00" + struct.pack("<H", 2)
+        + bytes([16, 16]) + b"\x00" * 14      # 16x16 entry
+        + bytes([0, 0]) + b"\x00" * 14        # 256x256 entry (0 = 256)
+    )
+    assert ico_probe(ico) == (256, 256, 4)
+
+    svg = b'<?xml version="1.0"?>\n<svg xmlns="http://www.w3.org/2000/svg" width="24px" height="16">'
+    assert svg_probe(svg) == (24, 16, 4)
+    svg_vb = b'<svg viewBox="0 0 120.5 80">'
+    assert svg_probe(svg_vb) == (120, 80, 4)
+
+    # probe features land in the pixel slots; malformed WebP falls back
+    f = image_feature_decoder(vp8l, {})
+    assert f[:3] == [199.0, 83.0, 4.0]
+    bad = b"RIFF" + b"\x00" * 4 + b"WEBPXXXX" + b"\x00" * 8
+    fb = image_feature_decoder(bad, {})
+    assert len(fb) == 16 and abs(sum(fb) - 1.0) < 1e-6  # histogram fallback
+
+
 def test_gif_decoder_roundtrip_all_variants():
     """gif_decode inverts synth_gif exactly across plain / interlaced /
     local-palette / transparent variants (pixels checked against the
