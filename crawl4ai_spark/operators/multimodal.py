@@ -646,11 +646,37 @@ def audio_feature_decoder(payload: bytes, meta: dict) -> list[float]:
     """Real PCM WAV decode → 16-dim feature vector ``[sample_rate,
     channels, n_frames, duration_ms, mean, rms, zero_crossing_rate, peak,
     8-bin |amplitude| histogram]`` (samples normalized to [-1, 1]).
-    Non-RIFF payloads fall back to the byte-histogram stand-in."""
+
+    MP3 (ID3v2-aware frame-header parse) and Ogg Vorbis (identification
+    header + final granule position) get a real metadata probe —
+    ``[sample_rate, channels, 0, duration_ms, byte_mean, 0, 0, byte_std,
+    8-bin byte histogram]`` — since their sample decode is a codec, not
+    plumbing. Everything else falls back to the byte-histogram stand-in.
+    """
+    import struct
+
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        return fake_histogram_decoder(payload, meta)
+        probe = None
+        try:
+            if payload[:3] == b"ID3" or (
+                len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+            ):
+                probe = mp3_probe(payload)
+            elif payload[:4] == b"OggS":
+                probe = ogg_vorbis_probe(payload)
+        except (ValueError, IndexError, struct.error):
+            probe = None
+        if probe is None:
+            return fake_histogram_decoder(payload, meta)
+        rate, ch, dur_ms = probe
+        arr = np.frombuffer(payload, dtype=np.uint8).astype("float64")
+        hist = np.bincount(arr.astype(np.uint8) >> 5, minlength=8).astype("float64")
+        hist = hist / hist.sum()
+        feats = [float(rate), float(ch), 0.0, float(dur_ms),
+                 float(arr.mean()), 0.0, 0.0, float(arr.std()), *hist.tolist()]
+        return [float(np.float32(v)) for v in feats]
     rate, ch, sw, frames = wav_decode(payload)
     dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
     if dtype is None:
@@ -677,6 +703,65 @@ def audio_feature_decoder(payload: bytes, meta: dict) -> list[float]:
         *hist.tolist(),
     ]
     return [float(np.float32(v)) for v in feats]
+
+
+# MPEG-1/2/2.5 Layer III bitrate (kbps) and sample-rate tables, indexed
+# [version_group][bitrate_index] / [version][samplerate_index] per the
+# ISO 11172-3 / 13818-3 frame-header layout.
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def mp3_probe(payload: bytes) -> tuple[int, int, float]:
+    """MP3 header probe → (sample_rate, channels, duration_ms estimate).
+    Skips an ID3v2 tag (syncsafe size), locates the first Layer-III frame
+    sync, reads the version/bitrate/samplerate/mode fields, and estimates
+    duration from the audio byte count at that frame's bitrate — exact
+    for CBR, the standard first-frame estimate for VBR. Decode (MDCT
+    synthesis) is out of scope; callers use byte-stat features."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        pos = 10 + (
+            (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+        )
+    end = min(len(payload) - 3, pos + 4096)
+    while pos < end:
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+            version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (b1 >> 1) & 0x3
+            br_idx = (b2 >> 4) & 0xF
+            sr_idx = (b2 >> 2) & 0x3
+            if version != 1 and layer == 1 and 0 < br_idx < 15 and sr_idx < 3:
+                rate = _MP3_RATES[version][sr_idx]
+                kbps = (_MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2)[br_idx]
+                channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+                duration_ms = (len(payload) - pos) * 8.0 / kbps
+                return rate, channels, duration_ms
+        pos += 1
+    raise ValueError("no MP3 frame sync found")
+
+
+def ogg_vorbis_probe(payload: bytes) -> tuple[int, int, float]:
+    """Ogg Vorbis probe → (sample_rate, channels, duration_ms). Reads the
+    identification header on the first page and the LAST page's granule
+    position (total PCM samples) for the exact stream duration."""
+    import struct
+
+    if payload[:4] != b"OggS":
+        raise ValueError("not an Ogg stream")
+    ident = payload.find(b"\x01vorbis", 0, 512)
+    if ident < 0:
+        raise ValueError("no Vorbis identification header")
+    channels = payload[ident + 11]
+    (rate,) = struct.unpack("<I", payload[ident + 12 : ident + 16])
+    if rate == 0 or channels == 0:
+        raise ValueError("bad Vorbis identification header")
+    last = payload.rfind(b"OggS")
+    (granule,) = struct.unpack("<q", payload[last + 6 : last + 14])
+    duration_ms = max(granule, 0) * 1000.0 / rate
+    return rate, channels, duration_ms
 
 
 _Y4M_MAGIC = b"YUV4MPEG2"
@@ -733,16 +818,89 @@ def y4m_decode(payload: bytes, frame_stride: int = 1) -> tuple[int, int, float, 
     return width, height, fps, lumas
 
 
+def mp4_probe(payload: bytes) -> tuple[int, int, float]:
+    """MP4/ISO-BMFF probe → (width, height, duration_ms). Walks the box
+    tree to ``moov``: ``mvhd`` gives timescale+duration (version 0 and 1
+    layouts), ``trak/tkhd`` gives the 16.16-fixed track dimensions (max
+    across video tracks). Sample decode (H.264/AV1) is out of scope."""
+    import struct
+
+    def boxes(data: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            btype = data[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("bad MP4 box size")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (no ftyp)")
+    width = height = 0
+    duration_ms = 0.0
+    for btype, b0, b1 in boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in boxes(payload, b0, b1):
+            if ctype == b"mvhd":
+                ver = payload[c0]
+                if ver == 1:
+                    (ts,) = struct.unpack(">I", payload[c0 + 20 : c0 + 24])
+                    (dur,) = struct.unpack(">Q", payload[c0 + 24 : c0 + 32])
+                else:
+                    (ts,) = struct.unpack(">I", payload[c0 + 12 : c0 + 16])
+                    (dur,) = struct.unpack(">I", payload[c0 + 16 : c0 + 20])
+                if ts:
+                    duration_ms = dur * 1000.0 / ts
+            elif ctype == b"trak":
+                for ttype, t0, t1 in boxes(payload, c0, c1):
+                    if ttype == b"tkhd":
+                        # width/height are the last 8 bytes, 16.16 fixed
+                        w, h = struct.unpack(">II", payload[t1 - 8 : t1])
+                        width = max(width, w >> 16)
+                        height = max(height, h >> 16)
+        break
+    if width == 0 and height == 0 and duration_ms == 0.0:
+        raise ValueError("MP4 without moov metadata")
+    return width, height, duration_ms
+
+
 def make_video_decoder(frame_stride: int = 2) -> Callable[[bytes, dict], list[float]]:
     """Real y4m video decode with frame sampling → 16-dim features
     ``[w, h, n_sampled, fps, stride, mean_luma, std_luma, luma_range,
     8-bin luma histogram]`` over every ``frame_stride``-th frame.
-    Non-y4m payloads fall back to the byte-histogram stand-in."""
+
+    MP4/ISO-BMFF containers get a real metadata probe — ``[w, h, 0,
+    duration_ms, stride, byte_mean, 0, byte_std, 8-bin byte histogram]``
+    — since sample decode is an H.264/AV1 codec, not plumbing. Other
+    payloads fall back to the byte-histogram stand-in."""
 
     def decode(payload: bytes, meta: dict) -> list[float]:
+        import struct
+
         import numpy as np
 
         if not payload.startswith(_Y4M_MAGIC):
+            if payload[4:8] == b"ftyp":
+                try:
+                    w, h, dur_ms = mp4_probe(payload)
+                except (ValueError, IndexError, struct.error):
+                    return fake_histogram_decoder(payload, meta)
+                arr = np.frombuffer(payload, dtype=np.uint8).astype("float64")
+                hist = np.bincount(
+                    arr.astype(np.uint8) >> 5, minlength=8
+                ).astype("float64")
+                hist = hist / hist.sum()
+                feats = [float(w), float(h), 0.0, float(dur_ms),
+                         float(frame_stride), float(arr.mean()), 0.0,
+                         float(arr.std()), *hist.tolist()]
+                return [float(np.float32(v)) for v in feats]
             return fake_histogram_decoder(payload, meta)
         w, h, fps, lumas = y4m_decode(payload, frame_stride=frame_stride)
         if not lumas:

@@ -638,6 +638,60 @@ def test_webp_ico_svg_dimension_probes():
     assert len(fb) == 16 and abs(sum(fb) - 1.0) < 1e-6  # histogram fallback
 
 
+def test_mp3_ogg_mp4_metadata_probes():
+    """Audio/video container probes: MP3 (ID3v2 skip + frame header, CBR
+    duration), Ogg Vorbis (ident header + last granule), MP4 (mvhd
+    timescale/duration + tkhd 16.16 dims); garbage falls back to the
+    histogram stand-in."""
+    import struct
+
+    from crawl4ai_spark.operators.multimodal import (
+        audio_feature_decoder,
+        make_video_decoder,
+        mp3_probe,
+        mp4_probe,
+        ogg_vorbis_probe,
+    )
+
+    # --- MP3: ID3v2 (10-byte, size 0) + MPEG1 Layer III 128kbps 44.1kHz
+    # stereo frame sync; 16000 audio bytes at 128 kbps = 1000 ms
+    mp3 = b"ID3\x04\x00\x00\x00\x00\x00\x00" + bytes([0xFF, 0xFB, 0x90, 0x00])
+    mp3 += b"\x00" * (16000 - 4)
+    rate, ch, dur = mp3_probe(mp3)
+    assert (rate, ch) == (44100, 2) and abs(dur - 1000.0) < 1e-6
+    f = audio_feature_decoder(mp3, {})
+    assert f[:2] == [44100.0, 2.0] and abs(f[3] - 1000.0) < 0.01
+
+    # --- Ogg Vorbis: first page with identification header, last page
+    # granule 88200 samples @44100 = 2000 ms
+    ident = b"\x01vorbis" + struct.pack("<I", 0) + bytes([2]) + struct.pack("<I", 44100)
+    first = b"OggS" + bytes([0, 2]) + struct.pack("<q", 0) + b"\x00" * 13 + ident
+    last = b"OggS" + bytes([0, 4]) + struct.pack("<q", 88200) + b"\x00" * 13
+    assert ogg_vorbis_probe(first + b"\x00" * 50 + last) == (44100, 2, 2000.0)
+
+    # --- MP4: ftyp + moov{mvhd v0 (timescale 1000, duration 2500),
+    # trak{tkhd with 640x360 in 16.16 fixed}}
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+    mvhd_body = bytes([0, 0, 0, 0]) + b"\x00" * 8 + struct.pack(">II", 1000, 2500)
+    mvhd_body += b"\x00" * 80
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    tkhd_body = b"\x00" * 76 + struct.pack(">II", 640 << 16, 360 << 16)
+    tkhd = struct.pack(">I", 8 + len(tkhd_body)) + b"tkhd" + tkhd_body
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    mp4 = ftyp + moov
+    assert mp4_probe(mp4) == (640, 360, 2500.0)
+    vf = make_video_decoder()(mp4, {})
+    assert vf[:2] == [640.0, 360.0] and abs(vf[3] - 2500.0) < 0.01
+
+    # --- fallback: truncated MP4 and non-audio bytes keep the histogram
+    # poison-tolerance contract
+    fb = make_video_decoder()(ftyp + b"\x00\x00\x00\x99moov", {})
+    assert len(fb) == 16 and abs(sum(fb) - 1.0) < 1e-6
+    fa = audio_feature_decoder(b"\xff\xe0garbage-with-no-real-frame", {})
+    assert len(fa) == 16 and abs(sum(fa) - 1.0) < 1e-6
+
+
 def test_gif_decoder_roundtrip_all_variants():
     """gif_decode inverts synth_gif exactly across plain / interlaced /
     local-palette / transparent variants (pixels checked against the
