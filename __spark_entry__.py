@@ -144,6 +144,41 @@ def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_star_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 + Q5 shapes in one driver row (registry consolidation:
+    both legs keep their exact oracle arm via UNION ALL): promo revenue
+    pct (fact ⋈ broadcast(part), date range pushed to the scan) and
+    per-region revenue (fact ⋈ broadcast(supplier⋈nation⋈region)) — in
+    both plans lineitem is never shuffled."""
+    promo = _q_promo_revenue(spark, sf_dir).select(
+        F.lit("promo_pct").alias("kind"),
+        F.lit(None).cast("string").alias("r_name"),
+        F.lit(None).cast("string").alias("n_name"),
+        F.col("promo_revenue_pct").alias("metric"),
+        F.lit(None).cast("long").alias("n_items"),
+    )
+    region = _q_region_revenue(spark, sf_dir).select(
+        F.lit("region_revenue").alias("kind"),
+        "r_name",
+        "n_name",
+        F.col("revenue").alias("metric"),
+        "n_items",
+    )
+    return promo.unionByName(region)
+
+
+def _q_lm_logscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram LM scoring (Brants et al. 2007) over the
+    documents table, model trained on the corpus itself — the standard
+    model-based quality signal next to the Gopher/C4 rule batteries
+    (operators/lm_score.py; counts = hash aggs, scoring = distributed
+    hash joins, no broadcast of the gram tables)."""
+    from crawl4ai_spark.operators.lm_score import stupid_backoff_scores
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return stupid_backoff_scores(docs)
+
+
 def _q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -1151,8 +1186,8 @@ def _q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
-        "promo_revenue": _q_promo_revenue,
-        "region_revenue": _q_region_revenue,
+        "star_join_battery": _q_star_join_battery,
+        "lm_logscore": _q_lm_logscore,
         "topk_orders_per_customer": _q_topk_orders_per_customer,
         "customers_without_orders": _q_customers_without_orders,
         "first_event_per_user": _q_first_event_per_user,
@@ -1235,25 +1270,79 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "promo_revenue": """
-            SELECT round(CAST(100.0 AS DOUBLE)
+        "star_join_battery": """
+            SELECT 'promo_pct' AS kind,
+                   CAST(NULL AS VARCHAR) AS r_name,
+                   CAST(NULL AS VARCHAR) AS n_name,
+                   round(CAST(100.0 AS DOUBLE)
                          * sum(CASE WHEN p_type = 'PROMO'
                                     THEN l_extendedprice * (1 - l_discount)
                                     ELSE CAST(0.0 AS DOUBLE) END)
-                         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+                         / sum(l_extendedprice * (1 - l_discount)), 4) AS metric,
+                   CAST(NULL AS BIGINT) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1995-09-01'
               AND l_shipdate < TIMESTAMP '1996-09-01'
-        """,
-        "region_revenue": """
-            SELECT r_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-                   count(*) AS n_items
+            UNION ALL
+            SELECT 'region_revenue', r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2),
+                   count(*)
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
+        """,
+        # Stupid Backoff (Brants 2007): S(w|w2 w1)=c3/c2 else a*S(w|w1);
+        # S(w|w1)=c2/c1 else a*S(w); S(w)=c1/N; a=0.4. Positions use
+        # their natural max order (pos 0 = unigram, no penalty). Same
+        # cleaned-terms tokenization as term_df_top20.
+        "lm_logscore": f"""
+            WITH toks0 AS (SELECT doc_id, {_CLEAN_TOKS} AS t FROM documents),
+            toks AS (
+                SELECT doc_id, pos, t[pos + 1] AS w
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(0, len(t) - 1)) AS pos
+                      FROM toks0 WHERE len(t) > 0)),
+            ctx AS (
+                SELECT doc_id, pos, w,
+                       lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                       lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                FROM toks),
+            uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+            tot AS (SELECT sum(c1) AS n_total FROM uni),
+            big AS (SELECT w1, w, count(*) AS c2 FROM ctx
+                    WHERE w1 IS NOT NULL GROUP BY w1, w),
+            tri AS (SELECT w2, w1, w, count(*) AS c3 FROM ctx
+                    WHERE w2 IS NOT NULL GROUP BY w2, w1, w),
+            scored AS (
+                SELECT c.doc_id,
+                       CASE
+                         WHEN c.w2 IS NOT NULL THEN
+                           CASE WHEN t3.c3 IS NOT NULL THEN t3.c3 / bd.c2
+                                WHEN bn.c2 IS NOT NULL
+                                     THEN 0.4 * (bn.c2 / ud.c1)
+                                ELSE 0.4 * (0.4 * (un.c1 / tot.n_total)) END
+                         WHEN c.w1 IS NOT NULL THEN
+                           CASE WHEN bn.c2 IS NOT NULL THEN bn.c2 / ud.c1
+                                ELSE 0.4 * (un.c1 / tot.n_total) END
+                         ELSE un.c1 / tot.n_total
+                       END AS s
+                FROM ctx c
+                LEFT JOIN tri t3 ON t3.w2 = c.w2 AND t3.w1 = c.w1 AND t3.w = c.w
+                LEFT JOIN big bd ON bd.w1 = c.w2 AND bd.w = c.w1
+                LEFT JOIN big bn ON bn.w1 = c.w1 AND bn.w = c.w
+                LEFT JOIN uni ud ON ud.w = c.w1
+                LEFT JOIN uni un ON un.w = c.w
+                CROSS JOIN tot),
+            per_doc AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       round(avg(log10(s)), 6) AS lm_logscore
+                FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   p.lm_logscore
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
         "topk_orders_per_customer": """
             SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk

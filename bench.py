@@ -128,6 +128,9 @@ def headline_queries():
         # heaviest shuffle among the dedup family — one site row per
         # corpus token)
         "exact_substring_dedup": q["exact_substring_dedup"],
+        # round-5 addition: Stupid Backoff LM scoring (train + apply in
+        # one job — three gram-count aggs + five scoring joins)
+        "lm_logscore": q["lm_logscore"],
     }
 
 

@@ -28,15 +28,17 @@ CHECKS = {
         ("HashAggregate", "hash aggregation (map-side partial)"),
         ("AdaptiveSparkPlan", "AQE enabled (runtime re-plan / skew handling)"),
     ],
-    "promo_revenue": [
-        ("BroadcastHashJoin", "part dim broadcast — lineitem never shuffles"),
-        ("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate", "date range pushed to parquet scan"),
-        ("!Exchange hashpartitioning", "no fact-side shuffle before the join"),
-    ],
-    "region_revenue": [
-        ("BroadcastHashJoin", "supplier⋈nation⋈region chain collapses into one broadcast"),
-        ("ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double,l_discount:double>", "fact scan pruned to 3 of 11 cols"),
+    "star_join_battery": [
+        ("BroadcastHashJoin", "dim sides broadcast — lineitem never shuffles (both legs)"),
+        ("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate", "Q14 date range pushed to parquet scan"),
+        ("ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double,l_discount:double>", "Q5 fact scan pruned to 3 of 11 cols"),
         ("HashAggregate", "partial agg before the group-by exchange"),
+    ],
+    "lm_logscore": [
+        ("!BatchEvalPython", "Stupid Backoff scoring is pure column algebra"),
+        ("HashAggregate", "gram counts = partial+final hash aggs"),
+        ("windowspecdefinition(doc_id", "context lags are partition-local per doc"),
+        ("AdaptiveSparkPlan", "AQE handles hot-gram join skew at scale"),
     ],
     "topk_orders_per_customer": [
         ("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>", "column-pruned scan (3 of 6 cols)"),

@@ -317,3 +317,66 @@ def test_signals_match_python_reference_adversarial(spark):  # noqa: F811
         want = _py_signals(text)
         for k, v in want.items():
             assert got[i][k] == pytest.approx(v, abs=1e-6), (i, k, got[i][k], v, text)
+
+
+def _sb_reference(corpus: dict, alpha=0.4):
+    """Independent pure-Python Stupid Backoff (Brants 2007) re-derivation
+    for the pytest pin: same cleaned-terms tokenization, same
+    natural-max-order positions."""
+    import math
+    import re as _re
+
+    tok = lambda s: [w for w in _re.sub(r"[^a-z0-9 ]", "", s.lower()).strip().split() if len(w) > 2]
+    docs = {k: tok(v) for k, v in corpus.items()}
+    c1, c2, c3 = Counter(), Counter(), Counter()
+    for ws in docs.values():
+        c1.update(ws)
+        c2.update(zip(ws, ws[1:]))
+        c3.update(zip(ws, ws[1:], ws[2:]))
+    n = sum(c1.values())
+    out = {}
+    for k, ws in docs.items():
+        if not ws:
+            out[k] = (0, None)
+            continue
+        logs = []
+        for i, w in enumerate(ws):
+            s_uni = c1[w] / n
+            if i >= 2 and (ws[i - 2], ws[i - 1], w) in c3:
+                s = c3[(ws[i - 2], ws[i - 1], w)] / c2[(ws[i - 2], ws[i - 1])]
+            elif i >= 1 and (ws[i - 1], w) in c2:
+                s = c2[(ws[i - 1], w)] / c1[ws[i - 1]] * (alpha if i >= 2 else 1.0)
+            else:
+                pen = alpha ** min(i, 2)
+                s = pen * s_uni
+            logs.append(math.log10(s))
+        out[k] = (len(ws), round(sum(logs) / len(logs), 6))
+    return out
+
+
+def test_stupid_backoff_matches_python_reference(spark):
+    """stupid_backoff_scores ≡ an independent in-test implementation on a
+    corpus that exercises every backoff branch: seen trigrams, bigram
+    backoff at pos>=2, unigram double-backoff, natural lower orders at
+    pos 0/1, repeated docs, and an empty doc."""
+    from crawl4ai_spark.operators.lm_score import stupid_backoff_scores
+
+    corpus = {
+        0: "the cat sat on the mat",
+        1: "the cat sat on the hat",
+        2: "the dog sat quietly near the mat",
+        3: "cat mat dog hat quietly",
+        4: "zebra unique tokens appear once here",
+        5: "the cat sat on the mat",  # exact repeat: boosts trigram counts
+        6: "",  # empty: n_tokens 0, NULL score
+        7: "on on on",
+    }
+    want = _sb_reference(corpus)
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.lm_logscore)
+        for r in stupid_backoff_scores(docs).collect()
+    }
+    assert got == want
