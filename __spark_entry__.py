@@ -274,10 +274,15 @@ def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token budget + char length + GPT-2 pre-tokenizer
-    (BPE-ish) token budget per doc — all JVM regex, map-only (the
-    former bpe_token_counts query is folded in as a column so every
-    registry entry fits the driver's 50-row correctness cap)."""
-    from crawl4ai_spark.operators.textstats import bpe_token_count_col, token_count_col
+    (BPE-ish) token budget + composite quality score per doc — all JVM
+    regex, map-only (the former bpe_token_counts and quality_scores
+    queries are folded in as columns so every registry entry fits the
+    driver's 50-row correctness cap)."""
+    from crawl4ai_spark.operators.textstats import (
+        bpe_token_count_col,
+        quality_score_col,
+        token_count_col,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -285,22 +290,36 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_col(F.col("text")).alias("n_tokens"),
         F.length("text").alias("text_chars"),
         bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+        quality_score_col(F.col("text")).alias("quality"),
     )
 
 
-def _q_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
-    )
-
-
-def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crawl4ai_spark.operators.textstats import quality_score_col
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk example assembly): documents
+    concatenated in md5-shuffled order, token stream cut every 512
+    tokens; returns the (chunk, doc-slice) assembly map. Scale: global
+    stream offsets via 256 ordered key buckets + a ≤256-row prefix frame,
+    per-row running sum windowed at BUCKET grain (never one corpus-wide
+    task) — operators/sampling.py."""
+    from crawl4ai_spark.operators.sampling import pack_sequences
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score_col(F.col("text")).alias("quality"))
+    return pack_sequences(docs, 512)
+
+
+def _q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    bucket counts (portable md5-top-52-bit bucket), smoothed log-ratio
+    importance of every document toward the English-subset target
+    distribution, global top-200. Scale: two hash-agg passes over the
+    exploded gram stream, a B-row broadcast ratio table, and a
+    TakeOrderedAndProject top-k — no window, no full sort
+    (operators/sampling.py)."""
+    from crawl4ai_spark.operators.sampling import dsir_select
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return dsir_select(docs, target, 200, n_buckets=1024).select("doc_id", "logw")
 
 
 def _q_term_df_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,12 +473,25 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-panel language-ID over documents (rows-only: heuristic
-    internals mirrored in pytest, not SQL)."""
+    """Stopword-panel language-ID rolled up as a (true lang × predicted
+    lang) confusion matrix with doc counts and avg chars — the former
+    standalone `lang_dist` rollup is the row margin of this frame (the
+    two rows merged so every operator fits the driver's 50-entry cap)."""
     from crawl4ai_spark.operators.textstats import langid_best
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", langid_best(F.col("text")).alias("lang_pred"))
+    return (
+        docs.select(
+            "lang",
+            langid_best(F.col("text")).alias("lang_pred"),
+            F.length("text").alias("_chars"),
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_chars"), 4).alias("avg_chars"),
+        )
+    )
 
 
 
@@ -718,6 +750,36 @@ def _q_link_contextual_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l.contextual_score"), 4).alias("contextual_score"),
         F.round(F.col("l.total_score"), 4).alias("total_score"),
     )
+
+
+def _q_link_score_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of the intrinsic-attribute battery and the contextual-BM25
+    battery (separate registry rows through round 4; merged so every
+    operator keeps a driver CORRECTNESS row under the 50-entry cap —
+    intrinsic-only rows carry NULL contextual/total)."""
+    a = _q_link_intrinsic_scores(spark, sf_dir).select(
+        "doc_id",
+        "href",
+        "intrinsic_score",
+        F.lit(None).cast("double").alias("contextual_score"),
+        F.lit(None).cast("double").alias("total_score"),
+    )
+    return a.unionByName(_q_link_contextual_scores(spark, sf_dir))
+
+
+def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling (LLM pre-training data mixing): per-source token
+    budgets over the md5-ranked document order; keep while the PRIOR
+    cumulative whitespace-token count is strictly under budget. Scale
+    path: 256 ordered hash buckets, prefix offsets on the tiny
+    (source × bucket) frame, running-sum window only over the ≤1
+    boundary bucket per source (operators/sampling.py)."""
+    from crawl4ai_spark.operators.sampling import token_budget_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    budgets = {"src0": 400, "src1": 400, "src2": 5000, "src3": 5000}
+    out = token_budget_sample(docs, budgets, default_budget=900)
+    return out.select("doc_id", "source", "n_tokens")
 
 
 def _q_link_preview_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1198,8 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_rank_events": _q_politeness_rank_events,
         "exact_dup_groups": _q_exact_dup_groups,
         "token_stats": _q_token_stats,
-        "lang_dist": _q_lang_dist,
-        "quality_scores": _q_quality_scores,
+        "pack_sequences": _q_pack_sequences,
+        "dsir_selection": _q_dsir_selection,
         "term_df_top20": _q_term_df_top20,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -1213,9 +1275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunking_battery": _q_chunking_battery,
         "exact_substring_dedup": _q_exact_substring_dedup,
         "schema_extract_nested": _q_schema_extract_nested,
-        "link_intrinsic_scores": _q_link_intrinsic_scores,
-        "link_contextual_scores": _q_link_contextual_scores,
+        "link_score_battery": _q_link_score_battery,
         "link_preview_scores": _q_link_preview_scores,
+        "token_budget_sample": _q_token_budget_sample,
         "cache_revalidation": _q_cache_revalidation,
         "url_scoring": _q_url_scoring,
         "media_features": _q_media_features,
@@ -1445,16 +1507,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": f"""
             SELECT doc_id, {_NTOK} AS n_tokens, length(text) AS text_chars,
-                   {_bpe_count_sql()} AS n_bpe_tokens
+                   {_bpe_count_sql()} AS n_bpe_tokens,
+                   {_QUALITY_SQL} AS quality
             FROM documents
         """,
-        "lang_dist": """
-            SELECT lang, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars
-            FROM documents GROUP BY lang
+        "pack_sequences": f"""
+            -- concat-and-chunk packing: md5-shuffled global token stream
+            -- cut every 512 tokens → (chunk, doc-slice) assembly map
+            WITH t AS (
+                SELECT doc_id, CAST({_NTOK} AS BIGINT) AS nt,
+                       md5(CAST(doc_id AS VARCHAR)) AS k
+                FROM documents),
+            o AS (
+                SELECT doc_id, nt,
+                       sum(nt) OVER (ORDER BY k, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - nt AS off
+                FROM t WHERE nt > 0),
+            x AS (
+                SELECT doc_id, nt, off,
+                       unnest(range(CAST(off // 512 AS BIGINT),
+                                    CAST((off + nt - 1) // 512 + 1 AS BIGINT))) AS chunk_id
+                FROM o)
+            SELECT chunk_id, doc_id,
+                   greatest(0, chunk_id * 512 - off) AS doc_tok_start,
+                   least(nt, (chunk_id + 1) * 512 - off) AS doc_tok_end,
+                   CASE WHEN chunk_id = off // 512 THEN off % 512 ELSE 0 END AS chunk_pos
+            FROM x
         """,
-        "quality_scores": f"""
-            SELECT doc_id, {_QUALITY_SQL} AS quality
-            FROM documents
+        "dsir_selection": f"""
+            -- DSIR (Xie et al. 2023): hashed unigram+bigram bucket counts,
+            -- smoothed log-ratio importance vs the lang='en' target, top-200
+            WITH tok AS (SELECT doc_id, lang, {_CLEAN_TOKS} AS w FROM documents),
+            grams AS (
+                SELECT doc_id, lang, unnest(list_concat(w,
+                    CASE WHEN len(w) >= 2
+                         THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+                         ELSE [] END)) AS g
+                FROM tok),
+            buck AS (SELECT doc_id, lang,
+                            ('0x' || substr(md5(g), 1, 13))::BIGINT % 1024 AS b
+                     FROM grams),
+            dc AS (SELECT doc_id, b, count(*) AS c FROM buck GROUP BY 1, 2),
+            q AS (SELECT b, sum(c) AS qc FROM dc GROUP BY 1),
+            p AS (SELECT b, count(*) AS pc FROM buck WHERE lang = 'en' GROUP BY 1),
+            tot AS (SELECT (SELECT sum(qc) FROM q) AS qt,
+                           (SELECT sum(pc) FROM p) AS pt),
+            r AS (SELECT q.b,
+                         ln((coalesce(p.pc, 0) + 0.5) / (tot.pt + 0.5 * 1024))
+                       - ln((q.qc + 0.5) / (tot.qt + 0.5 * 1024)) AS lr
+                  FROM q LEFT JOIN p USING (b), tot),
+            w AS (SELECT doc_id, round(sum(c * lr), 6) AS logw
+                  FROM dc JOIN r USING (b) GROUP BY 1)
+            SELECT doc_id, logw FROM (
+                SELECT doc_id, logw,
+                       row_number() OVER (ORDER BY logw DESC, doc_id) AS rn
+                FROM w) WHERE rn <= 200
         """,
         "term_df_top20": f"""
             WITH toks AS (SELECT doc_id, unnest({_CLEAN_TOKS}) AS term FROM documents)
@@ -1590,7 +1698,25 @@ def oracle_sql() -> dict[str, str]:
                    (url LIKE '%.html') AS is_html
             FROM parsed
         """,
-        "link_intrinsic_scores": """
+        "token_budget_sample": f"""
+            -- per-source token-budget mixture sample: md5-ranked order,
+            -- keep while the PRIOR cumulative count is strictly < budget
+            WITH t AS (
+                SELECT doc_id, source, CAST({_NTOK} AS BIGINT) AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS k
+                FROM documents),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens AS prior
+                FROM t)
+            SELECT doc_id, source, n_tokens FROM c
+            WHERE prior < (CASE WHEN source IN ('src0','src1') THEN 400
+                                WHEN source IN ('src2','src3') THEN 5000
+                                ELSE 900 END)
+        """,
+        "link_score_battery": """
             SELECT doc_id,
                    'http://corpus.test' ||
                      (CASE WHEN doc_id % 4 = 0 THEN '/docs/p' ELSE '/p' END) || doc_id AS href,
@@ -1601,10 +1727,11 @@ def oracle_sql() -> dict[str, str]:
                    + 1.0                                                 -- shallow depth
                    + (CASE doc_id % 3 WHEN 0 THEN 3.0                    -- rich text + overlap
                                       WHEN 1 THEN 0.5                    -- 'click here'
-                                      ELSE 0.0 END) AS DOUBLE), 4) AS intrinsic_score
+                                      ELSE 0.0 END) AS DOUBLE), 4) AS intrinsic_score,
+                   CAST(NULL AS DOUBLE) AS contextual_score,
+                   CAST(NULL AS DOUBLE) AS total_score
             FROM documents WHERE doc_id < 300
-        """,
-        "link_contextual_scores": """
+            UNION ALL
             -- 3 anchors per page at /p<doc>x<j>; the one with j = doc_id%3
             -- carries the query term 'spark' (df=1 of n=3 → positive idf,
             -- others score 0 → min-max lands on {1, 0}); every anchor has
@@ -2252,14 +2379,19 @@ def _langid_oracle_sql() -> str:
     hit_cols, case, langs = _langid_fragments()
     return rf"""
         WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            SELECT doc_id, lang, length(text) AS chars,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS t
             FROM documents),
         hits AS (
-            SELECT doc_id,
+            SELECT doc_id, lang, chars,
                    {hit_cols}
-            FROM toks)
-        SELECT doc_id, CASE {case} END AS lang_pred
-        FROM (SELECT *, greatest({langs}) AS m FROM hits)
+            FROM toks),
+        pred AS (
+            SELECT lang, chars, CASE {case} END AS lang_pred
+            FROM (SELECT *, greatest({langs}) AS m FROM hits))
+        SELECT lang, lang_pred, count(*) AS n_docs,
+               round(avg(chars), 4) AS avg_chars
+        FROM pred GROUP BY 1, 2
     """
 
 

@@ -131,6 +131,9 @@ def headline_queries():
         # round-5 addition: Stupid Backoff LM scoring (train + apply in
         # one job — three gram-count aggs + five scoring joins)
         "lm_logscore": q["lm_logscore"],
+        # round-5 addition: mixture sampling (bucketed-prefix token
+        # budgets — one tiny agg shuffle + boundary-sliver window)
+        "token_budget_sample": q["token_budget_sample"],
     }
 
 

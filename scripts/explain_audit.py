@@ -70,6 +70,32 @@ CHECKS = {
         ("!ArrowEvalPython", "closed-form segment arithmetic, no Python"),
         ("ReadSchema: struct<doc_id:bigint,text:string>", "pruned scan"),
     ],
+    "token_budget_sample": [
+        ("ReadSchema: struct<doc_id:bigint,text:string,source:string>", "scan pruned to 3 of 5 cols"),
+        ("HashAggregate", "per-(source,bucket) token sums = partial+final hash aggs"),
+        ("BroadcastHashJoin", "bucket offsets broadcast back — corpus rows never shuffle for the join"),
+        ("Join condition: ((_off", "boundary-sliver predicate fused into the join, BEFORE the window exchange — only ~1/256 of rows reach the running-sum sort"),
+        ("NULLS FIRST, _key", "running-sum sort runs at (source, bucket) grain, never one task per source"),
+        ("!BatchEvalPython", "pure column algebra"),
+        ("!ArrowEvalPython", "no pandas UDF"),
+    ],
+    "dsir_selection": [
+        ("TakeOrderedAndProject", "global top-200 without a window or full sort"),
+        ("HashAggregate", "gram-bucket counts = partial+final hash aggs"),
+        ("BroadcastHashJoin", "B-row log-ratio table broadcast to the weight agg"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>", "weight-path scans pruned to 2 of 5 cols"),
+        ("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]", "target-corpus filter pushed to its parquet scan"),
+        ("!BatchEvalPython", "pure column algebra"),
+        ("!ArrowEvalPython", "no pandas UDF"),
+    ],
+    "pack_sequences": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>", "scan pruned to 2 of 5 cols"),
+        ("HashAggregate", "per-bucket stream sums = partial+final hash aggs"),
+        ("BroadcastHashJoin", "256-row bucket-offset frame broadcast back"),
+        ("NULLS FIRST, _key", "global running sum windowed at bucket grain — never one corpus-wide task"),
+        ("Generate", "chunk fan-out is one sequence explode, closed-form arithmetic"),
+        ("!BatchEvalPython", "pure column algebra"),
+    ],
     "exact_substring_dedup": [
         ("xxhash64", "token hashed once; sliding gram keys are chained xxhash64 folds — the site shuffle carries 8-byte keys, never gram strings"),
         ("HashAggregate", "global-first keeper = min(struct(id,pos)) hash agg with map-side partials"),
