@@ -207,6 +207,64 @@ def _q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_relational_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three relational shapes in one driver row — per-key window top-k
+    (orders), anti-join (customers with no orders), argmin-per-key
+    (first event per user) — schemas harmonized into a tagged union so
+    each leg keeps its exact oracle arm (UNION ALL in the SQL twin).
+    Merged to hold the registry at the driver's 50-row evaluation cap;
+    bench.py still times the legs individually."""
+    topk = _q_topk_orders_per_customer(spark, sf_dir).select(
+        F.lit("topk_orders").alias("leg"),
+        F.col("o_custkey").alias("k1"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("totalprice").alias("num"),
+        F.col("rk").cast("int").alias("rk"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    noord = _q_customers_without_orders(spark, sf_dir).select(
+        F.lit("no_orders").alias("leg"),
+        F.col("c_custkey").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("double").alias("num"),
+        F.lit(None).cast("int").alias("rk"),
+        F.col("c_name").alias("s"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    first = _q_first_event_per_user(spark, sf_dir).select(
+        F.lit("first_event").alias("leg"),
+        F.col("user_id").alias("k1"),
+        F.col("event_id").alias("k2"),
+        F.lit(None).cast("double").alias("num"),
+        F.lit(None).cast("int").alias("rk"),
+        F.col("event_type").alias("s"),
+        F.col("ts"),
+    )
+    return topk.unionByName(noord).unionByName(first)
+
+
+# bpe_tokenize contract constants — shared by the Spark query and the
+# offline oracle trainer so the two learn the identical merge table.
+_BPE_N_MERGES = 64
+_BPE_MAX_WORDS = 50_000
+
+
+def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit a BPE vocabulary on the corpus and re-tokenize it: per-doc
+    (n_words, n_pieces) under the learned merge table (operators/bpe.py;
+    the corpus-sized passes are hash aggs, Python runs only on the
+    deduplicated vocabulary via one Arrow-batched mapInPandas, piece
+    counts broadcast back). The reference counts tokens for budgeting
+    (crawl4ai/utils.py chunk token estimators) but never fits a
+    vocabulary; a training-data pipeline does."""
+    from crawl4ai_spark.operators.bpe import bpe_tokenize_stats, bpe_train
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS)
+    return bpe_tokenize_stats(docs, merges)
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     return (
@@ -1250,9 +1308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "star_join_battery": _q_star_join_battery,
         "lm_logscore": _q_lm_logscore,
-        "topk_orders_per_customer": _q_topk_orders_per_customer,
-        "customers_without_orders": _q_customers_without_orders,
-        "first_event_per_user": _q_first_event_per_user,
+        "relational_battery": _q_relational_battery,
+        "bpe_tokenize": _q_bpe_tokenize,
         "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
         "funnel_view_click_purchase": _q_funnel_view_click_purchase,
@@ -1406,20 +1463,21 @@ def oracle_sql() -> dict[str, str]:
                    p.lm_logscore
             FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
-        "topk_orders_per_customer": """
-            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+        "relational_battery": """
+            SELECT 'topk_orders' AS leg, o_custkey AS k1, o_orderkey AS k2,
+                   round(o_totalprice, 2) AS num, CAST(rk AS INTEGER) AS rk,
+                   CAST(NULL AS VARCHAR) AS s, CAST(NULL AS TIMESTAMP) AS ts
             FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                          row_number() OVER (PARTITION BY o_custkey
                                             ORDER BY o_totalprice DESC, o_orderkey) AS rk
                   FROM orders)
             WHERE rk <= 3
-        """,
-        "customers_without_orders": """
-            SELECT c_custkey, c_name FROM customer
+            UNION ALL
+            SELECT 'no_orders', c_custkey, NULL, NULL, NULL, c_name, NULL
+            FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        """,
-        "first_event_per_user": """
-            SELECT user_id, event_id, event_type, ts
+            UNION ALL
+            SELECT 'first_event', user_id, event_id, NULL, NULL, event_type, ts
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                                ORDER BY ts, event_id) AS rk FROM events)
             WHERE rk = 1
@@ -2482,9 +2540,61 @@ def _centroid_oracles() -> dict[str, str]:
                 UNION ALL
                 SELECT 'lsh' AS method, * FROM ({ann_sql})
             """,
+            "bpe_tokenize": _bpe_tokenize_oracle_sql(
+                n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+            ),
         }
     except Exception:  # noqa: BLE001 — missing parquet ⇒ rows-only check
         return {}
+
+
+def _bpe_tokenize_oracle_sql(n_merges: int, max_words: int) -> str:
+    """BPE tokenize-stats twin: retrain the merge table OFFLINE from the
+    oracle-scale parquet (DuckDB word counts under the same BPE_SPLIT_RE
+    contract the engine's Java-regex path is pinned to, same deterministic
+    count-desc/word-asc head, same shared ``bpe_train_merges`` core — the
+    centroid-literal pattern of semantic_dedup), then export the encoded
+    vocabulary as a literal (word, n_pieces) table and re-aggregate in
+    pure SQL. Any drift in pre-tokenization, training order, or encoding
+    between the distributed and offline paths hash-mismatches."""
+    import duckdb
+
+    from crawl4ai_spark.operators.bpe import bpe_train_merges, encode_word
+    from crawl4ai_spark.operators.textstats import BPE_SPLIT_RE
+
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    re_sql = BPE_SPLIT_RE.replace("'", "''")
+    con = duckdb.connect()
+    wc = con.execute(
+        f"""SELECT word, count(*) AS c
+            FROM (SELECT unnest(regexp_extract_all(text, '{re_sql}')) AS word
+                  FROM '{path}')
+            GROUP BY word ORDER BY c DESC, word LIMIT {max_words}"""
+    ).fetchall()
+    vocab = [
+        r[0]
+        for r in con.execute(
+            f"""SELECT DISTINCT unnest(regexp_extract_all(text, '{re_sql}')) AS w
+                FROM '{path}' ORDER BY w"""
+        ).fetchall()
+    ]
+    con.close()
+    ranks = {tuple(p): i for i, p in enumerate(bpe_train_merges(wc, n_merges))}
+    rows = ", ".join(
+        "('{w}', {n})".format(w=w.replace("'", "''"), n=len(encode_word(w, ranks)))
+        for w in vocab
+    )
+    return f"""
+        WITH vocab(word, n_pieces) AS (VALUES {rows}),
+        words AS (SELECT doc_id, unnest(regexp_extract_all(text, '{re_sql}')) AS word
+                  FROM documents),
+        per_doc AS (SELECT w.doc_id, count(*) AS n_words, sum(v.n_pieces) AS n_pieces
+                    FROM words w JOIN vocab v USING (word) GROUP BY w.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """
 
 
 def _ann_topk_lsh_oracle_sql(

@@ -110,8 +110,10 @@ def headline_queries():
         "crawl_wave_extract": _q_crawl_wave,
         "crawl_wave_scrape": _q_crawl_wave_scrape,
         "pricing_summary": q["pricing_summary"],
-        "topk_orders_per_customer": q["topk_orders_per_customer"],
-        "first_event_per_user": q["first_event_per_user"],
+        # registry-merged into relational_battery; the bench keeps timing
+        # the legs alone so the per-query keys stay comparable
+        "topk_orders_per_customer": entrymod._q_topk_orders_per_customer,
+        "first_event_per_user": entrymod._q_first_event_per_user,
         "term_df_top20": q["term_df_top20"],
         "exact_dup_groups": q["exact_dup_groups"],
         "ngram_jaccard_pairs": q["ngram_jaccard_pairs"],

@@ -40,13 +40,18 @@ CHECKS = {
         ("windowspecdefinition(doc_id", "context lags are partition-local per doc"),
         ("AdaptiveSparkPlan", "AQE handles hot-gram join skew at scale"),
     ],
-    "topk_orders_per_customer": [
-        ("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>", "column-pruned scan (3 of 6 cols)"),
-        ("Window", "rank window"),
+    "relational_battery": [
+        ("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>", "top-k leg: column-pruned orders scan (3 of 6 cols)"),
+        ("Window", "top-k leg: rank window"),
+        ("LeftAnti", "no-orders leg: anti-join"),
+        ("ReadSchema: struct<o_custkey:bigint>", "no-orders leg: orders scan pruned to the join key"),
+        ("Union", "legs unioned narrow — no extra shuffle for the merge"),
     ],
-    "customers_without_orders": [
-        ("LeftAnti", "anti-join"),
-        ("ReadSchema: struct<o_custkey:bigint>", "orders scan pruned to the join key"),
+    "bpe_tokenize": [
+        ("MapInPandas", "Arrow encode runs on the deduplicated vocabulary frame only"),
+        ("BroadcastHashJoin", "piece counts broadcast back — the exploded corpus never shuffles for the join"),
+        ("!BatchEvalPython", "no row-at-a-time Python UDF"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>", "pruned documents scan"),
     ],
     "ann_topk_battery": [
         ("TakeOrderedAndProject", "global top-k without full sort (both legs)"),
