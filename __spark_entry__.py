@@ -913,6 +913,34 @@ def _q_cache_revalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revalidate(cached, current).select("url", "cache_status")
 
 
+def _q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling (operators/recrawl.py): Cho & Garcia-Molina
+    bias-corrected change-rate estimation + Poisson staleness probability
+    over a deterministic synthetic visit history (the output shape of
+    ``cache_revalidation`` iterated over time). Docs get 1..5 visits on a
+    per-doc cadence of 1..7 hours; a visit observed a change when
+    (doc_id*7 + j*j) % 3 == 0. The oracle recomputes the closed form."""
+    from crawl4ai_spark.operators.recrawl import change_rate_estimates
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    n = (F.lit(1) + F.col("doc_id") % 5).alias("n")
+    j = F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("j")
+    ts_s = (
+        F.col("doc_id") * F.lit(13.0)
+        + F.col("j") * F.lit(3600.0) * (F.lit(1) + F.col("doc_id") % 7)
+    )
+    visits = (
+        docs.select("doc_id", n)
+        .select("doc_id", "n", j)
+        .select(
+            F.concat(F.lit("http://corpus.test/doc/"), F.col("doc_id").cast("string")).alias("url"),
+            F.timestamp_seconds(ts_s).alias("visit_ts"),
+            ((F.col("doc_id") * 7 + F.col("j") * F.col("j")) % 3 == 0).alias("changed"),
+        )
+    )
+    return change_rate_estimates(visits)
+
+
 def _q_schema_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested JsonCss extraction (SURVEY §2.8): render region→nation HTML,
     extract with a nested_list schema, emit one sorted-key JSON record per
@@ -1336,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_preview_scores": _q_link_preview_scores,
         "token_budget_sample": _q_token_budget_sample,
         "cache_revalidation": _q_cache_revalidation,
+        "recrawl_priority": _q_recrawl_priority,
         "url_scoring": _q_url_scoring,
         "media_features": _q_media_features,
         "media_features_decoded": _q_media_features_decoded,
@@ -1859,6 +1888,38 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 3 = 0 THEN 'stale'
                         ELSE 'fresh' END AS cache_status
             FROM documents WHERE doc_id < 300
+        """,
+        # recrawl_priority: regenerate the synthetic visit grid and the
+        # Cho/Garcia-Molina closed form analytically (lam = -ln((n-X+.5)/
+        # (n+.5))/Ibar; p = 1-exp(-lam*age) at now = global max ts)
+        "recrawl_priority": """
+            WITH d AS (SELECT doc_id, 1 + doc_id % 5 AS n
+                       FROM documents WHERE doc_id < 400),
+            v AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM d),
+            vv AS (SELECT doc_id, n, j,
+                          doc_id * 13.0 + j * 3600.0 * (1 + doc_id % 7) AS ts_s,
+                          CASE WHEN (doc_id * 7 + j * j) % 3 = 0 THEN 1 ELSE 0 END AS ch
+                   FROM v),
+            agg AS (SELECT doc_id,
+                           count(*) AS n_visits,
+                           sum(ch) AS n_changed,
+                           min(ts_s) AS first_s,
+                           max(ts_s) AS last_s
+                    FROM vv GROUP BY doc_id),
+            nowt AS (SELECT max(ts_s) AS now_s FROM vv)
+            SELECT 'http://corpus.test/doc/' || doc_id AS url,
+                   CAST(n_visits AS BIGINT) AS n_visits,
+                   CAST(n_changed AS BIGINT) AS n_changed,
+                   CASE WHEN n_visits >= 2 AND last_s > first_s
+                        THEN round(-ln((n_visits - n_changed + 0.5) / (n_visits + 0.5))
+                                   / ((last_s - first_s) / (n_visits - 1)) * 86400.0, 6) + 0.0
+                   END AS lambda_per_day,
+                   CASE WHEN n_visits >= 2 AND last_s > first_s
+                        THEN round(1.0 - exp(ln((n_visits - n_changed + 0.5) / (n_visits + 0.5))
+                                             / ((last_s - first_s) / (n_visits - 1))
+                                             * (now_s - last_s)), 6) + 0.0
+                   END AS p_changed
+            FROM agg CROSS JOIN nowt
         """,
         "schema_extract_nested": """
             SELECT r.r_regionkey,
