@@ -87,3 +87,58 @@ def change_rate_estimates(
         F.round(lam * F.lit(86400.0), 6).alias("lambda_per_day"),
         F.round(F.lit(1.0) - F.exp(-lam * age), 6).alias("p_changed"),
     )
+
+
+def revisit_seeds(
+    visits: DataFrame,
+    budget: int,
+    url_col: str = "url",
+    ts_col: str = "visit_ts",
+    changed_col: str = "changed",
+    value: DataFrame | None = None,
+    value_col: str = "value",
+    horizon_s: float = 86400.0,
+) -> DataFrame:
+    """The recrawl queue: top-``budget`` URLs by staleness priority,
+    ready to seed the next ``run_crawl`` wave.
+
+    Staleness is evaluated ``horizon_s`` seconds past the history's last
+    timestamp — i.e. at the time of the wave being scheduled, not at the
+    moment the history was written (straight after a revalidation pass
+    every page has age 0 and priority would degenerate to the tiebreak;
+    the horizon is what lets the change RATE differentiate pages).
+    Default: the next daily wave.
+
+    Priority is ``p_changed`` from :func:`change_rate_estimates`; URLs
+    whose history can't support an estimate get priority 1.0 — the same
+    fail-open posture as the cache layer (``operators/cache.py``: can't
+    validate → refetch). An optional ``value`` frame (url → page value,
+    e.g. a ``doc_pagerank`` prior) multiplies in, spending the budget on
+    pages that are both likely-stale and worth having fresh.
+
+    Scale: the estimate is one hash agg; the cut is orderBy+limit, which
+    Spark executes as TakeOrderedAndProject — a per-partition partial
+    top-k reduced on the driver, never a global sort shuffle. The value
+    join shuffles only the per-URL estimate table (|urls|, not |visits|).
+    Deterministic: ties break on url.
+    """
+    est = change_rate_estimates(
+        visits,
+        url_col,
+        ts_col,
+        changed_col,
+        now=_epoch_s(F.col(ts_col)) + F.lit(float(horizon_s)),
+    )
+    pr = F.coalesce(F.col("p_changed"), F.lit(1.0))
+    if value is not None:
+        v = value.select(
+            F.col(url_col).alias("url"), F.col(value_col).alias("_value")
+        )
+        est = est.join(v, "url", "left")
+        pr = pr * F.coalesce(F.col("_value"), F.lit(0.0))
+    return (
+        est.withColumn("priority", F.round(pr, 6))
+        .orderBy(F.desc("priority"), "url")
+        .limit(budget)
+        .select("url", "priority", "p_changed", "lambda_per_day", "n_visits")
+    )

@@ -126,3 +126,72 @@ def test_explicit_now_column(spark):
     lam, p = _cho_gm(2, 1, 0.0, 100.0, 300.0)
     assert got["lambda_per_day"] == pytest.approx(lam, abs=1e-6)
     assert got["p_changed"] == pytest.approx(p, abs=1e-6)
+
+
+def test_revisit_seeds_budget_and_ranking(spark):
+    from crawl4ai_spark.operators.recrawl import revisit_seeds
+
+    # hot: 4 visits all changed, last long ago → high p
+    # cold: 4 visits none changed → low p
+    # unknown: 1 visit → unestimable → fail-open priority 1.0, ranks first
+    rows = (
+        [("hot", t, True) for t in (0.0, 100.0, 200.0, 300.0)]
+        + [("cold", t, False) for t in (0.0, 100.0, 200.0, 300.0)]
+        + [("unknown", 500.0, True)]
+    )
+    out = revisit_seeds(_visits_df(spark, rows), budget=2, horizon_s=0.0).collect()
+    assert [r["url"] for r in out] == ["unknown", "hot"]
+    assert out[0]["priority"] == 1.0 and out[0]["p_changed"] is None
+    assert 0.0 < out[1]["priority"] < 1.0
+
+
+def test_revisit_seeds_value_weighting_and_plan(spark):
+    from crawl4ai_spark.operators.recrawl import revisit_seeds
+
+    rows = [
+        ("a", 0.0, True), ("a", 100.0, True),
+        ("b", 0.0, True), ("b", 100.0, True),
+        ("clock", 300.0, False),  # pushes "now" past a/b's last visit
+    ]
+    df = _visits_df(spark, rows)
+    # identical histories; value prior breaks the tie toward b ("clock"
+    # has no value row → coalesces to 0.0 and drops out)
+    value = spark.createDataFrame([("a", 0.5), ("b", 2.0)], "url string, value double")
+    out = revisit_seeds(df, budget=1, value=value)
+    assert [r["url"] for r in out.collect()] == ["b"]
+    # the cut must be a partial top-k, not a global sort shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_revisit_closes_loop_with_revalidate(spark):
+    """End-to-end seam: revalidate() snapshots accumulate into a visit
+    history; revisit_seeds spends the budget on the URLs that changed."""
+    from crawl4ai_spark.operators.cache import head_fingerprint_col, revalidate
+    from crawl4ai_spark.operators.recrawl import revisit_seeds
+
+    def snap(changed_urls, ts):
+        rows = [
+            (u, f"<html><head><title>{u}{' v'+str(ts) if u in changed_urls else ''}"
+                f"</title></head><body>x</body></html>")
+            for u in ("u1", "u2", "u3", "u4")
+        ]
+        df = spark.createDataFrame(rows, "url string, html string")
+        return df.select(
+            "url", head_fingerprint_col(F.col("html")).alias("head_fingerprint")
+        )
+
+    base = snap(set(), 0)
+    visits = []
+    for ts, changed in ((100.0, {"u2"}), (200.0, {"u2", "u4"})):
+        rv = revalidate(base, snap(changed, int(ts)))
+        visits.append(
+            rv.select(
+                "url",
+                F.timestamp_seconds(F.lit(ts)).alias("visit_ts"),
+                (F.col("cache_status") == "stale").alias("changed"),
+            )
+        )
+    history = visits[0].unionByName(visits[1])
+    seeds = revisit_seeds(history, budget=2).collect()
+    assert {r["url"] for r in seeds} == {"u2", "u4"}
