@@ -56,6 +56,13 @@ CHECKS = {
     "ann_topk_battery": [
         ("TakeOrderedAndProject", "global top-k without full sort (both legs)"),
     ],
+    "recrawl_priority": [
+        ("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id", "visit synth filter pushed to the parquet scan"),
+        ("HashAggregate", "per-url history partials (map-side combine) — 100 TB of visits is one shuffle of 4 numeric partials"),
+        ("BroadcastNestedLoopJoin", "the single global 'now' row broadcast, never a shuffle"),
+        ("!windowspecdefinition", "estimator is closed-form column algebra, no windows"),
+        ("!BatchEvalPython", "no Python anywhere in the estimate"),
+    ],
     "pdf_extract": [
         ("MapInPandas", "parse->decode->extract as one Arrow-batched pass"),
         ("!BatchEvalPython", "no row-at-a-time Python UDF"),
@@ -230,6 +237,25 @@ def _pending_frame(spark, n=100_000, hosts=97):
     )
 
 
+def _revisit_seeds_plan(spark, sf_dir):
+    """Not a queries() entry: the recrawl queue's budget cut must compile
+    to a per-partition partial top-k (TakeOrderedAndProject), never a
+    global sort shuffle."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.recrawl import revisit_seeds
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).where(
+        F.col("doc_id") < 400
+    )
+    visits = docs.select(
+        F.concat(F.lit("http://c.test/"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.col("doc_id") * 13.0).alias("visit_ts"),
+        (F.col("doc_id") % 3 == 0).alias("changed"),
+    )
+    return revisit_seeds(visits, budget=100)
+
+
 def _politeness_cap_plan(spark, sf_dir):
     """Not a queries() entry: the two-phase global max_pages cap — the
     wave's only unpartitioned Window must consume the bounded survivor
@@ -260,6 +286,14 @@ def _topk_large_k_plan(spark, sf_dir):
 
 
 EXTRA_PLANS = {
+    "recrawl_revisit_seeds": (
+        _revisit_seeds_plan,
+        [
+            ("TakeOrderedAndProject", "budget cut is a partial top-k, never a global sort shuffle"),
+            ("!BatchEvalPython", "estimator + priority are pure column algebra"),
+            ("!windowspecdefinition", "no window anywhere in the queue build"),
+        ],
+    ),
     "politeness_two_phase_cap": (
         _politeness_cap_plan,
         [
