@@ -122,12 +122,29 @@ def ann_topk_lsh(
         )
     else:
         sigs = hyperplane_signatures(embeddings, dim, n_planes, seed, id_col, vec_col)
+    buckets = probe_buckets(query, n_planes, seed, probe_hamming)
+    cand = sigs.where(F.col("bucket").isin(buckets))
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def probe_buckets(
+    query: list[float],
+    n_planes: int,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> list[int]:
+    """The multi-probe bucket set for ``query``: its hyperplane bucket
+    plus every bucket within ``probe_hamming`` bit flips (≤ Σ C(n_planes,
+    r) probes). Returned as a plain literal list so callers can feed it
+    to an IN filter — which Spark pushes to parquet AND uses for
+    partition pruning when the signature store is ``partitionBy(bucket)``
+    (the at-scale layout: a query then reads only the probed directories,
+    ~|buckets|/2^n_planes of the corpus)."""
+    dim = len(query)
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
     qbits = (planes @ np.asarray(query) > 0).astype(int)
     qbucket = int((qbits * (1 << np.arange(n_planes))).sum())
-    # candidate buckets within hamming distance (≤ Σ C(n_planes, r) probes
-    # — a literal IN list, so a stored bucket column still prunes/pushes)
     from itertools import combinations
 
     buckets = {qbucket}
@@ -137,8 +154,7 @@ def ann_topk_lsh(
             for i in flips:
                 m |= 1 << i
             buckets.add(qbucket ^ m)
-    cand = sigs.where(F.col("bucket").isin(list(buckets)))
-    return cosine_topk(cand, query, k, id_col, vec_col)
+    return sorted(buckets)
 
 
 def hyperplane_banded_buckets(

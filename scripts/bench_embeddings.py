@@ -112,9 +112,25 @@ def ann_leg(spark, n: int, workdir: str) -> dict:
     t_ingest = time.time() - t0
     sigs = spark.read.parquet(sig_path)
 
+    # the CLUSTER layout: signature store partitionBy(bucket), so the
+    # probe IN list prunes whole directories before any row is read
+    from crawl4ai_spark.operators.similarity import probe_buckets
+
+    part_path = os.path.join(workdir, f"ann_sig_part_{n}")
+    t0 = time.time()
+    sigs.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(part_path)
+    t_part_ingest = time.time() - t0
+    psigs = spark.read.parquet(part_path)
+    n_dirs = len(
+        [d for d in os.listdir(part_path) if d.startswith("bucket=")]
+    )
+
     cents = _centroids(n_clusters)
     rng = np.random.RandomState(SEED + 1)
-    recalls, t_ann, t_exact = [], 0.0, 0.0
+    recalls, t_ann, t_exact, t_part = [], 0.0, 0.0, 0.0
+    dirs_read = []
     for qi in range(5):
         q = (cents[qi] + 0.05 * rng.standard_normal(DIM)).tolist()
         t0 = time.time()
@@ -132,14 +148,33 @@ def ann_leg(spark, n: int, workdir: str) -> dict:
             ).collect()
         }
         t_ann += time.time() - t0
+        t0 = time.time()
+        approx_part = {
+            r.vec_id
+            for r in ann_topk_lsh(
+                psigs, q, K, N_PLANES, SEED,
+                probe_hamming=PROBE_HAMMING, bucket_col="bucket",
+            ).collect()
+        }
+        t_part += time.time() - t0
+        assert approx_part == approx, "partitioned layout changed the result"
+        probed = set(probe_buckets(q, N_PLANES, SEED, PROBE_HAMMING))
+        dirs_read.append(
+            len([d for d in os.listdir(part_path)
+                 if d.startswith("bucket=") and int(d.split("=")[1]) in probed])
+        )
         recalls.append(len(exact & approx) / K)
     return {
         "n": n,
         "recall_at_10": round(float(np.mean(recalls)), 4),
         "recalls": recalls,
         "ann_sec_per_query": round(t_ann / 5, 3),
+        "ann_partitioned_sec_per_query": round(t_part / 5, 3),
         "exact_sec_per_query": round(t_exact / 5, 3),
         "signature_ingest_sec": round(t_ingest, 3),
+        "partitioned_ingest_sec": round(t_part_ingest, 3),
+        "bucket_dirs_total": n_dirs,
+        "bucket_dirs_read_per_query": dirs_read,
         "n_planes": N_PLANES,
         "probe_hamming": PROBE_HAMMING,
     }
