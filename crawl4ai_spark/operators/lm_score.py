@@ -56,6 +56,13 @@ def stupid_backoff_scores(
     natural maximum order (position 0 scores as a unigram with no
     backoff penalty), so every document's score is well-defined without
     sentence padding.
+
+    The context frame fans out to four consumers (uni/bi/tri counts +
+    the scoring join) without an explicit persist: the repeated
+    explode→window subtrees share one identical hash-partition exchange
+    that Spark's exchange-reuse dedupes at runtime, and an A/B at sf0.1
+    measured MEMORY_AND_DISK persist strictly slower (min-of-3 2.24 s vs
+    2.00 s) — the cache write costs more than the deduped recompute.
     """
     toks = docs.select(
         F.col(id_col), F.posexplode(clean_terms_col(F.col(text_col))).alias("pos", "w")
