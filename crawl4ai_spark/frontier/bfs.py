@@ -48,6 +48,7 @@ from crawl4ai_spark.operators.politeness import (
     update_host_state,
     wave_order,
 )
+from crawl4ai_spark.operators.antibot import blocked_reason_col
 from crawl4ai_spark.operators.robots import attach_robots_verdict
 from crawl4ai_spark.frontier.store import WaveStore
 
@@ -105,6 +106,13 @@ class CrawlConfig:
     # crawl finishes (WaveStore.compact + vacuum) — a 10^4-wave crawl
     # otherwise leaves 10^4 tiny parquet dirs per table. Post-loop only:
     # vacuum deletes files a live wave's lazy plans may still reference.
+    # content-level anti-bot detection (operators/antibot.py, the
+    # reference antibot_detector.is_blocked ladder): fetched pages that
+    # are challenge shells / block pages / structurally-empty renders take
+    # the throttled path — recorded, never extracted, requeued under the
+    # host's RateLimiter backoff exactly like a 429 (the batch analogue of
+    # the reference's detect → fallback-refetch flow)
+    detect_blocked: bool = False
     compact_on_finish: bool = False
     # fold the in-loop-read delta tables (frontier_delta, results,
     # seen_bloom) into one snapshot every K committed waves. The per-wave
@@ -523,6 +531,11 @@ def _banded_loop(
             throttle_cond = (
                 F.col("status_code").isin(429, 503) if has_status else F.lit(False)
             )
+            if config.detect_blocked:
+                throttle_cond = throttle_cond | blocked_reason_col(
+                    F.col("status_code") if has_status else F.lit(None).cast("int"),
+                    F.col("html"),
+                ).isNotNull()
             fetched = fetched.withColumn(
                 "status",
                 F.when(~F.col("robots_allowed"), F.lit("robots_denied"))
@@ -831,6 +844,11 @@ def run_crawl(
                 if has_status
                 else F.lit(False)
             )
+            if config.detect_blocked:
+                throttle_cond = throttle_cond | blocked_reason_col(
+                    F.col("status_code") if has_status else F.lit(None).cast("int"),
+                    F.col("html"),
+                ).isNotNull()
             fetched = fetched.withColumn(
                 "status",
                 F.when(~F.col("robots_allowed"), F.lit("robots_denied"))

@@ -148,3 +148,55 @@ def test_plan_is_pure_projection(spark):
     plan = detect_blocked(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_detect_blocked_in_crawl_loop(spark, tmp_path):
+    """CrawlConfig(detect_blocked=True): a host serving a Cloudflare
+    interstitial with HTTP 200 (invisible to the status-code throttle)
+    takes the throttled path — recorded, never extracted, requeued under
+    backoff — while clean hosts crawl normally. With the flag off the
+    same page is treated as fetched content."""
+    from crawl4ai_spark.frontier.bfs import CrawlConfig, run_crawl
+    from crawl4ai_spark.frontier.store import WaveStore
+
+    def page(host, path, links=()):
+        # content-rich enough to pass the structural-integrity tier (a
+        # bare <h1>+links shell is a "minimal_text" block by design)
+        body = "".join(f'<a href="http://{host}{l}">link {l}</a>' for l in links)
+        prose = "".join(
+            f"<p>real article text paragraph {i} for {path} with many words</p>"
+            for i in range(4)
+        )
+        return f"<html><body><h1>{path}</h1>{prose}{body}</body></html>".encode()
+
+    interstitial = (
+        "<html><head><title>Just a moment...</title></head><body>"
+        '<form class="challenge-form" action="/x?__cf_chl_f_tk=tok123">'
+        "Checking your browser</form></body></html>"
+    ).encode()
+    rows = [
+        ("http://ok.com/", page("ok.com", "/", ["/a"]), 200),
+        ("http://ok.com/a", page("ok.com", "/a"), 200),
+        ("http://walled.com/", interstitial, 200),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, status_code int")
+    seeds = spark.createDataFrame(
+        [("http://ok.com/",), ("http://walled.com/",)], "url string"
+    )
+
+    for flag, expect_walled in ((True, {"throttled"}), (False, {"fetched"})):
+        store_dir = str(tmp_path / f"store_{flag}")
+        run_crawl(
+            spark, pages, seeds, store_dir,
+            CrawlConfig(
+                max_depth=2, links_only=True, use_bloom=False,
+                max_waves=20, detect_blocked=flag,
+            ),
+        )
+        results = WaveStore(spark, store_dir).read_table("results").collect()
+        by_url = {}
+        for r in results:
+            by_url.setdefault(r.url, set()).add(r.status)
+        assert "fetched" in by_url["http://ok.com/"]
+        assert "fetched" in by_url["http://ok.com/a"]
+        assert by_url["http://walled.com/"] == expect_walled, flag
