@@ -135,6 +135,10 @@ def consistency_stats(
         .orderBy("_h", "doc_id")
         .limit(max_docs)
         .drop("_h")
+        # minhash_signatures requires int64 ids; the pairwise mean only
+        # needs distinctness + a total order, so any id type (URLs
+        # included) maps through a stable 64-bit hash
+        .withColumn("doc_id", F.xxhash64(F.col("doc_id").cast("string")))
     )
     sigs = minhash_signatures(sample, "doc_id", "text", n=1, k=n_hashes, seed=seed)
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"))
@@ -155,12 +159,15 @@ def consistency_stats(
 
 def saturation_stat(new_terms_by_wave: list[int]) -> float:
     """1 − recent_new_terms / initial_new_terms (driver-side scalar over
-    the per-wave metrics table)."""
-    if not new_terms_by_wave:
+    the per-wave metrics table), exactly the reference's edge semantics
+    (``adaptive_crawler.py:396-411``): fewer than two history entries →
+    0.0, and a zero rate on either end is clamped to 1 before the ratio
+    (so recent=0 yields 1 − 1/initial, not a hard 1.0)."""
+    if len(new_terms_by_wave) < 2:
         return 0.0
-    initial = new_terms_by_wave[0] or 1
-    recent = new_terms_by_wave[-1]
-    return max(0.0, 1.0 - recent / initial)
+    recent = new_terms_by_wave[-1] if new_terms_by_wave[-1] > 0 else 1
+    initial = new_terms_by_wave[0] if new_terms_by_wave[0] > 0 else 1
+    return max(0.0, min(1.0 - recent / initial, 1.0))
 
 
 def confidence(coverage: float, consistency: float, saturation: float) -> float:
