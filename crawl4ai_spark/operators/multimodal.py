@@ -550,6 +550,30 @@ def gif_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("GIF with no image data")
 
 
+def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """bytes → (width, height, channels, row-major pixel bytes) for the
+    four formats with full clean-room pixel decoders (PNG, BMP, GIF,
+    JPEG baseline+progressive); None for probe-only formats (WebP/ICO/
+    SVG), streams the decoders reject, and opaque payloads. The shared
+    entry point for every pixel consumer (feature extraction,
+    perceptual hashing, resizing) so format dispatch lives in one
+    place."""
+    try:
+        if payload[:2] == b"\xff\xd8":
+            from crawl4ai_spark.operators.jpeg import jpeg_decode
+
+            return jpeg_decode(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return gif_decode(payload)
+        if payload[:8] == _PNG_MAGIC:
+            return png_decode(payload)
+        if payload[:2] == b"BM":
+            return bmp_decode(payload)
+    except ValueError:
+        return None
+    return None
+
+
 def image_feature_decoder(payload: bytes, meta: dict) -> list[float]:
     """Real image decode → 16-dim feature vector
     ``[w, h, channels, mean_ch0..3, std_lum, 8-bin lum histogram]``.
