@@ -1214,6 +1214,70 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup battery: the C4 fixed-grid span dedup and the
+    Lee-et-al sliding-window exact-substring dedup unioned with a
+    ``method`` discriminator (merged so both keep a driver CORRECTNESS
+    row inside the 50-entry cap; unit counters aligned as n_units)."""
+    from crawl4ai_spark.operators.dedup import exact_substring_dedup, span_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    spans = span_dedup(docs, span_tokens=15).select(
+        F.lit("span").alias("method"),
+        F.col("id").alias("doc_id"),
+        "dedup_text",
+        F.col("n_spans").cast("long").alias("n_units"),
+        F.col("n_spans_kept").cast("long").alias("n_units_kept"),
+    )
+    subs = exact_substring_dedup(docs, min_tokens=15).select(
+        F.lit("substring").alias("method"),
+        F.col("id").alias("doc_id"),
+        "dedup_text",
+        F.col("n_tokens").cast("long").alias("n_units"),
+        F.col("n_tokens_kept").cast("long").alias("n_units_kept"),
+    )
+    return spans.unionByName(subs)
+
+
+def _q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (operators/phash.py): the
+    deterministic synthetic image corpus (real BMP/PNG payloads with
+    planted near/exact duplicates and opaque poison rows) is pixel-
+    decoded and DCT-hashed on EXECUTORS via one Arrow ``mapInPandas``
+    projection, then paired by the banded Hamming self-join (exact
+    recall for d ≤ n_bands−1 by pigeonhole, no cross join). The oracle
+    recomputes the hashes with the driver-side numpy mirror and
+    re-derives the pair set as exact all-pairs ``bit_count(xor(...))``
+    SQL — pinning both executor≡driver decode determinism and the
+    banding join against an independent formulation."""
+    from crawl4ai_spark.operators.phash import (
+        image_hashes,
+        phash_neardup_candidates,
+        synth_image_corpus,
+    )
+
+    media = spark.createDataFrame(synth_image_corpus(60), "media_id long, payload binary")
+    return phash_neardup_candidates(image_hashes(media), max_hamming=7)
+
+
+def _phash_oracle_sql() -> str:
+    from crawl4ai_spark.operators.phash import hash_image_payload, synth_image_corpus
+
+    rows = []
+    for mid, payload in synth_image_corpus(60):
+        h = hash_image_payload(payload)
+        if h is not None:
+            rows.append(f"({mid}, CAST({h[4]} AS BIGINT))")
+    vals = ", ".join(rows)
+    return f"""
+        WITH h(media_id, phash) AS (VALUES {vals})
+        SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+               bit_count(xor(a.phash, b.phash)) AS hamming
+        FROM h a JOIN h b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 7
+    """
+
+
 def _q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank over a deterministic synthetic link graph derived
     from the documents table (doc i → (i·131 + k) mod N for k ∈ 1..3):
@@ -1358,7 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_heuristic": _q_langid_heuristic,
         "bm25_scores": _q_bm25_scores,
         "chunking_battery": _q_chunking_battery,
-        "exact_substring_dedup": _q_exact_substring_dedup,
+        "span_substring_dedup": _q_span_substring_dedup,
         "schema_extract_nested": _q_schema_extract_nested,
         "link_score_battery": _q_link_score_battery,
         "link_preview_scores": _q_link_preview_scores,
@@ -1376,7 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_extraction": _q_table_extraction,
         "ivf_topk": _q_ivf_topk,
         "dup_clusters": _q_dup_clusters,
-        "span_dedup": _q_span_dedup,
+        "image_phash_neardup": _q_image_phash_neardup,
         "doc_pagerank": _q_doc_pagerank,
         "curated_corpus": _q_curated_corpus,
         "gopher_quality": _q_gopher_quality,
@@ -1402,6 +1466,61 @@ _QUALITY_SQL = f"""round(  least(({_NTOK}) / 100.0, 1.0) * 0.4
                  + greatest(0.0, 1.0 - abs((CASE WHEN ({_NTOK}) > 0
                        THEN length(text) * 1.0 / ({_NTOK}) ELSE 0.0 END) - 5.0) / 5.0) * 0.3
            , 6)"""
+
+# The two span-level dedup oracles, composed by the span_substring_dedup
+# battery entry (each re-derives the full keep-first semantics in SQL).
+_SPAN_DEDUP_SQL = r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE length(trim(text)) > 0),
+            spans AS (
+                SELECT doc_id, pos,
+                       array_to_string(t[pos * 15 + 1 : pos * 15 + 15], ' ') AS span
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(0,
+                                 cast(ceil(len(t) / 15.0) AS BIGINT) - 1)) AS pos
+                      FROM toks)),
+            ranked AS (
+                SELECT doc_id, pos, span,
+                       row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+                FROM spans)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos), '')
+                       AS dedup_text,
+                   count(*) AS n_spans,
+                   count(*) FILTER (WHERE rn = 1) AS n_spans_kept
+            FROM ranked GROUP BY doc_id
+"""
+
+_SUBSTRING_DEDUP_SQL = r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE length(trim(text)) > 0),
+            grams AS (
+                SELECT doc_id, pos, array_to_string(t[pos+1 : pos+15], ' ') AS g
+                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 14)) AS pos
+                      FROM toks WHERE len(t) >= 15)),
+            sited AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY g) AS cnt,
+                       row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+                FROM grams),
+            covered AS (
+                SELECT DISTINCT doc_id, p FROM (
+                    SELECT doc_id, unnest(range(pos, pos + 15)) AS p
+                    FROM sited WHERE cnt > 1 AND rn > 1)),
+            tok_rows AS (
+                SELECT doc_id, p, t[p+1] AS tok
+                FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS p FROM toks))
+            SELECT tr.doc_id,
+                   coalesce(string_agg(CASE WHEN c.p IS NULL THEN tr.tok END,
+                                       ' ' ORDER BY tr.p), '') AS dedup_text,
+                   CAST(count(*) AS INT) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE c.p IS NULL) AS INT) AS n_tokens_kept
+            FROM tok_rows tr
+            LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.p = c.p
+            GROUP BY tr.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1967,35 +2086,18 @@ def oracle_sql() -> dict[str, str]:
         # exact-substring dedup (Lee et al. 2021): duplicated sliding
         # 15-token windows keep only the global-first (doc_id, pos) site;
         # covered token positions at every other site are deleted
-        "exact_substring_dedup": r"""
-            WITH toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-                FROM documents WHERE length(trim(text)) > 0),
-            grams AS (
-                SELECT doc_id, pos, array_to_string(t[pos+1 : pos+15], ' ') AS g
-                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 14)) AS pos
-                      FROM toks WHERE len(t) >= 15)),
-            sited AS (
-                SELECT doc_id, pos,
-                       count(*) OVER (PARTITION BY g) AS cnt,
-                       row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
-                FROM grams),
-            covered AS (
-                SELECT DISTINCT doc_id, p FROM (
-                    SELECT doc_id, unnest(range(pos, pos + 15)) AS p
-                    FROM sited WHERE cnt > 1 AND rn > 1)),
-            tok_rows AS (
-                SELECT doc_id, p, t[p+1] AS tok
-                FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS p FROM toks))
-            SELECT tr.doc_id,
-                   coalesce(string_agg(CASE WHEN c.p IS NULL THEN tr.tok END,
-                                       ' ' ORDER BY tr.p), '') AS dedup_text,
-                   CAST(count(*) AS INT) AS n_tokens,
-                   CAST(count(*) FILTER (WHERE c.p IS NULL) AS INT) AS n_tokens_kept
-            FROM tok_rows tr
-            LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.p = c.p
-            GROUP BY tr.doc_id
+        "span_substring_dedup": f"""
+            SELECT 'span' AS method, doc_id, dedup_text,
+                   CAST(n_spans AS BIGINT) AS n_units,
+                   CAST(n_spans_kept AS BIGINT) AS n_units_kept
+            FROM ({_SPAN_DEDUP_SQL})
+            UNION ALL
+            SELECT 'substring' AS method, doc_id, dedup_text,
+                   CAST(n_tokens AS BIGINT) AS n_units,
+                   CAST(n_tokens_kept AS BIGINT) AS n_units_kept
+            FROM ({_SUBSTRING_DEDUP_SQL})
         """,
+        "image_phash_neardup": _phash_oracle_sql(),
         "regex_catalog": """
             WITH t AS (
                 SELECT event_id,
@@ -2154,28 +2256,6 @@ def oracle_sql() -> dict[str, str]:
                    node,
                    CAST(node = component AS INTEGER) AS is_keep
             FROM comp
-        """,
-        "span_dedup": r"""
-            WITH toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-                FROM documents WHERE length(trim(text)) > 0),
-            spans AS (
-                SELECT doc_id, pos,
-                       array_to_string(t[pos * 15 + 1 : pos * 15 + 15], ' ') AS span
-                FROM (SELECT doc_id, t,
-                             unnest(generate_series(0,
-                                 cast(ceil(len(t) / 15.0) AS BIGINT) - 1)) AS pos
-                      FROM toks)),
-            ranked AS (
-                SELECT doc_id, pos, span,
-                       row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
-                FROM spans)
-            SELECT doc_id,
-                   coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos), '')
-                       AS dedup_text,
-                   count(*) AS n_spans,
-                   count(*) FILTER (WHERE rn = 1) AS n_spans_kept
-            FROM ranked GROUP BY doc_id
         """,
         "doc_pagerank": _pagerank_oracle_sql(iters=5, damping=0.85),
         "curated_corpus": _curated_corpus_oracle_sql(),

@@ -129,7 +129,9 @@ def headline_queries():
         # round-5 addition: sliding-window exact-substring dedup (the
         # heaviest shuffle among the dedup family — one site row per
         # corpus token)
-        "exact_substring_dedup": q["exact_substring_dedup"],
+        # registry-merged into span_substring_dedup; the bench keeps timing
+        # the substring leg alone so the per-query key stays comparable
+        "exact_substring_dedup": entrymod._q_exact_substring_dedup,
         # round-5 addition: Stupid Backoff LM scoring (train + apply in
         # one job — three gram-count aggs + five scoring joins)
         "lm_logscore": q["lm_logscore"],

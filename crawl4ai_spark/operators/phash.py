@@ -60,6 +60,9 @@ __all__ = [
     "resize_images",
     "phash_neardup_candidates",
     "synth_image_corpus",
+    "video_frame_hashes",
+    "video_neardup_candidates",
+    "synth_video_corpus",
 ]
 
 
@@ -377,6 +380,208 @@ def phash_neardup_candidates(
         f"{id_col}_b",
         F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# Video near-dup: per-frame phash over sampled y4m luma planes
+# ──────────────────────────────────────────────────────────────────────────
+
+_FRAME_SCHEMA = "media_id long, frame_idx int, phash long"
+
+
+def video_frame_hashes(
+    media: DataFrame,
+    frame_stride: int = 2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-sampled-frame perceptual hashes for y4m video payloads:
+    ``(media_id, frame_idx, phash)`` rows, one per ``frame_stride``-th
+    frame. The luma plane feeds ``phash64`` directly (video phash is
+    computed on luma by convention — chroma is never materialized, so a
+    skipped frame costs a pointer bump, not a copy). Non-video /
+    undecodable payloads contribute zero rows (the dedup consumer's
+    poison contract; per-payload decode status lives in
+    ``multimodal.extract_media_features``). One Arrow ``mapInPandas``
+    projection: payload bytes never shuffle, ~n_frames/stride 20-byte
+    rows come back per clip."""
+    from crawl4ai_spark.operators.multimodal import y4m_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            fidx: list[int] = []
+            ph: list[int] = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    w, h, _fps, lumas = y4m_decode(bytes(payload), frame_stride)
+                except (ValueError, IndexError, OverflowError):
+                    continue
+                if w < 2 or h < 2:
+                    continue
+                for k, luma in enumerate(lumas):
+                    g = np.frombuffer(luma, dtype=np.uint8).reshape(h, w).astype("float64")
+                    ids.append(mid)
+                    fidx.append(k)
+                    ph.append(phash64(g))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(fidx, dtype="int32"),
+                    "phash": pd.array(ph, dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(run, _FRAME_SCHEMA)
+
+
+def video_neardup_candidates(
+    frame_hashes: DataFrame,
+    max_hamming: int = 7,
+    n_bands: int = 8,
+    min_match_frac: float = 0.8,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate video pairs from per-frame hashes: two clips match
+    when ≥ ``min_match_frac`` of their FRAME-ALIGNED sampled frames are
+    within ``max_hamming`` bits — the re-encode / re-scale / brightness-
+    shift / logo-stamp family (trimmed or time-shifted copies need
+    sequence alignment and are out of scope; a 100 TB pipeline runs this
+    cheap aligned pass first).
+
+    Scale shape: the image banding play with ``frame_idx`` added to the
+    join key, so a frame only meets the SAME frame index of other clips
+    — bucket sizes stay |corpus|-bound per frame slot, never
+    |corpus|×|frames|. Per-frame exactness is pigeonhole-exact for
+    ``max_hamming <= n_bands - 1`` (enforced), so the pair-level
+    match-fraction is exact, not approximate.
+
+    Returns ``(media_id_a, media_id_b, n_matched, n_frames_a,
+    n_frames_b, match_frac)`` with ``match_frac = n_matched /
+    max(n_frames_a, n_frames_b)`` — the conservative denominator, so a
+    3-frame clip can never claim a 100-frame clip as a duplicate."""
+    if not 1 <= n_bands <= 64 or 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exact-recall bound "
+            f"{n_bands - 1} for {n_bands} bands; raise n_bands"
+        )
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    h = F.col("phash")
+    bands = frame_hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col("frame_idx").alias("_f"),
+        h.alias("_h"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(h, bits * b).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ])
+        ).alias("_band", "_bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    frame_pairs = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bv") == F.col("b._bv"))
+            & (F.col("a._f") == F.col("b._f"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("_ida"),
+            F.col("b._id").alias("_idb"),
+            F.col("a._f").alias("_f"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+        .where(F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= max_hamming)
+    )
+    matched = frame_pairs.groupBy("_ida", "_idb").agg(F.count("*").alias("n_matched"))
+    counts = frame_hashes.groupBy(F.col(id_col).alias("_cid")).agg(
+        F.count("*").alias("_n")
+    )
+    return (
+        matched.join(counts, matched["_ida"] == counts["_cid"])
+        .select("_ida", "_idb", "n_matched", F.col("_n").alias("n_frames_a"))
+        .join(counts, F.col("_idb") == counts["_cid"])
+        .select(
+            F.col("_ida").alias(f"{id_col}_a"),
+            F.col("_idb").alias(f"{id_col}_b"),
+            "n_matched",
+            "n_frames_a",
+            F.col("_n").alias("n_frames_b"),
+            (
+                F.col("n_matched")
+                / F.greatest(F.col("n_frames_a"), F.col("_n"))
+            ).alias("match_frac"),
+        )
+        .where(F.col("match_frac") >= min_match_frac)
+    )
+
+
+def _y4m_encode(frames: list[np.ndarray]) -> bytes:
+    """Minimal C420 YUV4MPEG2 writer from uint8 luma frames (zero
+    chroma) — the mirror of multimodal.y4m_decode."""
+    h, w = frames[0].shape
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+    chroma = bytes((w * h) // 2)
+    return head + b"".join(
+        b"FRAME\n" + f.astype(np.uint8).tobytes() + chroma for f in frames
+    )
+
+
+def synth_video_corpus(n: int = 24, n_frames: int = 12) -> list[tuple[int, bytes]]:
+    """Deterministic (media_id, payload) y4m corpus with planted
+    structure mirroring ``synth_image_corpus``:
+
+    - ``i % 4 == 1`` → NEAR-duplicate of clip ``i-1``: same frames, one
+      8×8 block mildly brightened in EVERY frame (logo-stamp analogue).
+    - ``i % 8 == 3`` → partial overlap: first half of ``i-1``'s frames
+      duplicated, second half independent (must NOT pass min_match_frac
+      thresholds ≥ 0.6).
+    - every 7th payload is opaque bytes (poison: zero frame rows).
+    - everything else: independent temporally-evolving low-pass fields.
+    """
+    out: list[tuple[int, bytes]] = []
+    prev: list[np.ndarray] | None = None
+    for i in range(n):
+        if i % 7 == 5:
+            out.append((i, bytes((i * 37 + j * 11) % 256 for j in range(128))))
+            continue
+        if i % 4 == 1 and prev is not None:
+            frames = []
+            for f in prev:
+                g = f.copy()
+                g[8:16, 8:16] = np.clip(g[8:16, 8:16].astype("int64") + 14, 0, 255).astype(
+                    np.uint8
+                )
+                frames.append(g)
+        elif i % 8 == 3 and prev is not None:
+            half = n_frames // 2
+            frames = [f.copy() for f in prev[:half]] + [
+                _base_pixels(seed=5000 + i * 100 + k, w=64, h=48)[:, :, 0]
+                for k in range(n_frames - half)
+            ]
+        else:
+            base = _base_pixels(seed=4000 + i, w=64, h=48)[:, :, 0].astype("float64")
+            drift = _base_pixels(seed=4500 + i, w=64, h=48)[:, :, 0].astype("float64")
+            frames = [
+                np.clip(
+                    np.rint(base * (1 - k / (2 * n_frames)) + drift * (k / (2 * n_frames))),
+                    0,
+                    255,
+                ).astype(np.uint8)
+                for k in range(n_frames)
+            ]
+        out.append((i, _y4m_encode(frames)))
+        prev = frames
+    return out
 
 
 # ──────────────────────────────────────────────────────────────────────────

@@ -232,6 +232,131 @@ def test_resize_images_operator(spark):
     assert out[mid]["pixels"] == expect.tobytes()
 
 
+# ── video near-dup ───────────────────────────────────────────────────────
+
+
+def _video_frame_hashes_driver(corpus, stride=2):
+    """Driver-side mirror: y4m decode + phash64 per sampled luma plane."""
+    from crawl4ai_spark.operators.multimodal import y4m_decode
+    from crawl4ai_spark.operators.phash import phash64
+
+    rows = []
+    for mid, payload in corpus:
+        try:
+            w, h, _fps, lumas = y4m_decode(payload, stride)
+        except ValueError:
+            continue
+        for k, luma in enumerate(lumas):
+            g = np.frombuffer(luma, dtype=np.uint8).reshape(h, w).astype("float64")
+            rows.append((mid, k, phash64(g)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def video_frames(spark):
+    from crawl4ai_spark.operators.phash import synth_video_corpus, video_frame_hashes
+
+    corpus = synth_video_corpus(24)
+    media = spark.createDataFrame(corpus, "media_id long, payload binary")
+    return corpus, video_frame_hashes(media, frame_stride=2).cache()
+
+
+def test_video_frame_hashes_match_driver_mirror(spark, video_frames):
+    corpus, frames = video_frames
+    got = {(r["media_id"], r["frame_idx"], r["phash"]) for r in frames.collect()}
+    expect = set(_video_frame_hashes_driver(corpus))
+    assert got == expect
+    # poison rows (every 7th) contribute zero rows
+    poisoned = {m for m, _ in corpus if m % 7 == 5}
+    assert poisoned and not {m for m, _, _ in got} & poisoned
+
+
+def _brute_video_pairs(rows, max_hamming, min_frac):
+    from collections import defaultdict
+
+    by_vid = defaultdict(dict)
+    for mid, k, h in rows:
+        by_vid[mid][k] = h
+    vids = sorted(by_vid)
+    out = {}
+    for i in range(len(vids)):
+        for j in range(i + 1, len(vids)):
+            a, b = vids[i], vids[j]
+            fa, fb = by_vid[a], by_vid[b]
+            matched = sum(
+                1
+                for k in set(fa) & set(fb)
+                if _hamming(fa[k], fb[k]) <= max_hamming
+            )
+            frac = matched / max(len(fa), len(fb))
+            if frac >= min_frac:
+                out[(a, b)] = (matched, len(fa), len(fb), frac)
+    return out
+
+
+def test_video_neardup_equals_bruteforce(spark, video_frames):
+    from crawl4ai_spark.operators.phash import video_neardup_candidates
+
+    corpus, frames = video_frames
+    for min_frac in (0.8, 0.4):
+        got = {
+            (r["media_id_a"], r["media_id_b"]): (
+                r["n_matched"], r["n_frames_a"], r["n_frames_b"], r["match_frac"],
+            )
+            for r in video_neardup_candidates(
+                frames, max_hamming=7, min_match_frac=min_frac
+            ).collect()
+        }
+        brute = _brute_video_pairs(
+            _video_frame_hashes_driver(corpus), 7, min_frac
+        )
+        assert set(got) == set(brute)
+        for k, (m, na, nb, fr) in brute.items():
+            gm, gna, gnb, gfr = got[k]
+            assert (gm, gna, gnb) == (m, na, nb)
+            assert abs(gfr - fr) < 1e-12
+    assert brute, "corpus must plant video near-dups"
+
+
+def test_video_neardup_planted_structure(spark, video_frames):
+    from crawl4ai_spark.operators.phash import video_neardup_candidates
+
+    corpus, frames = video_frames
+    pairs_strict = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in video_neardup_candidates(frames, min_match_frac=0.8).collect()
+    }
+    # every planted whole-clip near-dup (i%4==1 edits of i-1) is found
+    planted = {
+        (i - 1, i)
+        for i, _ in corpus
+        if i % 4 == 1 and i % 7 != 5 and (i - 1) % 7 != 5
+    }
+    assert planted <= pairs_strict
+    # the half-overlap clips (i%8==3) sit at frac 0.5: excluded at 0.8
+    partial = {(i - 1, i) for i, _ in corpus if i % 8 == 3 and i % 4 != 1}
+    assert not partial & pairs_strict
+
+
+def test_video_neardup_plan_has_no_cross_join(spark, video_frames):
+    from crawl4ai_spark.operators.phash import video_neardup_candidates
+
+    _, frames = video_frames
+    plan = (
+        video_neardup_candidates(frames)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_neardup_threshold_above_band_bound_raises(spark, video_frames):
+    from crawl4ai_spark.operators.phash import video_neardup_candidates
+
+    _, frames = video_frames
+    with pytest.raises(ValueError):
+        video_neardup_candidates(frames, max_hamming=8, n_bands=8)
+
+
 def test_decode_image_pixels_dispatch():
     from crawl4ai_spark.operators.multimodal import decode_image_pixels, synth_gif, synth_png
 
