@@ -291,6 +291,65 @@ def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_hourly + session_stats as one tagged-union battery (merged
+    to free a registry slot under the driver's 50-row cap; each leg keeps
+    its exact oracle arm in the UNION ALL twin)."""
+    hourly = _q_events_hourly(spark, sf_dir).select(
+        F.lit("hourly").alias("leg"),
+        F.col("event_type").alias("etype"),
+        F.lit(None).cast("long").alias("uid"),
+        F.lit(None).cast("long").alias("seq"),
+        F.col("hour").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.col("n_events").alias("n"),
+        F.col("avg_value").alias("num"),
+        F.lit(None).cast("long").alias("n2"),
+    )
+    sess = _q_session_stats(spark, sf_dir).select(
+        F.lit("session").alias("leg"),
+        F.lit(None).cast("string").alias("etype"),
+        F.col("user_id").alias("uid"),
+        F.col("session_seq").alias("seq"),
+        F.col("session_start").alias("t1"),
+        F.col("session_end").alias("t2"),
+        F.col("n_events").alias("n"),
+        F.col("duration_s").alias("num"),
+        F.col("n_event_types").alias("n2"),
+    )
+    return hourly.unionByName(sess)
+
+
+_QC_BUCKETS = 512
+_QC_SAMPLE = 400
+_QC_ITERS = 200
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality-classifier filtering (GPT-3 appendix A / the LLaMA
+    CCNet classifier; operators/quality_classifier.py): logistic
+    regression fit on a bounded hash-ordered sample (positive = the
+    lang='en' reference slice), distributed fixed-order-fold scoring, and
+    the published Pareto(9) re-inclusion rule. The oracle retrains
+    bit-identical weights offline from the same sample via the shared
+    featurize/lr_train core and re-derives scoring + selection in SQL."""
+    from crawl4ai_spark.operators.quality_classifier import (
+        fit_quality_classifier,
+        pareto_select,
+        score_quality,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    w, b = fit_quality_classifier(
+        docs,
+        F.col("lang") == "en",
+        n_buckets=_QC_BUCKETS,
+        sample=_QC_SAMPLE,
+        iters=_QC_ITERS,
+    )
+    return pareto_select(score_quality(docs, w, b), alpha=9.0, seed="qc")
+
+
 def _q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view→click→purchase per user
     (operators/sessions.py:funnel_steps — chained conditional min-aggs,
@@ -332,12 +391,15 @@ def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token budget + char length + GPT-2 pre-tokenizer
-    (BPE-ish) token budget + composite quality score per doc — all JVM
-    regex, map-only (the former bpe_token_counts and quality_scores
-    queries are folded in as columns so every registry entry fits the
-    driver's 50-row correctness cap)."""
+    (BPE-ish) token budget + composite quality score + stopword-panel
+    language ID per doc — all JVM regex/array ops, map-only (the former
+    bpe_token_counts, quality_scores and langid_heuristic queries are
+    folded in as columns so every registry entry fits the driver's
+    50-row correctness cap; per-doc lang_pred is a STRICTLY stronger
+    check than the old confusion-matrix rollup)."""
     from crawl4ai_spark.operators.textstats import (
         bpe_token_count_col,
+        langid_best,
         quality_score_col,
         token_count_col,
     )
@@ -349,6 +411,7 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("text_chars"),
         bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
         quality_score_col(F.col("text")).alias("quality"),
+        langid_best(F.col("text")).alias("lang_pred"),
     )
 
 
@@ -530,26 +593,22 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-panel language-ID rolled up as a (true lang × predicted
-    lang) confusion matrix with doc counts and avg chars — the former
-    standalone `lang_dist` rollup is the row margin of this frame (the
-    two rows merged so every operator fits the driver's 50-entry cap)."""
-    from crawl4ai_spark.operators.textstats import langid_best
+def _q_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet corpus curation (Wenzek 2020): corpus-wide paragraph dedup →
+    language gate → Stupid-Backoff LM scoring → per-language head/middle/
+    tail perplexity buckets (operators/ccnet.py). The flat synthetic docs
+    get deterministic paragraph structure first — a newline after every
+    8th word, the same regex the SQL oracle applies — so the driver row
+    exercises real multi-paragraph dedup + byte-exact reconstruction
+    (pinned by dedup_md5). The standalone per-doc language-ID check lives
+    in token_stats' lang_pred column."""
+    from crawl4ai_spark.operators.ccnet import ccnet_pipeline
 
-    docs = _read(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "lang",
-            langid_best(F.col("text")).alias("lang_pred"),
-            F.length("text").alias("_chars"),
-        )
-        .groupBy("lang", "lang_pred")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("_chars"), 4).alias("avg_chars"),
-        )
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+ ){8})", "$1\n").alias("text"),
     )
+    return ccnet_pipeline(docs)
 
 
 
@@ -1402,8 +1461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_logscore": _q_lm_logscore,
         "relational_battery": _q_relational_battery,
         "bpe_tokenize": _q_bpe_tokenize,
-        "events_hourly": _q_events_hourly,
-        "session_stats": _q_session_stats,
+        "events_battery": _q_events_battery,
+        "quality_classifier": _q_quality_classifier,
         "funnel_view_click_purchase": _q_funnel_view_click_purchase,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "politeness_rank_events": _q_politeness_rank_events,
@@ -1419,7 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "semantic_dedup": _q_semantic_dedup,
         "pdf_extract": _q_pdf_extract,
-        "langid_heuristic": _q_langid_heuristic,
+        "ccnet_corpus": _q_ccnet_corpus,
         "bm25_scores": _q_bm25_scores,
         "chunking_battery": _q_chunking_battery,
         "span_substring_dedup": _q_span_substring_dedup,
@@ -1630,11 +1689,40 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY ts, event_id) AS rk FROM events)
             WHERE rk = 1
         """,
-        "events_hourly": """
-            SELECT event_type, date_trunc('hour', ts) AS hour,
-                   count(*) AS n_events, round(avg(value), 4) AS avg_value
-            FROM events GROUP BY 1, 2
+        "events_battery": """
+            SELECT 'hourly' AS leg, event_type AS etype,
+                   CAST(NULL AS BIGINT) AS uid, CAST(NULL AS BIGINT) AS seq,
+                   date_trunc('hour', ts) AS t1, CAST(NULL AS TIMESTAMP) AS t2,
+                   count(*) AS n, round(avg(value), 4) AS num,
+                   CAST(NULL AS BIGINT) AS n2
+            FROM events GROUP BY 2, 5
+            UNION ALL
+            SELECT 'session', CAST(NULL AS VARCHAR), user_id, session_seq,
+                   session_start, session_end, n_events, duration_s,
+                   n_event_types
+            FROM (
+                WITH o AS (
+                    SELECT user_id, event_id, ts, event_type,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events),
+                f AS (
+                    SELECT *, CASE WHEN prev_ts IS NULL
+                                     OR epoch(ts) - epoch(prev_ts) > 1800.0
+                                   THEN 1 ELSE 0 END AS is_new
+                    FROM o),
+                s AS (
+                    SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
+                    FROM f)
+                SELECT user_id, session_seq,
+                       min(ts) AS session_start, max(ts) AS session_end,
+                       count(*) AS n_events,
+                       round(CAST(epoch(max(ts)) - epoch(min(ts)) AS DOUBLE), 4) AS duration_s,
+                       count(DISTINCT event_type) AS n_event_types
+                FROM s GROUP BY 1, 2)
         """,
+        "quality_classifier": _quality_classifier_oracle_sql(),
         "funnel_view_click_purchase": """
             WITH u AS (SELECT DISTINCT user_id FROM events),
             s1 AS (SELECT user_id, min(ts) AS step_1_ts FROM events
@@ -1678,28 +1766,6 @@ def oracle_sql() -> dict[str, str]:
                 FROM grams)
             SELECT DISTINCT doc_id, fingerprint FROM kept WHERE n = 4
         """,
-        "session_stats": """
-            WITH o AS (
-                SELECT user_id, event_id, ts, event_type,
-                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-                FROM events),
-            f AS (
-                SELECT *, CASE WHEN prev_ts IS NULL
-                                 OR epoch(ts) - epoch(prev_ts) > 1800.0
-                               THEN 1 ELSE 0 END AS is_new
-                FROM o),
-            s AS (
-                SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
-                FROM f)
-            SELECT user_id, session_seq,
-                   min(ts) AS session_start, max(ts) AS session_end,
-                   count(*) AS n_events,
-                   round(CAST(epoch(max(ts)) - epoch(min(ts)) AS DOUBLE), 4) AS duration_s,
-                   count(DISTINCT event_type) AS n_event_types
-            FROM s GROUP BY 1, 2
-        """,
         "politeness_rank_events": """
             SELECT user_id, event_id, round(value, 2) AS value, rk
             FROM (SELECT user_id, event_id, value,
@@ -1711,12 +1777,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS min_doc_id
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
-        "token_stats": f"""
-            SELECT doc_id, {_NTOK} AS n_tokens, length(text) AS text_chars,
-                   {_bpe_count_sql()} AS n_bpe_tokens,
-                   {_QUALITY_SQL} AS quality
-            FROM documents
-        """,
+        "token_stats": _token_stats_oracle_sql(),
         "pack_sequences": f"""
             -- concat-and-chunk packing: md5-shuffled global token stream
             -- cut every 512 tokens → (chunk, doc-slice) assembly map
@@ -2187,7 +2248,7 @@ def oracle_sql() -> dict[str, str]:
                    || '</body></html>' AS cleaned_html
             FROM d
         """,
-        "langid_heuristic": _langid_oracle_sql(),
+        "ccnet_corpus": _ccnet_oracle_sql(),
         # synth_media_table's even-id payloads are generated from closed-
         # form parameters (PNG w=8+i%4 h=6+i%3 on i%12=0, GIF w=10+i%7
         # h=7+i%5 on i%36=18, baseline/progressive JPEG 16x16 on the other
@@ -2574,23 +2635,234 @@ def _langid_fragments() -> tuple[str, str, str]:
     return hit_cols, case, ", ".join(langs)
 
 
-def _langid_oracle_sql() -> str:
+def _token_stats_oracle_sql() -> str:
+    """token_stats twin: whitespace/BPE budgets + quality + stopword-panel
+    lang_pred per doc (the former standalone langid rollup folded in as a
+    per-doc column — strictly stronger than the old confusion matrix)."""
     hit_cols, case, langs = _langid_fragments()
     return rf"""
-        WITH toks AS (
-            SELECT doc_id, lang, length(text) AS chars,
+        WITH base AS (
+            SELECT doc_id, text,
                    regexp_split_to_array(lower(trim(text)), '\s+') AS t
             FROM documents),
         hits AS (
-            SELECT doc_id, lang, chars,
+            SELECT doc_id, text,
                    {hit_cols}
-            FROM toks),
+            FROM base),
         pred AS (
-            SELECT lang, chars, CASE {case} END AS lang_pred
+            SELECT doc_id, text, CASE {case} END AS lang_pred
             FROM (SELECT *, greatest({langs}) AS m FROM hits))
-        SELECT lang, lang_pred, count(*) AS n_docs,
-               round(avg(chars), 4) AS avg_chars
-        FROM pred GROUP BY 1, 2
+        SELECT doc_id, {_NTOK} AS n_tokens, length(text) AS text_chars,
+               {_bpe_count_sql()} AS n_bpe_tokens,
+               {_QUALITY_SQL} AS quality, lang_pred
+        FROM pred
+    """
+
+
+def _ccnet_oracle_sql() -> str:
+    """Full-equality twin of ``_q_ccnet_corpus`` (operators/ccnet.py):
+    same deterministic paragraph synthesis (newline every 8 words), the
+    paper's paragraph normalization, keep-global-first dedup (grouping on
+    the normalized STRING — ground truth for the engine's xxhash64 key),
+    stopword-panel language gate, Stupid-Backoff trigram scoring over the
+    deduplicated text, and per-language head/middle/tail thirds derived
+    from the same rounded-score histogram with the same cumulative-
+    fraction cutoffs."""
+    hit_cols, case, langs = _langid_fragments()
+    hf = 1.0 / 3.0
+    mf = 2.0 / 3.0
+    return rf"""
+        WITH para_src AS (
+            SELECT doc_id,
+                   regexp_replace(text, '((?:\S+ ){{8}})', '\1' || chr(10), 'g') AS text
+            FROM documents),
+        arr AS (SELECT doc_id, string_split(text, chr(10)) AS pt FROM para_src),
+        paras AS (
+            SELECT doc_id, pos AS para_idx, pt[pos + 1] AS para
+            FROM (SELECT doc_id, pt,
+                         unnest(generate_series(0, len(pt) - 1)) AS pos
+                  FROM arr)
+            WHERE length(trim(pt[pos + 1])) > 0),
+        norm AS (
+            SELECT doc_id, para_idx, para,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                       lower(para), '[0-9]', '0', 'g'),
+                       '[^a-z0 ]', '', 'g'),
+                       ' +', ' ', 'g')) AS np
+            FROM paras),
+        kept AS (
+            SELECT doc_id, para_idx, para
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY np ORDER BY doc_id, para_idx) AS rn
+                  FROM norm)
+            WHERE rn = 1),
+        totals AS (SELECT doc_id, count(*) AS n_paras_total FROM paras GROUP BY doc_id),
+        surv AS (
+            SELECT k.doc_id, t.n_paras_total, count(*) AS n_paras_kept,
+                   string_agg(k.para, chr(10) ORDER BY k.para_idx) AS text_dedup
+            FROM kept k JOIN totals t USING (doc_id)
+            GROUP BY k.doc_id, t.n_paras_total),
+        ltoks AS (
+            SELECT *, regexp_split_to_array(lower(trim(text_dedup)), '\s+') AS t
+            FROM surv),
+        lhits AS (
+            SELECT doc_id, n_paras_total, n_paras_kept, text_dedup,
+                   {hit_cols}
+            FROM ltoks),
+        lang AS (
+            SELECT doc_id, n_paras_total, n_paras_kept, text_dedup,
+                   m AS lang_hits, CASE {case} END AS lang_pred
+            FROM (SELECT *, greatest({langs}) AS m FROM lhits)
+            WHERE m >= 1),
+        ctoks0 AS (
+            SELECT doc_id, {_CLEAN_TOKS} AS ct
+            FROM (SELECT doc_id, text_dedup AS text FROM lang)),
+        toks AS (
+            SELECT doc_id, pos, ct[pos + 1] AS w
+            FROM (SELECT doc_id, ct,
+                         unnest(generate_series(0, len(ct) - 1)) AS pos
+                  FROM ctoks0 WHERE len(ct) > 0)),
+        ctx AS (
+            SELECT doc_id, pos, w,
+                   lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                   lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks),
+        uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+        tot AS (SELECT sum(c1) AS n_total FROM uni),
+        big AS (SELECT w1, w, count(*) AS c2 FROM ctx
+                WHERE w1 IS NOT NULL GROUP BY w1, w),
+        tri AS (SELECT w2, w1, w, count(*) AS c3 FROM ctx
+                WHERE w2 IS NOT NULL GROUP BY w2, w1, w),
+        lm_scored AS (
+            SELECT c.doc_id,
+                   CASE
+                     WHEN c.w2 IS NOT NULL THEN
+                       CASE WHEN t3.c3 IS NOT NULL THEN t3.c3 / bd.c2
+                            WHEN bn.c2 IS NOT NULL
+                                 THEN 0.4 * (bn.c2 / ud.c1)
+                            ELSE 0.4 * (0.4 * (un.c1 / tot.n_total)) END
+                     WHEN c.w1 IS NOT NULL THEN
+                       CASE WHEN bn.c2 IS NOT NULL THEN bn.c2 / ud.c1
+                            ELSE 0.4 * (un.c1 / tot.n_total) END
+                     ELSE un.c1 / tot.n_total
+                   END AS s
+            FROM ctx c
+            LEFT JOIN tri t3 ON t3.w2 = c.w2 AND t3.w1 = c.w1 AND t3.w = c.w
+            LEFT JOIN big bd ON bd.w1 = c.w2 AND bd.w = c.w1
+            LEFT JOIN big bn ON bn.w1 = c.w1 AND bn.w = c.w
+            LEFT JOIN uni ud ON ud.w = c.w1
+            LEFT JOIN uni un ON un.w = c.w
+            CROSS JOIN tot),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(log10(s)), 6) AS lm_logscore
+            FROM lm_scored GROUP BY doc_id),
+        frame AS (
+            SELECT l.*, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   p.lm_logscore, round(p.lm_logscore, 3) AS b
+            FROM lang l LEFT JOIN per_doc p USING (doc_id)),
+        hist AS (
+            SELECT lang_pred, b, count(*) AS c FROM frame
+            WHERE lm_logscore IS NOT NULL GROUP BY 1, 2),
+        fr AS (
+            SELECT lang_pred, b,
+                   sum(c) OVER (PARTITION BY lang_pred ORDER BY b DESC) * 1.0 /
+                   sum(c) OVER (PARTITION BY lang_pred) AS frac
+            FROM hist),
+        cuts AS (
+            SELECT lang_pred,
+                   max(CASE WHEN frac >= {hf!r} THEN b END) AS c1,
+                   max(CASE WHEN frac >= {mf!r} THEN b END) AS c2
+            FROM fr GROUP BY lang_pred)
+        SELECT f.doc_id, f.lang_pred, f.lang_hits, f.n_paras_total,
+               f.n_paras_kept, f.n_tokens, f.lm_logscore,
+               CASE WHEN f.b >= c.c1 THEN 'head'
+                    WHEN f.b >= c.c2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket,
+               md5(f.text_dedup) AS dedup_md5
+        FROM frame f LEFT JOIN cuts c USING (lang_pred)
+    """
+
+
+def _qc_weights_offline(
+    n_buckets: int, sample: int, iters: int
+) -> tuple[list[float], float]:
+    """Retrain the quality classifier without Spark: same hash-ordered
+    sample (pure-Python xxhash64 replica, parity-pinned in tests), same
+    shared ``featurize``/``lr_train`` core — the engine and oracle paths
+    cannot drift on the math, only on the sample, and the sample order is
+    exact."""
+    import duckdb
+
+    from crawl4ai_spark.functions.fingerprint import xxhash64_longs
+    from crawl4ai_spark.operators.quality_classifier import featurize, lr_train
+
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    con = duckdb.connect()
+    rows = con.execute(f"SELECT doc_id, text, lang FROM '{path}'").fetchall()
+    con.close()
+    rows.sort(key=lambda r: (xxhash64_longs(r[0]), r[0]))
+    rows = rows[:sample]
+    feats = [featurize(r[1] or "", n_buckets) for r in rows]
+    labels = [1 if r[2] == "en" else 0 for r in rows]
+    return lr_train(feats, labels, n_buckets, iters=iters)
+
+
+def _quality_classifier_oracle_sql() -> str:
+    """Scoring + Pareto selection unrolled in SQL over offline-retrained
+    weight literals: DSIR-contract gram buckets, the identical
+    bucket-ordered float fold for the logit (list_reduce over an
+    ORDER BY b array — the same IEEE sequence the engine's
+    ``F.aggregate`` fold computes), sigmoid rounded to 6, and the
+    md5-uniform Pareto(9) keep rule."""
+    import math
+
+    weights, bias = _qc_weights_offline(_QC_BUCKETS, _QC_SAMPLE, _QC_ITERS)
+    wt_rows = ", ".join(f"({b}, {w!r})" for b, w in enumerate(weights))
+    no_feat = round(1.0 / (1.0 + math.exp(-bias)), 6)
+    return f"""
+        WITH tok AS (SELECT doc_id, {_CLEAN_TOKS} AS w FROM documents),
+        grams AS (
+            SELECT doc_id, unnest(list_concat(w,
+                CASE WHEN len(w) >= 2
+                     THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+                     ELSE [] END)) AS g
+            FROM tok),
+        buck AS (SELECT doc_id,
+                        ('0x' || substr(md5(g), 1, 13))::BIGINT % {_QC_BUCKETS} AS b
+                 FROM grams),
+        dc AS (SELECT doc_id, b, count(*) AS c FROM buck GROUP BY 1, 2),
+        tots AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM dc GROUP BY 1),
+        wt AS (SELECT * FROM (VALUES {wt_rows}) AS t(b, w)),
+        terms AS (
+            SELECT dc.doc_id, dc.b,
+                   wt.w * (CAST(dc.c AS DOUBLE) / CAST(tots.tot AS DOUBLE)) AS term
+            FROM dc JOIN wt USING (b) JOIN tots USING (doc_id)),
+        pd AS (
+            SELECT t.doc_id, tots.tot AS n_grams,
+                   list_reduce(
+                       list_prepend(CAST({bias!r} AS DOUBLE),
+                                    array_agg(t.term ORDER BY t.b)),
+                       (a, x) -> a + x) AS logit
+            FROM terms t JOIN tots USING (doc_id)
+            GROUP BY t.doc_id, tots.tot),
+        scored AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+                   coalesce(round(1.0 / (1.0 + exp(-pd.logit)), 6),
+                            {no_feat!r}) AS qc_score
+            FROM documents d LEFT JOIN pd USING (doc_id)),
+        par AS (
+            SELECT *,
+                   round(pow(1.0 - ((('0x' || substr(md5('qc:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT::DOUBLE + 0.5)
+                       / {float(16 ** 13)!r}), -1.0 / 9.0) - 1.0, 6)
+                       AS pareto_draw
+            FROM scored)
+        SELECT doc_id, n_grams, qc_score, pareto_draw,
+               CASE WHEN pareto_draw > round(1.0 - qc_score, 6)
+                    THEN 1 ELSE 0 END AS keep
+        FROM par
     """
 
 

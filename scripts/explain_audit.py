@@ -174,10 +174,21 @@ CHECKS = {
         ("!Exchange", "map-only: chunking, prompting, and parsing shuffle nothing"),
         ("!BatchEvalPython", "no row-at-a-time Python UDF"),
     ],
-    "session_stats": [
+    "events_battery": [
         ("windowspecdefinition(user_id", "session window partitioned per user — never a global window"),
-        ("HashAggregate", "per-session rollup as hash agg"),
+        ("HashAggregate", "per-session/hourly rollups as hash aggs"),
         ("!ArrowEvalPython", "pure column algebra"),
+    ],
+    "ccnet_corpus": [
+        ("xxhash64", "paragraph-dedup key is the 8-byte hash of the normalized paragraph"),
+        ("ObjectHashAggregate", "per-doc reconstruction bounded by the doc's own paragraph count"),
+        ("windowspecdefinition(lang_pred", "cumulative-fraction window runs on the (lang, bucket) histogram frame only"),
+        ("!BatchEvalPython", "zero Python rows"),
+    ],
+    "quality_classifier": [
+        ("ObjectHashAggregate", "per-doc bucket vector collected sorted — fixed-order float fold"),
+        ("!BatchEvalPython", "scoring is pure column algebra; training is bounded off-plan"),
+        ("!CartesianProduct", "never an all-pairs product"),
     ],
     "funnel_view_click_purchase": [
         ("ObjectHashAggregate", "ONE shuffle: per-user ts-sorted collect of the funnel events"),

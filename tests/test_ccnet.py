@@ -1,0 +1,123 @@
+"""ccnet_pipeline (operators/ccnet.py) — paragraph-level dedup, language
+gate, and LM head/middle/tail bucketing (Wenzek et al. 2020) pinned on
+hand-built multi-paragraph corpora where every keeper, reconstruction,
+and bucket boundary is known by construction."""
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.ccnet import ccnet_pipeline, normalize_paragraph_col
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ccnet_pipeline(df, **kw).collect()
+    return {r["doc_id"]: r.asDict() for r in out}
+
+
+def test_paragraph_dedup_keeps_global_first(spark):
+    # the banner paragraph repeats across all three docs (CCNet's target:
+    # boilerplate); only doc 1 (min doc_id) keeps it, at its own position
+    banner = "the cookie banner text here"
+    rows = [
+        (1, banner + "\nthe unique alpha body paragraph one"),
+        (2, "the unique beta body paragraph two\n" + banner),
+        (3, banner),
+    ]
+    got = _run(spark, rows)
+    assert got[1]["n_paras_total"] == 2 and got[1]["n_paras_kept"] == 2
+    assert got[2]["n_paras_total"] == 2 and got[2]["n_paras_kept"] == 1
+    # doc 3 was ONLY the banner -> zero kept paragraphs -> dropped
+    assert 3 not in got
+
+
+def test_normalization_drives_dedup_not_raw_bytes(spark):
+    # same paragraph modulo case / digits / punctuation dedups; the KEPT
+    # byte form is the first occurrence's ORIGINAL text (reconstruction
+    # is from raw paragraphs, normalization is only the match key)
+    rows = [
+        (10, "The Offer ends 2024!\nthe unique gamma paragraph"),
+        (11, "the offer ends 0000\nthe unique delta paragraph"),
+    ]
+    got = _run(spark, rows)
+    assert got[10]["n_paras_kept"] == 2
+    assert got[11]["n_paras_kept"] == 1  # normalized-equal banner dropped
+
+
+def test_reconstruction_order_and_md5(spark):
+    # kept paragraphs rejoin in ORIGINAL document order, byte-exact
+    import hashlib
+
+    text = "the alpha one paragraph\nthe beta two paragraph\nthe gamma three paragraph"
+    got = _run(spark, [(1, text)])
+    assert got[1]["n_paras_kept"] == 3
+    assert got[1]["dedup_md5"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_language_gate_drops_no_hit_docs(spark):
+    rows = [
+        (1, "the and for with this that\nthe unique epsilon paragraph"),
+        (2, "zzz qqq xxx www"),  # no stopword panel hit -> gated out
+    ]
+    got = _run(spark, rows)
+    assert got[1]["lang_pred"] == "en" and got[1]["lang_hits"] >= 2
+    assert 2 not in got
+
+
+def test_buckets_are_per_language_thirds(spark):
+    # doc i mixes 27 corpus-common tokens with i corpus-unique tokens
+    # (letters only — digits would normalize-dedup), so mean Stupid-
+    # Backoff log-score falls monotonically with i and the per-language
+    # thirds split exactly 3/3/3
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = []
+    for i in range(1, 10):
+        uniq = " ".join(f"uniq{'z' * i}{'q' * j}" for j in range(1, i + 1))
+        rows.append((i, " ".join([common] * 3) + " " + uniq))
+    got = _run(spark, rows)
+    assert len(got) == 9
+    from collections import Counter
+
+    assert Counter(v["ppl_bucket"] for v in got.values()) == {
+        "head": 3,
+        "middle": 3,
+        "tail": 3,
+    }
+    order = {"head": 2, "middle": 1, "tail": 0}
+    scored = sorted(got.values(), key=lambda v: v["lm_logscore"], reverse=True)
+    ranks = [order[v["ppl_bucket"]] for v in scored]
+    # bucket rank is non-increasing as the score falls
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_unscorable_doc_lands_in_tail(spark):
+    # a doc whose deduplicated text has NO clean tokens (all words <= 2
+    # chars) survives the lang gate only if a stopword hits — 'of'/'to'
+    # are in the en panel and <= 2 chars, so lang-visible but unscorable
+    rows = [
+        (1, "to of to of\nthe unique zeta paragraph body"),
+        (2, "of to of to"),
+    ]
+    got = _run(spark, rows)
+    assert got[2]["lm_logscore"] is None
+    assert got[2]["ppl_bucket"] == "tail"
+    assert got[2]["n_tokens"] == 0
+
+
+def test_determinism_across_parallelism(spark):
+    rows = [(i, f"the common shared paragraph body\nthe unique word{i} paragraph {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, ccnet_pipeline(df).collect()))
+    b = sorted(map(tuple, ccnet_pipeline(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_bad_fracs_raise(spark):
+    df = spark.createDataFrame([(1, "the a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        ccnet_pipeline(df, head_frac=0.7, middle_frac=0.5)
+
+
+def test_normalize_paragraph_col(spark):
+    df = spark.createDataFrame([("  The  Price: 42,  now!  ",)], "p string")
+    got = df.select(normalize_paragraph_col(F.col("p")).alias("n")).first()["n"]
+    assert got == "the price 00 now"
