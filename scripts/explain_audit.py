@@ -354,7 +354,10 @@ def main() -> int:
                 failures.append((name, needle))
 
     for name, checks in CHECKS.items():
-        run_checks(name, plan_of(queries[name](spark, sf_dir)), checks)
+        # registry-merged legs (battery rows) keep their standalone plan
+        # audit via the private builder, same play as bench.py
+        fn = queries.get(name) or getattr(entrymod, f"_q_{name}")
+        run_checks(name, plan_of(fn(spark, sf_dir)), checks)
     for name, (builder, checks) in EXTRA_PLANS.items():
         run_checks(name, plan_of(builder(spark, sf_dir)), checks)
     spark.stop()
