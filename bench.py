@@ -138,6 +138,10 @@ def headline_queries():
         # round-5 addition: mixture sampling (bucketed-prefix token
         # budgets — one tiny agg shuffle + boundary-sliver window)
         "token_budget_sample": q["token_budget_sample"],
+        # round-5 addition: CCNet curation (paragraph dedup + langid +
+        # LM bucketing — the heaviest end-to-end pipeline op; the fan-out
+        # subtrees dedupe via runtime shuffle reuse, see ccnet.py)
+        "ccnet_corpus": q["ccnet_corpus"],
     }
 
 

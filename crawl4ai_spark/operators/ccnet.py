@@ -57,11 +57,10 @@ any parallelism yields the same corpus.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .lm_score import stupid_backoff_scores
-from .textstats import langid_best, langid_scores
+from .textstats import LANG_STOPWORDS
 
 __all__ = ["ccnet_pipeline", "normalize_paragraph_col"]
 
@@ -80,6 +79,28 @@ def normalize_paragraph_col(para):
     x = F.regexp_replace(x, "[^a-z0 ]", "")
     x = F.regexp_replace(x, " +", " ")
     return F.trim(x)
+
+
+def _sql_str(s: str) -> str:
+    """Escape a Python string into a Spark-SQL single-quoted literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'").replace("\n", "\\n") + "'"
+
+
+def _langid_sql_fragments() -> tuple[str, str, str]:
+    """(hit_cols, argmax_case, langs_csv) over a token-array column ``t``
+    — panels imported from the shared table so this builder, the column
+    API in :mod:`.textstats`, and the DuckDB oracle cannot drift. The
+    argmax CASE tests languages in sorted order, i.e. ties break to the
+    lexicographic minimum — exactly ``textstats.langid_best``."""
+    langs = sorted(LANG_STOPWORDS)
+    hit_cols = ",\n               ".join(
+        "size(array_intersect(t, array("
+        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        + f"))) AS {lang}"
+        for lang in langs
+    )
+    case = " ".join(f"WHEN {lang} = m THEN '{lang}'" for lang in langs)
+    return hit_cols, case, ", ".join(langs)
 
 
 def ccnet_pipeline(
@@ -111,99 +132,133 @@ def ccnet_pipeline(
     reconstructed deduplicated text — the byte-exact reconstruction
     pin. Boundary buckets are INCLUDED in the better tier, so tiers are
     ≥ the requested fractions by at most one score-bucket's mass.
+
+    The plan is built as ONE Spark-SQL statement (a temp view + one
+    ``spark.sql`` call): the DataFrame-API formulation resolved its
+    ~30-operator lineage once per appended operator (O(depth²) driver
+    analysis — 5.3 s of plan-build at sf0.1, half the query's wall),
+    the SQL text is analyzed once. Same physical plan family, same
+    results (the full-equality DuckDB oracle and the pytests pin both).
     """
     if not (0 < head_frac and head_frac + middle_frac <= 1):
         raise ValueError("head_frac/middle_frac must be positive with sum <= 1")
-
-    # ── stage 1: corpus-wide paragraph dedup, keep global first ──────
-    paras = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), para_sep)).alias("para_idx", "para"),
-    ).where(F.length(F.trim("para")) > 0)
-    paras = paras.withColumn("h", F.xxhash64(normalize_paragraph_col(F.col("para"))))
-    keepers = paras.groupBy("h").agg(
-        F.min(F.struct("doc_id", "para_idx")).alias("keep")
-    )
-    kept = (
-        paras.join(keepers, "h")
-        .where(
-            (F.col("doc_id") == F.col("keep.doc_id"))
-            & (F.col("para_idx") == F.col("keep.para_idx"))
-        )
-        .select("doc_id", "para_idx", "para")
-    )
-    totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras_total"))
-    # reconstruction: per-doc paragraph arrays only (bounded by the doc's
-    # own paragraph count), original order restored by para_idx sort
-    surv = (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_paras_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
-                    lambda x: x["para"],
-                ),
-                para_sep,
-            ).alias("text_dedup"),
-        )
-        .join(totals, "doc_id")  # co-partitioned on doc_id
-    )
-
-    # ── stage 2: language gate (pure projection) ──────────────────────
-    surv = surv.select(
-        "*",
-        langid_best(F.col("text_dedup")).alias("lang_pred"),
-        F.array_max(
-            F.transform(langid_scores(F.col("text_dedup")), lambda s: s["hits"])
-        ).alias("lang_hits"),
-    ).where(F.col("lang_hits") >= int(min_lang_hits))
-
-    # ── stage 3: LM scoring + per-language head/middle/tail ──────────
-    scored = stupid_backoff_scores(
-        surv.select("doc_id", F.col("text_dedup").alias("text")),
-        text_col="text",
-        id_col="doc_id",
-        alpha=alpha,
-        round_to=round_to,
-    )
-    frame = surv.join(scored, "doc_id")  # same key as the reconstruction
-    frame = frame.withColumn("b", F.round("lm_logscore", bucket_round))
-    hist = (
-        frame.where(F.col("lm_logscore").isNotNull())
-        .groupBy("lang_pred", "b")
-        .agg(F.count("*").alias("c"))
-    )
-    # cumulative fraction from the BEST bucket downwards, on the tiny
-    # (lang, bucket) frame only; cutoff = worst bucket still inside the
-    # tier (max b with cumfrac >= frac, since cumfrac rises as b falls)
-    w_cum = Window.partitionBy("lang_pred").orderBy(F.col("b").desc())
-    w_all = Window.partitionBy("lang_pred")
-    fr = hist.select(
-        "lang_pred",
-        "b",
-        (F.sum("c").over(w_cum) / F.sum("c").over(w_all)).alias("frac"),
-    )
-    hf = float(head_frac)
-    mf = float(head_frac + middle_frac)
-    cuts = fr.groupBy("lang_pred").agg(
-        F.max(F.when(F.col("frac") >= F.lit(hf), F.col("b"))).alias("c1"),
-        F.max(F.when(F.col("frac") >= F.lit(mf), F.col("b"))).alias("c2"),
-    )
-    out = frame.join(F.broadcast(cuts), "lang_pred", "left")
-    bucket = (
-        F.when(F.col("b") >= F.col("c1"), F.lit("head"))
-        .when(F.col("b") >= F.col("c2"), F.lit("middle"))
-        .otherwise(F.lit("tail"))  # incl. NULL score: unscorable -> tail
-    )
-    return out.select(
-        "doc_id",
-        "lang_pred",
-        "lang_hits",
-        "n_paras_total",
-        "n_paras_kept",
-        "n_tokens",
-        "lm_logscore",
-        bucket.alias("ppl_bucket"),
-        F.md5(F.col("text_dedup").cast("binary")).alias("dedup_md5"),
-    )
+    spark = docs.sparkSession
+    sep = _sql_str(para_sep)
+    hit_cols, lang_case, langs_csv = _langid_sql_fragments()
+    hf = repr(float(head_frac))
+    mf = repr(float(head_frac + middle_frac))
+    a = repr(float(alpha))
+    view = "__ccnet_in__"
+    docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView(view)
+    sql = f"""
+    WITH paras AS (
+        -- stage 1: paragraph stream + the paper's normalization hash
+        SELECT doc_id, para_idx, para,
+               xxhash64(trim(regexp_replace(regexp_replace(regexp_replace(
+                   lower(para), '[0-9]', '0'), '[^a-z0 ]', ''), ' +', ' '))) AS h
+        FROM {view}
+        LATERAL VIEW posexplode(split(text, {sep})) AS para_idx, para
+        WHERE length(trim(para)) > 0),
+    keepers AS (
+        -- keep the global first occurrence: one 8-byte-key hash agg
+        SELECT h, min(struct(doc_id, para_idx)) AS keep FROM paras GROUP BY h),
+    kept AS (
+        SELECT p.doc_id, p.para_idx, p.para
+        FROM paras p JOIN keepers k ON p.h = k.h
+        WHERE p.doc_id = k.keep.doc_id AND p.para_idx = k.keep.para_idx),
+    totals AS (SELECT doc_id, count(*) AS n_paras_total FROM paras GROUP BY doc_id),
+    surv0 AS (
+        -- byte-exact reconstruction, bounded by the doc's own paragraphs
+        SELECT doc_id, count(*) AS n_paras_kept,
+               array_join(transform(array_sort(collect_list(struct(para_idx, para))),
+                                    x -> x.para), {sep}) AS text_dedup
+        FROM kept GROUP BY doc_id),
+    surv1 AS (SELECT s.*, t.n_paras_total FROM surv0 s JOIN totals t USING (doc_id)),
+    -- stage 2: stopword-panel language gate (pure projection)
+    lhits AS (
+        SELECT *, {hit_cols}
+        FROM (SELECT *, split(lower(trim(text_dedup)), '\\\\s+') AS t FROM surv1)),
+    lang AS (
+        SELECT doc_id, n_paras_total, n_paras_kept, text_dedup,
+               m AS lang_hits, CASE {lang_case} END AS lang_pred
+        FROM (SELECT *, greatest({langs_csv}) AS m FROM lhits)
+        WHERE m >= {int(min_lang_hits)}),
+    -- stage 3: Stupid-Backoff trigram LM over the deduplicated text
+    -- (mirrors lm_score.stupid_backoff_scores; counts are hash aggs,
+    -- scoring is distributed hash joins on the gram keys)
+    -- (pos, w, w1, w2) straight off the token array — no per-doc lag
+    -- window, so no per-doc sort; the REPARTITION hint is the deliberate
+    -- materialization point its four consumers reuse (1 survivor-frame
+    -- pass instead of 4 — see lm_score.py's A/B)
+    ctx AS (
+        SELECT /*+ REPARTITION(doc_id) */ doc_id, e.pos, e.w, e.w1, e.w2
+        FROM (SELECT doc_id, ct
+              FROM (SELECT doc_id,
+                           filter(split(trim(regexp_replace(lower(text_dedup),
+                                  '[^a-z0-9 ]', '')), '\\\\s+'),
+                                  x -> length(x) > 2) AS ct
+                    FROM lang)
+              WHERE size(ct) > 0)
+        LATERAL VIEW explode(transform(sequence(0, size(ct) - 1),
+            i -> struct(i AS pos, ct[i] AS w,
+                        CASE WHEN i >= 1 THEN ct[i-1] END AS w1,
+                        CASE WHEN i >= 2 THEN ct[i-2] END AS w2))) AS e),
+    uni AS (SELECT w, count(*) AS c1 FROM ctx GROUP BY w),
+    tot AS (SELECT sum(c1) AS n_total FROM uni),
+    big AS (SELECT w1, w, count(*) AS c2 FROM ctx WHERE w1 IS NOT NULL GROUP BY w1, w),
+    tri AS (SELECT w2, w1, w, count(*) AS c3 FROM ctx
+            WHERE w2 IS NOT NULL GROUP BY w2, w1, w),
+    lm_scored AS (
+        SELECT c.doc_id,
+               CASE
+                 WHEN c.w2 IS NOT NULL THEN
+                   CASE WHEN t3.c3 IS NOT NULL THEN t3.c3 / bd.c2
+                        WHEN bn.c2 IS NOT NULL THEN {a} * (bn.c2 / ud.c1)
+                        ELSE {a} * ({a} * (un.c1 / tot.n_total)) END
+                 WHEN c.w1 IS NOT NULL THEN
+                   CASE WHEN bn.c2 IS NOT NULL THEN bn.c2 / ud.c1
+                        ELSE {a} * (un.c1 / tot.n_total) END
+                 ELSE un.c1 / tot.n_total
+               END AS s
+        FROM ctx c
+        LEFT JOIN tri t3 ON t3.w2 = c.w2 AND t3.w1 = c.w1 AND t3.w = c.w
+        LEFT JOIN big bd ON bd.w1 = c.w2 AND bd.w = c.w1
+        LEFT JOIN big bn ON bn.w1 = c.w1 AND bn.w = c.w
+        LEFT JOIN uni ud ON ud.w = c.w1
+        LEFT JOIN uni un ON un.w = c.w
+        CROSS JOIN tot),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(log10(s)), {int(round_to)}) AS lm_logscore
+        FROM lm_scored GROUP BY doc_id),
+    frame AS (
+        SELECT l.*, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               p.lm_logscore, round(p.lm_logscore, {int(bucket_round)}) AS b
+        FROM lang l LEFT JOIN per_doc p USING (doc_id)),
+    -- head/middle/tail cutoffs from the TINY (lang, bucket) histogram;
+    -- the corpus itself is never sorted or windowed
+    hist AS (
+        SELECT lang_pred, b, count(*) AS c FROM frame
+        WHERE lm_logscore IS NOT NULL GROUP BY lang_pred, b),
+    fr AS (
+        SELECT lang_pred, b,
+               sum(c) OVER (PARTITION BY lang_pred ORDER BY b DESC) /
+               sum(c) OVER (PARTITION BY lang_pred) AS frac
+        FROM hist),
+    cuts AS (
+        SELECT lang_pred,
+               max(CASE WHEN frac >= {hf} THEN b END) AS c1,
+               max(CASE WHEN frac >= {mf} THEN b END) AS c2
+        FROM fr GROUP BY lang_pred)
+    SELECT /*+ BROADCAST(cuts) */
+           f.doc_id, f.lang_pred, f.lang_hits, f.n_paras_total,
+           f.n_paras_kept, f.n_tokens, f.lm_logscore,
+           CASE WHEN f.b >= c.c1 THEN 'head'
+                WHEN f.b >= c.c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket,
+           md5(CAST(f.text_dedup AS BINARY)) AS dedup_md5
+    FROM frame f LEFT JOIN cuts c USING (lang_pred)
+    """
+    return spark.sql(sql)

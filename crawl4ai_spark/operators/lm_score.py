@@ -22,7 +22,8 @@ grams). Scoring = hash joins from the positioned token stream to the
 count tables on the gram keys; the count tables stay DISTRIBUTED — at
 web scale the trigram table is far past broadcast/driver limits — and
 AQE's skew handling covers the hot-gram build rows. Zero Python rows,
-zero windows beyond the partition-local lag (one hash shuffle by doc).
+ZERO windows: the (w, w2 w1) context comes straight off the token
+array (map-only), not a per-doc lag window.
 
 Tokenization is the engine's oracle-mirrored cleaned-terms contract
 (textstats.clean_terms_col ≡ the DuckDB `_CLEAN_TOKS` macro): lowercase,
@@ -30,7 +31,7 @@ alnum-only, tokens longer than 2 chars.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.operators.textstats import clean_terms_col
@@ -65,17 +66,35 @@ def stupid_backoff_scores(
     2.00 s) — the cache write costs more than the deduped recompute.
     """
     toks = docs.select(
-        F.col(id_col), F.posexplode(clean_terms_col(F.col(text_col))).alias("pos", "w")
+        F.col(id_col), clean_terms_col(F.col(text_col)).alias("_ct")
+    ).where(F.size("_ct") > 0)
+    # (pos, w, w1, w2) derived from the token ARRAY — no per-doc lag
+    # window, so no per-doc SORT. The explicit repartition is the
+    # deliberate materialization point the window used to provide for
+    # free: ctx has four consumers (uni/big/tri counts + the scoring
+    # join) and without an exchange of its own each one would recompute
+    # the scan+explode (A/B at sf0.1: map-only 5.4 s vs 4.5 s with the
+    # exchange; at corpus scale it is 1 text scan instead of 4). The
+    # consumers' own gram-key shuffles all reuse this one exchange.
+    ctx = (
+        toks.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_ct") - 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.get("_ct", i).alias("w"),
+                        F.when(i >= 1, F.get("_ct", i - 1)).alias("w1"),
+                        F.when(i >= 2, F.get("_ct", i - 2)).alias("w2"),
+                    ),
+                )
+            ).alias("_e"),
+        )
+        .select(id_col, "_e.pos", "_e.w", "_e.w1", "_e.w2")
+        .repartition(id_col)
     )
-    w_doc = Window.partitionBy(id_col).orderBy("pos")
-    ctx = toks.select(
-        id_col,
-        "pos",
-        "w",
-        F.lag("w", 1).over(w_doc).alias("w1"),
-        F.lag("w", 2).over(w_doc).alias("w2"),
-    )
-    uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
+    uni = ctx.groupBy("w").agg(F.count("*").alias("c1"))
     total = uni.agg(F.sum("c1").alias("n_total"))
     big = (
         ctx.where(F.col("w1").isNotNull())

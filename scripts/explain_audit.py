@@ -37,7 +37,8 @@ CHECKS = {
     "lm_logscore": [
         ("!BatchEvalPython", "Stupid Backoff scoring is pure column algebra"),
         ("HashAggregate", "gram counts = partial+final hash aggs"),
-        ("windowspecdefinition(doc_id", "context lags are partition-local per doc"),
+        ("!windowspecdefinition", "context grams come off the token array — no per-doc window/sort"),
+        ("REPARTITION", "explicit ctx exchange: one text scan feeds all four gram consumers"),
         ("AdaptiveSparkPlan", "AQE handles hot-gram join skew at scale"),
     ],
     "relational_battery": [
