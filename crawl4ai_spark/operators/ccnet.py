@@ -252,8 +252,8 @@ def ccnet_pipeline(
                max(CASE WHEN frac >= {hf} THEN b END) AS c1,
                max(CASE WHEN frac >= {mf} THEN b END) AS c2
         FROM fr GROUP BY lang_pred)
-    SELECT /*+ BROADCAST(cuts) */
-           f.doc_id, f.lang_pred, f.lang_hits, f.n_paras_total,
+    -- cuts is <= |langs| rows: AQE plans the join as broadcast at runtime
+    SELECT f.doc_id, f.lang_pred, f.lang_hits, f.n_paras_total,
            f.n_paras_kept, f.n_tokens, f.lm_logscore,
            CASE WHEN f.b >= c.c1 THEN 'head'
                 WHEN f.b >= c.c2 THEN 'middle'
