@@ -264,7 +264,7 @@ def rank_pending_links(
     q = sorted(set(query_terms))
     n_q = max(len(q), 1)
     relevance = F.when(F.size("terms") == 0, F.lit(0.0)).otherwise(
-        F.size(F.array_intersect("terms", F.array(*[F.lit(t) for t in q]))) / F.lit(float(n_q))
+        F.size(F.array_intersect("terms", F.lit(list(q)))) / F.lit(float(n_q))
         if q
         else F.lit(0.0)
     )

@@ -62,7 +62,11 @@ from pyspark.sql import functions as F
 
 from .textstats import LANG_STOPWORDS
 
-__all__ = ["ccnet_pipeline", "normalize_paragraph_col"]
+__all__ = [
+    "ccnet_pipeline",
+    "normalize_paragraph_col",
+    "paragraph_dedup_incremental",
+]
 
 # head / middle / tail thirds — the paper's default split (§4.3)
 HEAD_FRAC = 1.0 / 3.0
@@ -262,3 +266,86 @@ def ccnet_pipeline(
     FROM frame f LEFT JOIN cuts c USING (lang_pred)
     """
     return spark.sql(sql)
+
+
+def paragraph_dedup_incremental(
+    new_docs: DataFrame,
+    seen_paras: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_sep: str = "\n",
+) -> tuple[DataFrame, DataFrame]:
+    """Batch-incremental CCNet stage 1 — paragraph dedup against the
+    HISTORY of everything already curated, so curation keeps pace with
+    the crawl instead of re-running over the full corpus per wave (the
+    WaveStore play applied to paragraph hashes; the crawl loop's bloom +
+    anti-join discovery dedup is the same shape at URL grain).
+
+    ``seen_paras`` is the persisted store from prior waves — one column
+    ``h`` (the 8-byte xxhash64 of the normalized paragraph), or ``None``
+    for the first wave. A paragraph is dropped if its hash is in the
+    store (a prior wave keeps it) or a smaller ``(doc_id, para_idx)`` in
+    THIS batch keeps it — so processing waves in doc-id order yields
+    exactly the corpus-wide keep-global-first result of
+    :func:`ccnet_pipeline` stage 1 (pinned by a pytest equivalence).
+
+    Returns ``(survivors, new_seen)``:
+
+    - ``survivors``: ``(doc_id, n_paras_total, n_paras_kept,
+      text_dedup)`` — docs from this batch with ≥ 1 kept paragraph,
+      byte-exact reconstruction, the frame the downstream gates
+      (language, LM, classifier) consume.
+    - ``new_seen``: the store to persist for the next wave = old store ∪
+      this batch's first-occurrence hashes. Append-only and distinct on
+      ``h``; at 100 TB this is the paragraph analogue of the URL seen
+      set (8 bytes a row, hash-partitionable, bloom-frontable).
+
+    Scale shape per wave: one explode over the NEW batch only, one
+    left-anti hash join against the store on ``h`` (both sides 8-byte
+    keys), one keep-first hash agg, one co-partitioned reconstruction —
+    the store is never rewritten, only appended.
+    """
+    paras = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), para_sep)).alias("para_idx", "para"),
+    ).where(F.length(F.trim("para")) > 0)
+    paras = paras.withColumn("h", F.xxhash64(normalize_paragraph_col(F.col("para"))))
+    totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras_total"))
+    fresh = (
+        paras.join(seen_paras.select("h"), "h", "left_anti")
+        if seen_paras is not None
+        else paras
+    )
+    keepers = fresh.groupBy("h").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("keep")
+    )
+    kept = (
+        fresh.join(keepers, "h")
+        .where(
+            (F.col("doc_id") == F.col("keep.doc_id"))
+            & (F.col("para_idx") == F.col("keep.para_idx"))
+        )
+        .select("doc_id", "para_idx", "para", "h")
+    )
+    survivors = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                    lambda x: x["para"],
+                ),
+                para_sep,
+            ).alias("text_dedup"),
+        )
+        .join(totals, "doc_id")
+        .select("doc_id", "n_paras_total", "n_paras_kept", "text_dedup")
+    )
+    batch_hashes = kept.select("h").distinct()
+    new_seen = (
+        seen_paras.select("h").unionByName(batch_hashes).distinct()
+        if seen_paras is not None
+        else batch_hashes
+    )
+    return survivors, new_seen

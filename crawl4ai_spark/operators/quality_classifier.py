@@ -164,7 +164,11 @@ def score_quality(
     B = int(n_buckets) if n_buckets is not None else len(weights)
     if B != len(weights):
         raise ValueError("n_buckets must equal len(weights)")
-    w_lit = F.array(*[F.lit(float(v)) for v in weights])
+    # one true array LITERAL (F.lit of the list), NOT F.array(*lits):
+    # CreateArray of B literals is re-constructed per fold step per row —
+    # at B=512 that turned the scoring fold into ~10^10 array builds and
+    # hung a 250k-doc leg; the Literal is materialized once
+    w_lit = F.lit([float(v) for v in weights])
     dc = _gram_bucket_counts(docs, B, id_col, text_col)
     per_doc = dc.groupBy("doc_id").agg(
         F.sum("c").alias("n_grams"),

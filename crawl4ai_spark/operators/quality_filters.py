@@ -121,7 +121,7 @@ def gopher_scalar_signals(
         F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
     )
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
-    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_arr = F.lit(list(GOPHER_STOPWORDS))
     stopword_count = F.size(F.array_intersect(words, stop_arr))
     return docs.select(
         F.col(id_col).alias("doc_id"),

@@ -126,7 +126,7 @@ def funnel_steps(
     # columns with DATATYPE_MISMATCH); acc is the fold's bound variable —
     # O(1) access, no expression re-evaluation
     ts_type = events.schema[ts_col].dataType
-    steps_lit = F.array(*[F.lit(s) for s in steps])
+    steps_lit = F.lit(list(steps))
     chain = F.aggregate(
         F.col("_ev"),
         F.array().cast(ArrayType(ts_type)),

@@ -23,7 +23,7 @@ def _norm(a):
 
 def cosine_sim_col(vec_col, query: list[float]):
     """Cosine similarity of a vector column against a literal query."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = F.lit([float(x) for x in query])
     qn = float(np.sqrt(np.dot(query, query))) or 1.0
     return _dot(vec_col.cast("array<double>"), q) / (_norm(vec_col.cast("array<double>")) * F.lit(qn))
 
@@ -85,7 +85,7 @@ def hyperplane_signatures(
     planes = rng.standard_normal((n_planes, dim))
     vec = F.col(vec_col).cast("array<double>")
     bits = [
-        (_dot(vec, F.array(*[F.lit(float(w)) for w in planes[i]])) > 0).cast("int") * (1 << i)
+        (_dot(vec, F.lit([float(w) for w in planes[i]])) > 0).cast("int") * (1 << i)
         for i in range(n_planes)
     ]
     bucket = bits[0]
@@ -184,7 +184,7 @@ def hyperplane_banded_buckets(
         bucket = None
         for r in range(planes_per_band):
             i = b * planes_per_band + r
-            bit = (_dot(vec, F.array(*[F.lit(float(w)) for w in planes[i]])) > 0).cast(
+            bit = (_dot(vec, F.lit([float(w) for w in planes[i]])) > 0).cast(
                 "int"
             ) * (1 << r)
             bucket = bit if bucket is None else bucket + bit
@@ -340,7 +340,7 @@ def ivf_assign(
     if len(centroids) <= ASSIGN_LITERAL_MAX_K:
         vec = F.col(vec_col).cast("array<double>")
         sims = [
-            _dot(vec, F.array(*[F.lit(float(x)) for x in c])) / _norm(vec)
+            _dot(vec, F.lit([float(x) for x in c])) / _norm(vec)
             for c in centroids
         ]
         best = F.array_position(F.array(*sims), F.array_max(F.array(*sims))) - 1

@@ -106,7 +106,7 @@ def langid_scores(text_col: Column) -> Column:
     pairs = [
         F.struct(
             F.lit(lang).alias("lang"),
-            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
+            F.size(F.array_intersect(toks, F.lit(list(words)))).alias("hits"),
         )
         for lang, words in LANG_STOPWORDS.items()
     ]

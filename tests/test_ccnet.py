@@ -121,3 +121,57 @@ def test_normalize_paragraph_col(spark):
     df = spark.createDataFrame([("  The  Price: 42,  now!  ",)], "p string")
     got = df.select(normalize_paragraph_col(F.col("p")).alias("n")).first()["n"]
     assert got == "the price 00 now"
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_matches_batch_stage1(spark):
+    """Waves processed in doc-id order reproduce the corpus-wide
+    keep-global-first dedup of the one-shot pipeline's stage 1."""
+    from crawl4ai_spark.operators.ccnet import paragraph_dedup_incremental
+
+    banner = "the shared cookie banner"
+    w1 = [(1, banner + "\nthe alpha one body"), (2, "the beta two body\n" + banner)]
+    w2 = [(3, banner + "\nthe gamma three body"), (4, banner)]
+    s1, store = paragraph_dedup_incremental(_mk(spark, w1), None)
+    s2, store = paragraph_dedup_incremental(_mk(spark, w2), store)
+    inc = {r["doc_id"]: r.asDict() for r in s1.collect() + s2.collect()}
+    # batch reference: same dedup via the full pipeline's stage-1 columns
+    from crawl4ai_spark.operators.ccnet import ccnet_pipeline
+
+    batch = {
+        r["doc_id"]: r.asDict()
+        for r in ccnet_pipeline(_mk(spark, w1 + w2)).collect()
+    }
+    assert set(inc) == set(batch) == {1, 2, 3}  # doc 4 fully deduped away
+    for d in inc:
+        for k in ("n_paras_total", "n_paras_kept"):
+            assert inc[d][k] == batch[d][k], (d, k)
+    import hashlib
+
+    for d in inc:
+        assert hashlib.md5(inc[d]["text_dedup"].encode()).hexdigest() == batch[d]["dedup_md5"]
+
+
+def test_incremental_store_grows_distinct_only(spark):
+    from crawl4ai_spark.operators.ccnet import paragraph_dedup_incremental
+
+    w = [(1, "the one\nthe two"), (2, "the two\nthe three")]
+    surv, store = paragraph_dedup_incremental(_mk(spark, w), None)
+    assert store.count() == 3  # 'the two' stored once
+    # replaying the same wave against the store keeps nothing
+    surv2, store2 = paragraph_dedup_incremental(_mk(spark, w), store)
+    assert surv2.count() == 0
+    assert store2.count() == 3
+
+
+def test_incremental_first_wave_equals_none_store(spark):
+    from crawl4ai_spark.operators.ccnet import paragraph_dedup_incremental
+
+    w = [(1, "the solo paragraph")]
+    surv, store = paragraph_dedup_incremental(_mk(spark, w), None)
+    r = surv.first()
+    assert r["n_paras_kept"] == 1 and r["text_dedup"] == "the solo paragraph"
+    assert store.count() == 1
