@@ -62,6 +62,7 @@ __all__ = [
     "synth_image_corpus",
     "video_frame_hashes",
     "video_neardup_candidates",
+    "video_neardup_shifted",
     "synth_video_corpus",
 ]
 
@@ -522,6 +523,126 @@ def video_neardup_candidates(
             ).alias("match_frac"),
         )
         .where(F.col("match_frac") >= min_match_frac)
+    )
+
+
+def video_neardup_shifted(
+    frame_hashes: DataFrame,
+    max_hamming: int = 7,
+    n_bands: int = 8,
+    min_matched_frames: int = 4,
+    min_match_frac: float = 0.5,
+    max_band_freq: int | None = None,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """TIME-SHIFT-invariant video near-dup: the Wang-2003 offset-
+    histogram verification (``afp.audio_neardup_candidates``) applied to
+    per-frame perceptual hashes, closing the limitation
+    ``video_neardup_candidates`` documents — a trimmed or time-shifted
+    copy (intro removed, clip re-cut with leading frames) never matches
+    the frame-ALIGNED pass, but its matches concentrate at one
+    consistent frame offset here, while random hash collisions between
+    unrelated clips scatter across offsets.
+
+    Mechanism: band each frame hash as in the aligned pass but WITHOUT
+    ``frame_idx`` in the join key, verify candidates with the exact
+    ``bit_count(a ^ b) <= max_hamming`` distance (pigeonhole-exact
+    recall for ``max_hamming <= n_bands - 1``), then histogram matches
+    per (pair, ``offset = frame_idx_a - frame_idx_b``) and keep each
+    pair's best offset (max matched frames; smallest offset on ties,
+    deterministically). A pair survives with ``n_matched >=
+    min_matched_frames`` AND ``match_frac = n_matched /
+    least(n_frames_a, n_frames_b) >= min_match_frac`` — the
+    min-denominator is the subclip semantic (a trimmed copy can only
+    overlap for the shorter clip's length), with the absolute
+    ``min_matched_frames`` floor so a 2-frame fragment cannot claim
+    anything on one lucky collision.
+
+    Scale shape: dropping ``frame_idx`` from the key makes a bucket
+    hold every sampled frame of every clip sharing the band value — the
+    static-clip / spacer-loop pathology multiplies that quadratically,
+    so ``max_band_freq`` drops buckets with more ROWS than the cap
+    (direct join-cost bound; a clip whose frames are all identical is
+    better served by the aligned pass or an exact-hash groupBy first).
+    Everything else is two bounded-key hash shuffles (band join,
+    offset-histogram agg) — never O(n²) in clips.
+    """
+    if not 1 <= n_bands <= 64 or 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exact-recall bound "
+            f"{n_bands - 1} for {n_bands} bands; raise n_bands"
+        )
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    h = F.col("phash")
+    bands = frame_hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col("frame_idx").alias("_f"),
+        h.alias("_h"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(h, bits * b).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ])
+        ).alias("_band", "_bv"),
+    )
+    if max_band_freq is not None:
+        counts = bands.groupBy("_band", "_bv").agg(F.count("*").alias("_n"))
+        bands = bands.join(
+            counts.where(F.col("_n") <= max_band_freq).drop("_n"),
+            ["_band", "_bv"],
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    frame_pairs = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bv") == F.col("b._bv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("_ida"),
+            F.col("b._id").alias("_idb"),
+            F.col("a._f").alias("_fa"),
+            F.col("b._f").alias("_fb"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+        .where(F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= max_hamming)
+    )
+    # at a fixed offset each _fa pairs with exactly one _fb (= _fa-offset),
+    # and (_ida,_idb,_fa,_fb) is distinct above, so count(*) counts frames
+    offsets = frame_pairs.groupBy(
+        "_ida", "_idb", (F.col("_fa") - F.col("_fb")).alias("offset")
+    ).agg(F.count("*").alias("n_matched"))
+    best = offsets.groupBy("_ida", "_idb").agg(
+        F.max(F.struct("n_matched", (-F.col("offset")).alias("_no"), "offset")).alias("_b")
+    )
+    counts = frame_hashes.groupBy(F.col(id_col).alias("_cid")).agg(
+        F.count("*").alias("_n")
+    )
+    return (
+        best.join(counts, best["_ida"] == counts["_cid"])
+        .select("_ida", "_idb", "_b", F.col("_n").alias("n_frames_a"))
+        .join(counts, F.col("_idb") == counts["_cid"])
+        .select(
+            F.col("_ida").alias(f"{id_col}_a"),
+            F.col("_idb").alias(f"{id_col}_b"),
+            F.col("_b.offset").alias("offset"),
+            F.col("_b.n_matched").alias("n_matched"),
+            "n_frames_a",
+            F.col("_n").alias("n_frames_b"),
+            (
+                F.col("_b.n_matched") / F.least(F.col("n_frames_a"), F.col("_n"))
+            ).alias("match_frac"),
+        )
+        .where(
+            (F.col("n_matched") >= min_matched_frames)
+            & (F.col("match_frac") >= min_match_frac)
+        )
     )
 
 

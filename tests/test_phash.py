@@ -365,3 +365,160 @@ def test_decode_image_pixels_dispatch():
     w, h, c, pix = decode_image_pixels(synth_gif(10, 7, seed=2))
     assert (w, h) == (10, 7) and len(pix) == 10 * 7 * c
     assert decode_image_pixels(b"\x00\x01garbage") is None
+
+
+# ── time-shift-invariant video near-dup ──────────────────────────────────
+
+
+def _shifted_video_corpus(n_frames: int = 16):
+    """Deterministic (media_id, payload) corpus with planted TIME-SHIFTED
+    structure the frame-aligned matcher cannot see (frame_stride=2
+    sampling ⇒ a 2s-raw-frame trim is an s-sampled-frame offset):
+
+    - id 0: base clip, temporally-evolving low-pass field.
+    - id 1: id 0 trimmed by 6 raw frames (3 sampled) + fresh tail →
+      true sampled offset fa−fb = +3 for (a=0, b=1).
+    - id 2: id 0 trimmed by 4 raw frames AND brightness-stamped (the
+      logo analogue) → offset +2 with hamming>0 frames.
+    - ids 3..8: independent clips (no consistent offset).
+    """
+    from crawl4ai_spark.operators.phash import _base_pixels, _y4m_encode
+
+    def evolving(seed, count):
+        base = _base_pixels(seed=seed, w=64, h=48)[:, :, 0].astype("float64")
+        drift = _base_pixels(seed=seed + 500, w=64, h=48)[:, :, 0].astype("float64")
+        return [
+            np.clip(
+                np.rint(base * (1 - k / (2 * count)) + drift * (k / (2 * count))),
+                0,
+                255,
+            ).astype(np.uint8)
+            for k in range(count)
+        ]
+
+    base = evolving(9000, n_frames)
+    out = [(0, _y4m_encode(base))]
+    trimmed = base[6:] + evolving(9100, 6)
+    out.append((1, _y4m_encode(trimmed)))
+    stamped = []
+    for f in base[4:]:
+        g = f.copy()
+        g[8:16, 8:16] = np.clip(g[8:16, 8:16].astype("int64") + 14, 0, 255).astype(np.uint8)
+        stamped.append(g)
+    out.append((2, _y4m_encode(stamped + evolving(9200, 4))))
+    for i in range(3, 9):
+        out.append((i, _y4m_encode(evolving(9300 + i * 37, n_frames))))
+    return out
+
+
+def _brute_shifted_pairs(rows, max_hamming, min_matched, min_frac):
+    """Independent python reference: per pair, histogram hamming-matched
+    frames by offset, keep (max matches, then smallest offset)."""
+    from collections import defaultdict
+
+    by_vid = defaultdict(dict)
+    for mid, k, h in rows:
+        by_vid[mid][k] = h
+    vids = sorted(by_vid)
+    out = {}
+    for i in range(len(vids)):
+        for j in range(i + 1, len(vids)):
+            a, b = vids[i], vids[j]
+            fa, fb = by_vid[a], by_vid[b]
+            hist = defaultdict(int)
+            for ka, ha in fa.items():
+                for kb, hb in fb.items():
+                    if _hamming(ha, hb) <= max_hamming:
+                        hist[ka - kb] += 1
+            if not hist:
+                continue
+            off, m = max(hist.items(), key=lambda kv: (kv[1], -kv[0]))
+            frac = m / min(len(fa), len(fb))
+            if m >= min_matched and frac >= min_frac:
+                out[(a, b)] = (off, m, len(fa), len(fb), frac)
+    return out
+
+
+@pytest.fixture(scope="module")
+def shifted_frames(spark):
+    from crawl4ai_spark.operators.phash import video_frame_hashes
+
+    corpus = _shifted_video_corpus()
+    media = spark.createDataFrame(corpus, "media_id long, payload binary")
+    return corpus, video_frame_hashes(media, frame_stride=2).cache()
+
+
+def test_video_shifted_equals_bruteforce(spark, shifted_frames):
+    from crawl4ai_spark.operators.phash import video_neardup_shifted
+
+    corpus, frames = shifted_frames
+    rows = _video_frame_hashes_driver(corpus)
+    for mh, mm, mf in ((7, 4, 0.5), (3, 3, 0.3)):
+        got = {
+            (r["media_id_a"], r["media_id_b"]): (
+                r["offset"], r["n_matched"], r["n_frames_a"], r["n_frames_b"],
+                r["match_frac"],
+            )
+            for r in video_neardup_shifted(
+                frames, max_hamming=mh, min_matched_frames=mm, min_match_frac=mf
+            ).collect()
+        }
+        brute = _brute_shifted_pairs(rows, mh, mm, mf)
+        assert got.keys() == brute.keys()
+        for k, (off, m, na, nb, fr) in brute.items():
+            goff, gm, gna, gnb, gfr = got[k]
+            assert (goff, gm, gna, gnb) == (off, m, na, nb)
+            assert abs(gfr - fr) < 1e-12
+    assert brute, "corpus must plant shifted near-dups"
+
+
+def test_video_shifted_finds_trims_aligned_pass_misses(spark, shifted_frames):
+    from crawl4ai_spark.operators.phash import (
+        video_neardup_candidates,
+        video_neardup_shifted,
+    )
+
+    _, frames = shifted_frames
+    shifted = {
+        (r["media_id_a"], r["media_id_b"]): r["offset"]
+        for r in video_neardup_shifted(frames, min_match_frac=0.5).collect()
+    }
+    # the planted trims surface at their true sampled offsets
+    assert shifted.get((0, 1)) == 3
+    assert shifted.get((0, 2)) == 2
+    # and the frame-ALIGNED matcher cannot see either trim
+    aligned = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in video_neardup_candidates(frames, min_match_frac=0.5).collect()
+    }
+    assert (0, 1) not in aligned and (0, 2) not in aligned
+    # no unrelated pair sneaks in at the default thresholds
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in shifted)
+
+
+def test_video_shifted_band_cap_only_removes(spark, shifted_frames):
+    from crawl4ai_spark.operators.phash import video_neardup_shifted
+
+    _, frames = shifted_frames
+    full = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in video_neardup_shifted(frames).collect()
+    }
+    capped = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in video_neardup_shifted(frames, max_band_freq=3).collect()
+    }
+    assert capped <= full
+
+
+def test_video_shifted_plan_and_band_bound(spark, shifted_frames):
+    from crawl4ai_spark.operators.phash import video_neardup_shifted
+
+    _, frames = shifted_frames
+    plan = (
+        video_neardup_shifted(frames)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError):
+        video_neardup_shifted(frames, max_hamming=8, n_bands=8)
