@@ -1337,13 +1337,18 @@ def _phash_oracle_sql() -> str:
     """
 
 
-def _q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Damped PageRank over a deterministic synthetic link graph derived
-    from the documents table (doc i → (i·131 + k) mod N for k ∈ 1..3):
-    the crawl-authority prior. Per-iteration rounding makes the result
-    engine- and partitioning-independent; oracle unrolls the same five
-    iterations in SQL."""
-    from crawl4ai_spark.operators.graph import pagerank
+def _q_link_graph_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph authority battery over a deterministic synthetic link
+    graph derived from the documents table (doc i → (i·131 + k) mod N
+    for k ∈ 1..3): damped PageRank (the crawl-authority prior) joined
+    with Kleinberg HITS hub/authority scores (the best-first frontier's
+    link-structure signal). Per-iteration rounding — and HITS's
+    max-normalization, an order-independent aggregate — make both
+    engine- and partitioning-independent; the oracle unrolls the same
+    five iterations of each in SQL. Formerly the `doc_pagerank` row
+    (green r1-r4); HITS columns folded in to hold the 50-entry driver
+    cap."""
+    from crawl4ai_spark.operators.graph import hits, pagerank
 
     docs = _read(spark, sf_dir, "documents")
     n = docs.count()
@@ -1357,7 +1362,13 @@ def _q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
     )
     ranks = pagerank(edges, iters=5, damping=0.85, round_digits=9)
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    ha = hits(edges, iters=5, round_digits=9)
+    return ranks.join(ha, "node").select(
+        "node",
+        F.round("rank", 6).alias("rank"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
 
 
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1500,7 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "dup_clusters": _q_dup_clusters,
         "image_phash_neardup": _q_image_phash_neardup,
-        "doc_pagerank": _q_doc_pagerank,
+        "link_graph_battery": _q_link_graph_battery,
         "curated_corpus": _q_curated_corpus,
         "gopher_quality": _q_gopher_quality,
         "c4_filtered": _q_c4_filtered,
@@ -2318,7 +2329,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(node = component AS INTEGER) AS is_keep
             FROM comp
         """,
-        "doc_pagerank": _pagerank_oracle_sql(iters=5, damping=0.85),
+        "link_graph_battery": _link_graph_oracle_sql(iters=5, damping=0.85),
         "curated_corpus": _curated_corpus_oracle_sql(),
         # media_features (odd ids' synthetic payloads): intentionally no
         # oracle — binary probing is not SQL-expressible; the even-id
@@ -3142,4 +3153,68 @@ def _pagerank_oracle_sql(iters: int, damping: float) -> str:
         + ","
         + ",".join(its)
         + f"\n        SELECT node, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+def _link_graph_oracle_sql(iters: int, damping: float) -> str:
+    """Unrolled PageRank + HITS over the deterministic doc-link graph,
+    mirroring operators/graph.pagerank and operators/graph.hits exactly:
+    per-iteration round(·, 9), HITS max-normalization (authorities from
+    hubs, hubs from the NEW authorities), dangling direction 0."""
+    prologue = """
+        WITH edges AS MATERIALIZED (
+            SELECT doc_id AS src,
+                   (doc_id * 131 + k) % (SELECT count(*) FROM documents) AS dst
+            FROM documents, unnest([1, 2, 3]) AS u(k)),
+        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS MATERIALIZED (SELECT node, round(1.0 / (SELECT count(*) FROM nodes), 9) AS rank
+               FROM nodes),
+        h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+        r{i} AS MATERIALIZED (
+            SELECT nd.node,
+                   round((SELECT {1.0 - damping} / count(*) FROM nodes)
+                         + {damping} * coalesce(f.inflow, 0.0), 9) AS rank
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / d.outdeg) AS inflow
+                FROM e JOIN r{i - 1} r ON e.src = r.node
+                       JOIN outdeg d ON e.src = d.src
+                GROUP BY e.dst) f USING (node)),
+        ar{i} AS MATERIALIZED (
+            SELECT nd.node, coalesce(s.v, 0.0) AS v
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, sum(h.hub) AS v
+                FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst) s
+            USING (node)),
+        a{i} AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN (SELECT max(v) FROM ar{i}) > 0
+                        THEN round(v / (SELECT max(v) FROM ar{i}), 9)
+                        ELSE 0.0 END AS authority
+            FROM ar{i}),
+        hr{i} AS MATERIALIZED (
+            SELECT nd.node, coalesce(s.v, 0.0) AS v
+            FROM nodes nd LEFT JOIN (
+                SELECT e.src AS node, sum(a.authority) AS v
+                FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src) s
+            USING (node)),
+        h{i} AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN (SELECT max(v) FROM hr{i}) > 0
+                        THEN round(v / (SELECT max(v) FROM hr{i}), 9)
+                        ELSE 0.0 END AS hub
+            FROM hr{i})""")
+    return (
+        prologue
+        + ","
+        + ",".join(its)
+        + f"""
+        SELECT r.node, round(r.rank, 6) AS rank, round(h.hub, 6) AS hub,
+               round(a.authority, 6) AS authority
+        FROM r{iters} r JOIN h{iters} h USING (node) JOIN a{iters} a USING (node)"""
     )

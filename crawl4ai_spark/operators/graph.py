@@ -205,3 +205,91 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+# ── HITS (hubs & authorities) ────────────────────────────────────────────
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Kleinberg's HITS over a link graph: per node, a HUB score (sums
+    the authority of everything it links to) and an AUTHORITY score
+    (sums the hub score of everything linking to it) — the classic
+    complement to :func:`pagerank` for crawl frontier prioritization
+    (reference scorers rank URLs by keyword/path signals only,
+    `crawl4ai/deep_crawling/scorers.py`; at corpus scale the link
+    structure itself is the signal — a high-hub seed page is where a
+    best-first crawl finds dense new-URL yield).
+
+    Update order is Kleinberg's: authorities from current hubs, then
+    hubs from the NEW authorities. Each half-step normalizes by the
+    MAXIMUM score (order-independent, unlike an L1/L2 float total) and
+    rounds to ``round_digits``, so results are partitioning- and
+    engine-independent; relative order matches the eigenvector
+    formulation. Dangling direction contributes 0. Returns
+    ``(node, hub, authority)``.
+
+    Plan shape: the two half-steps are the same co-partitioned
+    edge⋈score hash joins as the PageRank loop; the normalizing max is
+    a 1-row aggregate broadcast back (never a global window);
+    ``localCheckpoint`` per iteration keeps lineage O(1).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
+        ["src", "dst"]
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _norm(scored: DataFrame, col: str) -> DataFrame:
+        mx = scored.agg(F.max(col).alias("_mx"))
+        return (
+            scored.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.when(
+                    F.col("_mx") > 0, F.round(F.col(col) / F.col("_mx"), round_digits)
+                )
+                .otherwise(F.lit(0.0))
+                .alias(col),
+            )
+        )
+
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auths = nodes.withColumn("authority", F.lit(0.0))
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auths = _norm(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("authority", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        ).localCheckpoint(eager=True)
+        h_raw = (
+            e.join(auths, e["dst"] == auths["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hubs = _norm(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        ).localCheckpoint(eager=True)
+    return nodes.join(hubs, "node", "left").join(auths, "node", "left").select(
+        "node",
+        F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        F.coalesce("authority", F.lit(0.0)).alias("authority"),
+    )

@@ -215,9 +215,10 @@ CHECKS = {
         ("!ObjectHashAggregate", "no object-hash collect aggregation"),
         ("!ArrowEvalPython", "pure JVM"),
     ],
-    "doc_pagerank": [
-        ("Scan ExistingRDD", "O(1) lineage — each iteration reads the previous checkpoint, not the replayed chain"),
-        ("!ArrowEvalPython", "rank arithmetic native"),
+    "link_graph_battery": [
+        ("Scan ExistingRDD", "O(1) lineage — each PageRank/HITS iteration reads the previous checkpoint, not the replayed chain"),
+        ("BroadcastExchange", "HITS normalizing max is a 1-row aggregate broadcast back, never a global window"),
+        ("!ArrowEvalPython", "rank/hub/authority arithmetic native"),
     ],
     "token_stats": [
         ("regexp_extract_all", "GPT-2 pre-tokenizer as JVM regex (regexp_count compiles to size(regexp_extract_all))"),

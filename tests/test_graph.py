@@ -279,3 +279,66 @@ def test_connected_components_random_graphs_match_union_find(spark, seed, n_node
     df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(7)
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == _union_find_components(edges)
+
+
+# ── HITS ─────────────────────────────────────────────────────────────────
+
+
+def _hits_py(edges, iters=5, digits=9):
+    """Independent reference mirroring the operator's max-normalized,
+    rounded Kleinberg updates (authorities from hubs, hubs from NEW
+    authorities)."""
+    es = sorted(set(edges))
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 0.0 for n in nodes}
+
+    def norm(d):
+        mx = max(d.values())
+        return {n: round(v / mx, digits) if mx > 0 else 0.0 for n, v in d.items()}
+
+    for _ in range(iters):
+        auth = norm({n: sum(hub[u] for u, v in es if v == n) for n in nodes})
+        hub = norm({n: sum(auth[v] for u, v in es if u == n) for n in nodes})
+    return hub, auth
+
+
+def test_hits_matches_dense_reference(spark):
+    from crawl4ai_spark.operators.graph import hits
+
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1), (2, 4), (5, 3), (5, 2),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = hits(df, iters=6).collect()
+    want_h, want_a = _hits_py(edges, iters=6)
+    got_h = {r["node"]: r["hub"] for r in rows}
+    got_a = {r["node"]: r["authority"] for r in rows}
+    assert got_h == pytest.approx(want_h, abs=1e-8)
+    assert got_a == pytest.approx(want_a, abs=1e-8)
+
+
+def test_hits_star_graph_planted_structure(spark):
+    """Hub pages 10..14 all point at authority 0 (plus one filler edge
+    each); the authority must be node 0 at score 1.0 and every pure hub
+    must outrank the authority's hub score."""
+    from crawl4ai_spark.operators.graph import hits
+
+    edges = [(10 + i, 0) for i in range(5)] + [(10 + i, 20 + i) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r["node"]: r for r in hits(df, iters=4).collect()}
+    assert rows[0]["authority"] == pytest.approx(1.0)
+    assert max(r["authority"] for n, r in rows.items() if n != 0) < 0.5
+    for i in range(5):
+        assert rows[10 + i]["hub"] == pytest.approx(1.0)
+    assert rows[0]["hub"] == 0.0  # node 0 links to nothing
+
+
+def test_hits_partitioning_invariant(spark):
+    from crawl4ai_spark.operators.graph import hits
+
+    edges = [(i, (i * 7 + 3) % 23) for i in range(23)] + [(i, (i + 1) % 23) for i in range(23)]
+    edges = [(a, b) for a, b in edges if a != b]
+    a = hits(spark.createDataFrame(edges, "src long, dst long").repartition(1), iters=5)
+    b = hits(spark.createDataFrame(edges, "src long, dst long").repartition(13), iters=5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
