@@ -1440,12 +1440,18 @@ def _q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation pass: quality gate (≥ 0.75) →
     language gate (en) → exact-dedup keep-first among survivors →
     token budget. The cheap map-side predicates prune before the one
-    dedup shuffle — the order the 100 TB pipeline wants."""
+    dedup shuffle — the order the 100 TB pipeline wants. Composed via
+    ``crawl4ai_spark.pipeline.CurationPipeline`` (single-pass funnel
+    tagging; gates fold into one projection, the dedup keeper is one
+    semi-join over the alive set) — same rows as the hand-chained
+    r1-r4 implementation, pinned by the unchanged oracle."""
     from crawl4ai_spark.operators.textstats import (
         langid_best,
         quality_score_col,
         token_count_col,
     )
+
+    from crawl4ai_spark.pipeline import CurationPipeline, Gate, Keeper
 
     docs = _read(spark, sf_dir, "documents")
     scored = docs.select(
@@ -1454,13 +1460,20 @@ def _q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_col(F.col("text")).alias("quality"),
         langid_best(F.col("text")).alias("lang_pred"),
     )
-    surv = scored.where((F.col("quality") >= 0.75) & (F.col("lang_pred") == "en"))
-    firsts = (
-        surv.groupBy(F.md5("text").alias("m"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    funnel = CurationPipeline(
+        [
+            Gate("quality", lambda df: F.col("quality") >= 0.75),
+            Gate("lang", lambda df: F.col("lang_pred") == "en"),
+            Keeper(
+                "exact_dedup",
+                lambda alive: alive.groupBy(F.md5("text").alias("m"))
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id"),
+            ),
+        ]
     )
-    return surv.join(firsts, "doc_id", "left_semi").select(
+    curated = funnel.apply(scored).where(F.col("fail_stage").isNull())
+    return curated.select(
         "doc_id", token_count_col(F.col("text")).alias("n_tokens"), "quality"
     )
 

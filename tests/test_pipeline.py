@@ -1,0 +1,132 @@
+"""CurationPipeline: single-pass funnel tagging + lineage accounting.
+
+The pinned invariant: tag-then-count must equal the naive
+filter-per-stage composition — same survivors, same per-stage removal
+counts — while costing one aggregation job and zero per-gate shuffles.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.pipeline import CurationPipeline, Gate, Keeper
+
+
+def _docs(spark):
+    rows = [
+        # (doc_id, text, quality)   — planted: dup pair 3/4, dup pair 6/7
+        (0, "good english text here", 0.9),
+        (1, "xx", 0.9),                      # fails min_len
+        (2, "low quality junk words", 0.1),  # fails quality
+        (3, "duplicate body alpha", 0.8),
+        (4, "duplicate body alpha", 0.8),    # exact dup of 3 → dedup drops
+        (5, None, 0.8),                      # NULL text → first gate rejects
+        (6, "duplicate body beta", 0.05),    # fails quality BEFORE dedup
+        (7, "duplicate body beta", 0.8),     # survives: its dup died earlier
+        (8, "another fine document", 0.8),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, quality double")
+
+
+def _stages():
+    def exact_first(alive):
+        return (
+            alive.groupBy(F.md5("text").alias("m"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+
+    return [
+        Gate("min_len", lambda df: F.length("text") >= 5),
+        Gate("quality", lambda df: F.col("quality") >= 0.5),
+        Keeper("exact_dedup", exact_first),
+        Gate("has_vowel", lambda df: F.col("text").rlike("[aeiou]")),
+    ]
+
+
+def _naive(docs):
+    """Independent sequential filter composition + per-stage counts."""
+    df = docs
+    counts = []
+    for st in _stages():
+        n_in = df.count()
+        if isinstance(st, Gate):
+            df = df.where(F.coalesce(st.predicate(df), F.lit(False)))
+        else:
+            df = df.join(st.keep_ids(df).select("doc_id"), "doc_id", "left_semi")
+        counts.append((st.name, n_in, df.count()))
+    return df, counts
+
+
+def test_pipeline_matches_naive_composition(spark):
+    docs = _docs(spark)
+    curated, lineage = CurationPipeline(_stages()).run(docs)
+    naive_df, naive_counts = _naive(docs)
+    assert sorted(r["doc_id"] for r in curated.collect()) == sorted(
+        r["doc_id"] for r in naive_df.collect()
+    )
+    got = [
+        (r["stage"], r["rows_in"], r["rows_out"])
+        for r in lineage.orderBy("stage_idx").collect()
+    ]
+    assert got == naive_counts
+    # survivors keep the original schema, no helper columns
+    assert curated.columns == docs.columns
+
+
+def test_fail_stage_is_first_rejector(spark):
+    tagged = CurationPipeline(_stages()).apply(_docs(spark))
+    fails = {r["doc_id"]: r["fail_stage"] for r in tagged.collect()}
+    assert fails == {
+        0: None,
+        1: "min_len",
+        2: "quality",
+        3: None,
+        4: "exact_dedup",
+        5: "min_len",     # NULL text rejected by the FIRST gate, not later
+        6: "quality",     # died before dedup …
+        7: None,          # … so its duplicate survives the dedup stage
+        8: None,
+    }
+
+
+def test_keeper_sees_only_alive_rows(spark):
+    """doc 6 (dup of 7) fails quality first; if the keeper ran on the
+    full frame it would keep min(6,7)=6 and kill 7. Lineage must show
+    exact_dedup removing exactly one row (doc 4)."""
+    _, lineage = CurationPipeline(_stages()).run(_docs(spark))
+    row = {r["stage"]: r for r in lineage.collect()}["exact_dedup"]
+    assert (row["rows_in"], row["rows_fail"], row["rows_out"]) == (5, 1, 4)
+
+
+def test_lineage_is_conserved_and_yield_bounded(spark):
+    _, lineage = CurationPipeline(_stages()).run(_docs(spark))
+    rows = lineage.orderBy("stage_idx").collect()
+    for a, b in zip(rows, rows[1:]):
+        assert a["rows_out"] == b["rows_in"]
+    for r in rows:
+        assert r["rows_in"] - r["rows_fail"] == r["rows_out"]
+        assert 0.0 <= r["yield_frac"] <= 1.0
+
+
+def test_gate_only_pipeline_is_one_projection(spark):
+    """Consecutive gates fold into a single map-only plan: no exchange,
+    no Python."""
+    gates = [s for s in _stages() if isinstance(s, Gate)]
+    plan = (
+        CurationPipeline(gates)
+        .apply(_docs(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_stage_name_validation():
+    with pytest.raises(ValueError):
+        CurationPipeline([])
+    with pytest.raises(ValueError):
+        CurationPipeline([Gate("a", lambda df: F.lit(True)), Gate("a", lambda df: F.lit(True))])
+    with pytest.raises(ValueError):
+        CurationPipeline([Gate("", lambda df: F.lit(True))])
