@@ -890,13 +890,43 @@ def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative whitespace-token count is strictly under budget. Scale
     path: 256 ordered hash buckets, prefix offsets on the tiny
     (source × bucket) frame, running-sum window only over the ≤1
-    boundary bucket per source (operators/sampling.py)."""
-    from crawl4ai_spark.operators.sampling import token_budget_sample
+    boundary bucket per source (operators/sampling.py). Three legs:
+    the fixed-budget sample, the TEMPERATURE-derived (alpha=0.5,
+    XLM-R/mT5 re-balancing) budget table itself, and the sample those
+    budgets select — the oracle recomputes the sqrt-share budgets in
+    SQL (floor-to-granularity makes them engine-exact) and re-runs the
+    selection window under them."""
+    from crawl4ai_spark.operators.sampling import (
+        temperature_budgets,
+        token_budget_sample,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     budgets = {"src0": 400, "src1": 400, "src2": 5000, "src3": 5000}
     out = token_budget_sample(docs, budgets, default_budget=900)
-    return out.select("doc_id", "source", "n_tokens")
+    tb = temperature_budgets(docs, total_tokens=6000, alpha=0.5, granularity=8)
+    temp = token_budget_sample(docs, tb)
+    nl = F.lit(None).cast("long")
+    return (
+        out.select(
+            F.lit("fixed").alias("kind"), "doc_id", "source", "n_tokens"
+        )
+        .unionAll(
+            docs.sparkSession.createDataFrame(
+                sorted(tb.items()), "source string, budget long"
+            ).select(
+                F.lit("temp_budget").alias("kind"),
+                nl.alias("doc_id"),
+                "source",
+                F.col("budget").alias("n_tokens"),
+            )
+        )
+        .unionAll(
+            temp.select(
+                F.lit("temp").alias("kind"), "doc_id", "source", "n_tokens"
+            )
+        )
+    )
 
 
 def _q_link_preview_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2002,10 +2032,32 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                          - n_tokens AS prior
                 FROM t)
-            SELECT doc_id, source, n_tokens FROM c
+            SELECT 'fixed' AS kind, doc_id, source, n_tokens FROM c
             WHERE prior < (CASE WHEN source IN ('src0','src1') THEN 400
                                 WHEN source IN ('src2','src3') THEN 5000
                                 ELSE 900 END)
+            UNION ALL
+            -- temperature (alpha=0.5) budgets: share ∝ sqrt(source tokens),
+            -- floored to a multiple of 8 (engine-exact across float-sum order)
+            SELECT 'temp_budget' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+                   source, budget AS n_tokens
+            FROM (SELECT source,
+                         CAST(floor(6000 * sqrt(CAST(sum(n_tokens) AS DOUBLE))
+                              / (SELECT sum(sw) FROM (
+                                    SELECT sqrt(CAST(sum(n_tokens) AS DOUBLE)) AS sw
+                                    FROM t GROUP BY source))
+                              / 8) * 8 AS BIGINT) AS budget
+                  FROM t GROUP BY source) b
+            UNION ALL
+            SELECT 'temp' AS kind, c.doc_id, c.source, c.n_tokens
+            FROM c JOIN (SELECT source,
+                         CAST(floor(6000 * sqrt(CAST(sum(n_tokens) AS DOUBLE))
+                              / (SELECT sum(sw) FROM (
+                                    SELECT sqrt(CAST(sum(n_tokens) AS DOUBLE)) AS sw
+                                    FROM t GROUP BY source))
+                              / 8) * 8 AS BIGINT) AS budget
+                  FROM t GROUP BY source) b ON c.source = b.source
+            WHERE c.prior < b.budget
         """,
         "link_score_battery": """
             SELECT doc_id,

@@ -36,6 +36,8 @@ broadcast, one window over the boundary slivers.
 """
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,6 +45,7 @@ from .textstats import clean_terms_col, token_count_col
 
 __all__ = [
     "token_budget_sample",
+    "temperature_budgets",
     "dsir_log_weights",
     "dsir_select",
     "pack_sequences",
@@ -146,6 +149,57 @@ def token_budget_sample(
 # rows → broadcast; per-doc weights are one more hash agg; selection is
 # TakeOrderedAndProject (global top-k with NO window and NO full sort).
 # Nothing anywhere is per-source or per-corpus single-task.
+
+
+def temperature_budgets(
+    docs: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.5,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    token_count: Column | None = None,
+    granularity: int = 8,
+) -> dict[str, int]:
+    """Temperature-smoothed per-source token budgets — the multilingual /
+    multi-domain re-balancing rule of XLM-R (Conneau 2020) and mT5 (Xue
+    2021): sample source i proportional to ``p_i^alpha`` where ``p_i`` is
+    its natural token share, so ``alpha=1`` reproduces the corpus mix,
+    ``alpha=0`` is uniform, and the usual 0.2-0.5 range up-weights the
+    tail without drowning the head. Output composes directly into
+    :func:`token_budget_sample` as its ``budgets`` map.
+
+    Determinism across engines: per-source totals are exact integers
+    (one small hash aggregation; the collect is bounded by the source
+    cardinality — the quantizer-sample posture), ``alpha=0.5`` reduces
+    to IEEE-exact ``sqrt``, weights are fsum'd in sorted-source order,
+    and each budget floors to a ``granularity`` multiple so the
+    ULP-level float divergence a different engine's sum order can
+    introduce never flips a budget (the driver row's DuckDB oracle
+    recomputes this in SQL).
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if granularity < 1:
+        raise ValueError("granularity must be >= 1")
+    ntok = token_count if token_count is not None else token_count_col(F.col(text_col))
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.groupBy(F.col(source_col).alias("source"))
+        .agg(F.sum(ntok).alias("t"))
+        .collect()
+    }
+    weights = {
+        s: (math.sqrt(t) if alpha == 0.5 else float(t) ** alpha) if t else 0.0
+        for s, t in totals.items()
+    }
+    denom = math.fsum(weights[s] for s in sorted(weights))
+    if denom == 0.0:
+        return {s: 0 for s in weights}
+    return {
+        s: int(total_tokens * w / denom // granularity) * granularity
+        for s, w in weights.items()
+    }
 
 
 def _gram_bucket_counts(

@@ -216,8 +216,8 @@ CHECKS = {
         ("!ArrowEvalPython", "pure JVM"),
     ],
     "link_graph_battery": [
-        ("Scan ExistingRDD", "O(1) lineage — each PageRank/HITS iteration reads the previous checkpoint, not the replayed chain"),
-        ("BroadcastExchange", "HITS normalizing max is a 1-row aggregate broadcast back, never a global window"),
+        ("Scan ExistingRDD", "O(1) lineage — each PageRank/HITS iteration reads the previous checkpoint, not the replayed chain (the HITS normalizing max is a 1-row aggregate broadcast inside those checkpointed jobs, never a global window)"),
+        ("!Window", "no global window anywhere in the final join"),
         ("!ArrowEvalPython", "rank/hub/authority arithmetic native"),
     ],
     "token_stats": [

@@ -106,3 +106,66 @@ def test_boundary_window_sees_only_sliver(spark, corpus):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_bucket" in line, line
+
+
+# ── temperature budgets ──────────────────────────────────────────────────
+
+
+def test_temperature_budgets_known_shares(spark):
+    from crawl4ai_spark.operators.sampling import temperature_budgets
+
+    # token totals: a=9, b=16, c=25  → sqrt shares 3/4/5 of 12
+    rows = [
+        (1, "a", "w " * 8 + "w"), (2, "b", "w " * 15 + "w"),
+        (3, "c", "w " * 24 + "w"),
+    ]
+    docs = _mk(spark, rows)
+    tb = temperature_budgets(docs, total_tokens=1200, alpha=0.5, granularity=1)
+    assert tb == {"a": 300, "b": 400, "c": 500}
+    # granularity floors each budget to a multiple
+    tb8 = temperature_budgets(docs, total_tokens=1201, alpha=0.5, granularity=8)
+    assert all(v % 8 == 0 for v in tb8.values())
+    assert tb8 == {"a": 296, "b": 400, "c": 496}
+
+
+def test_temperature_budgets_alpha_extremes(spark):
+    from crawl4ai_spark.operators.sampling import temperature_budgets
+
+    rows = [(1, "a", "w"), (2, "b", "w " * 98 + "w")]
+    docs = _mk(spark, rows)
+    # alpha=1 → natural proportions (1:99)
+    t1 = temperature_budgets(docs, 1000, alpha=1.0, granularity=1)
+    assert t1 == {"a": 10, "b": 990}
+    # alpha=0 → uniform regardless of size
+    t0 = temperature_budgets(docs, 1000, alpha=0.0, granularity=1)
+    assert t0 == {"a": 500, "b": 500}
+    # empty-text source gets 0 weight even at alpha=0
+    rows2 = rows + [(3, "z", "")]
+    tz = temperature_budgets(_mk(spark, rows2), 1000, alpha=0.0, granularity=1)
+    assert tz["z"] == 0 and tz["a"] == 500
+    with pytest.raises(ValueError):
+        temperature_budgets(docs, 1000, alpha=-0.1)
+    with pytest.raises(ValueError):
+        temperature_budgets(docs, 1000, granularity=0)
+
+
+def test_temperature_budgets_compose_with_sampler(spark):
+    """The dict plugs straight into token_budget_sample; per-source kept
+    tokens respect the derived budget + ≤1-doc overshoot rule."""
+    from crawl4ai_spark.operators.sampling import (
+        temperature_budgets,
+        token_budget_sample,
+    )
+
+    rows = [(i, f"s{i % 3}", "w " * (5 + i % 7)) for i in range(60)]
+    docs = _mk(spark, rows)
+    tb = temperature_budgets(docs, total_tokens=120, alpha=0.5)
+    out = token_budget_sample(docs, tb)
+    per = {
+        r["source"]: r["tok"]
+        for r in out.groupBy("source").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    max_doc = 12  # max tokens of any single doc in this corpus
+    for s, b in tb.items():
+        if b > 0:
+            assert per.get(s, 0) < b + max_doc
