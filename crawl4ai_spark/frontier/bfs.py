@@ -175,6 +175,17 @@ class CrawlConfig:
     # shrinks/regrows the next wave's global row cap. Unselected rows
     # stay pending, so the final URL-seen set is unchanged.
     memory_governor: object | None = None
+    # link-graph authority prior for best-first crawling: a small
+    # (host, prior) frame — e.g. graph.host_authority_prior over a
+    # previous crawl's edges — broadcast-joined onto every discovered
+    # candidate, adding ``host_prior_weight * prior`` to its score
+    # BEFORE score_threshold (an authoritative host can rescue a URL the
+    # base scorer alone would drop). Hosts are bounded (a registrable-
+    # domain universe, not a URL universe), so the broadcast is the
+    # right join shape at any corpus size; the OPIC/IRLbot family of
+    # frontier prioritization re-expressed as one map-side join.
+    host_prior: object | None = None
+    host_prior_weight: float = 1.0
     extra: dict = field(default_factory=dict)
 
 
@@ -391,6 +402,20 @@ def _discover(
         cand = cand.withColumn("score", F.coalesce(F.col("link_score"), F.lit(1.0)))
     else:
         cand = cand.withColumn("score", F.lit(1.0))
+    if config.host_prior is not None:
+        prior = config.host_prior.select(
+            F.col("host"), F.col("prior").cast("double").alias("_hp")
+        )
+        cand = (
+            cand.join(F.broadcast(prior), "host", "left")
+            .withColumn(
+                "score",
+                F.col("score")
+                + F.lit(float(config.host_prior_weight))
+                * F.coalesce(F.col("_hp"), F.lit(0.0)),
+            )
+            .drop("_hp")
+        )
     if config.score_threshold is not None:
         cand = cand.where(F.col("score") >= config.score_threshold)
     # first-wins dedup as a hash aggregation (min_by with the lexicographic

@@ -293,3 +293,52 @@ def hits(
         F.coalesce("hub", F.lit(0.0)).alias("hub"),
         F.coalesce("authority", F.lit(0.0)).alias("authority"),
     )
+
+
+def host_authority_prior(
+    edges: DataFrame,
+    kind: str = "pagerank",
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Roll URL-level link-graph scores up to a ``(host, prior)`` frame
+    for ``CrawlConfig.host_prior``: PageRank rank (or HITS authority)
+    per URL node, summed by host and min-max scaled to [0, 1] so
+    ``host_prior_weight`` has a stable meaning across graph sizes.
+    Edges are URL→URL (e.g. the crawl store's ``parent_url``/``url``
+    pairs or extracted-link pairs); hosts come from the frontier's own
+    canonical host rule (lowercased authority). The output is
+    host-cardinality — bounded and broadcastable by construction.
+    """
+    if kind not in ("pagerank", "hits"):
+        raise ValueError(f"kind must be 'pagerank' or 'hits', got {kind!r}")
+    if kind == "pagerank":
+        scored = pagerank(edges, src=src, dst=dst, iters=iters).select(
+            "node", F.col("rank").alias("s")
+        )
+    else:
+        scored = hits(edges, src=src, dst=dst, iters=iters).select(
+            "node", F.col("authority").alias("s")
+        )
+    host = F.lower(F.regexp_extract("node", r"^[a-z][a-z0-9+.\-]*://([^/?#]+)", 1))
+    by_host = (
+        scored.where(host != "")
+        .groupBy(host.alias("host"))
+        .agg(F.sum("s").alias("_raw"))
+    )
+    bounds = by_host.agg(
+        F.min("_raw").alias("_lo"), F.max("_raw").alias("_hi")
+    )
+    return (
+        by_host.crossJoin(F.broadcast(bounds))
+        .select(
+            "host",
+            F.when(
+                F.col("_hi") > F.col("_lo"),
+                F.round((F.col("_raw") - F.col("_lo")) / (F.col("_hi") - F.col("_lo")), 9),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("prior"),
+        )
+    )

@@ -429,3 +429,89 @@ def test_score_from_links_requires_scrape_mode(spark, tmp_path):
     bad = CrawlConfig(max_depth=0, score_from_links=True, use_bloom=False)
     with pytest.raises(ValueError, match="score_from_links"):
         run_crawl(spark, pages, seeds, str(tmp_path / "s"), bad)
+
+
+def test_host_prior_steers_budgeted_selection_and_preserves_seen_set(
+    spark, site, site_dir, tmp_path
+):
+    """CrawlConfig.host_prior: under a max_pages budget the boosted
+    host's candidates win the (score desc, …) rank; without a budget
+    the prior is pure reordering — the final URL-seen set is unchanged."""
+    pages, seeds, _, _ = _inputs(spark, site_dir)
+
+    # unbounded baseline: the full reachable set
+    base_dir = str(tmp_path / "store_nop")
+    run_crawl(
+        spark, pages, seeds, base_dir,
+        CrawlConfig(max_depth=3, links_only=True, use_bloom=False),
+    )
+    base = WaveStore(spark, base_dir).read_table("results")
+    full_set = {r.url for r in base.select("url").collect()}
+    hosts = sorted({u.split("/")[2] for u in full_set})
+    assert len(hosts) >= 2
+    boosted_host = hosts[-1]  # losing host under plain url-asc tie-break
+    prior = spark.createDataFrame([(boosted_host, 1.0)], "host string, prior double")
+
+    n_seeds = seeds.count()
+    cap = n_seeds + 2  # below the 3 depth-1 candidates each host offers
+    capped_cfg = dict(max_depth=3, links_only=True, use_bloom=False, max_pages=cap)
+
+    plain_dir = str(tmp_path / "store_plain_cap")
+    run_crawl(spark, pages, seeds, plain_dir, CrawlConfig(**capped_cfg))
+    plain = {
+        r.url
+        for r in WaveStore(spark, plain_dir).read_table("results").select("url").collect()
+    }
+
+    boost_dir = str(tmp_path / "store_boost_cap")
+    run_crawl(
+        spark, pages, seeds, boost_dir,
+        CrawlConfig(**capped_cfg, host_prior=prior, host_prior_weight=10.0),
+    )
+    boosted = {
+        r.url
+        for r in WaveStore(spark, boost_dir).read_table("results").select("url").collect()
+    }
+
+    def on_host(urls):
+        return {u for u in urls if u.split("/")[2] == boosted_host}
+
+    seed_urls = {r.url for r in seeds.select("url").collect()}
+    # every budgeted non-seed slot goes to the boosted host, and strictly
+    # more of the boosted host is attempted than in the unboosted run
+    assert on_host(boosted - seed_urls) == boosted - seed_urls
+    assert len(on_host(boosted)) > len(on_host(plain))
+
+    # no budget → same seen set with and without the prior
+    inv_dir = str(tmp_path / "store_boost_nocap")
+    run_crawl(
+        spark, pages, seeds, inv_dir,
+        CrawlConfig(
+            max_depth=3, links_only=True, use_bloom=False,
+            host_prior=prior, host_prior_weight=10.0,
+        ),
+    )
+    inv = {
+        r.url
+        for r in WaveStore(spark, inv_dir).read_table("results").select("url").collect()
+    }
+    assert inv == full_set
+
+
+def test_host_authority_prior_rollup(spark):
+    from crawl4ai_spark.operators.graph import host_authority_prior
+
+    edges = [
+        ("http://big.test/a", "http://big.test/b"),
+        ("http://big.test/b", "http://big.test/a"),
+        ("http://small.test/x", "http://big.test/a"),
+        ("http://small.test/x", "http://small.test/y"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for kind in ("pagerank", "hits"):
+        out = {r["host"]: r["prior"] for r in host_authority_prior(df, kind=kind).collect()}
+        assert set(out) == {"big.test", "small.test"}
+        # min-max scaled: the dominant host pins 1.0, the other 0.0
+        assert out["big.test"] == 1.0 and out["small.test"] == 0.0
+    with pytest.raises(ValueError):
+        host_authority_prior(df, kind="degree")
