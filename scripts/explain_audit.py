@@ -227,9 +227,9 @@ CHECKS = {
         ("ReadSchema: struct<doc_id:bigint,text:string>", "pruned scan"),
     ],
     "curated_corpus": [
-        ("!ArrowEvalPython", "quality/langid gates are pure column algebra"),
+        ("!ArrowEvalPython", "quality/langid gates are pure column algebra (CurationPipeline folds them into one projection)"),
         ("HashAggregate", "keep-first dedup as min(doc_id) hash agg"),
-        ("LeftSemi", "survivors join back by key only (text never re-shuffles)"),
+        ("LeftOuter", "the pipeline keeper's id-only tag join (AQE broadcasts the keep set here; fail_stage NULL-filter prunes after)"),
     ],
 }
 
