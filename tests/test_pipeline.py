@@ -130,3 +130,99 @@ def test_stage_name_validation():
         CurationPipeline([Gate("a", lambda df: F.lit(True)), Gate("a", lambda df: F.lit(True))])
     with pytest.raises(ValueError):
         CurationPipeline([Gate("", lambda df: F.lit(True))])
+
+
+@pytest.mark.parametrize("seed", [3, 17, 41])
+def test_pipeline_random_funnels_match_naive(spark, seed):
+    """Seeded random corpora × random gate thresholds / keeper placement —
+    tag-then-filter must equal sequential filtering on every draw."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            " ".join(
+                rng.choice(["alpha", "beta", "gamma", "delta"])
+                for _ in range(rng.randrange(0, 8))
+            )
+            or None,
+            round(rng.random(), 3),
+        )
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    qt = round(rng.uniform(0.2, 0.8), 3)
+    lt = rng.randrange(1, 20)
+
+    def mk_stages():
+        gates = [
+            Gate("quality", lambda df: F.col("quality") >= qt),
+            Gate("min_len", lambda df: F.length("text") >= lt),
+            Gate("has_alpha", lambda df: F.col("text").contains("alpha")),
+        ]
+        rng2 = random.Random(seed + 1)
+        rng2.shuffle(gates)
+        keeper = Keeper(
+            "dedup",
+            lambda alive: alive.groupBy(F.md5("text").alias("m"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"),
+        )
+        gates.insert(rng2.randrange(len(gates) + 1), keeper)
+        return gates
+
+    stages = mk_stages()
+    curated, lineage = CurationPipeline(stages).run(docs)
+
+    df = docs
+    counts = []
+    for st in stages:
+        n_in = df.count()
+        if isinstance(st, Gate):
+            df = df.where(F.coalesce(st.predicate(df), F.lit(False)))
+        else:
+            df = df.join(st.keep_ids(df).select("doc_id"), "doc_id", "left_semi")
+        counts.append((st.name, n_in, df.count()))
+    assert sorted(r["doc_id"] for r in curated.collect()) == sorted(
+        r["doc_id"] for r in df.collect()
+    )
+    got = [
+        (r["stage"], r["rows_in"], r["rows_out"])
+        for r in lineage.orderBy("stage_idx").collect()
+    ]
+    assert got == counts
+
+
+def test_gate_only_pipeline_works_on_streams(spark, tmp_path):
+    """Row-wise gates are stateless projections, so apply() composes with
+    Structured Streaming unchanged; streamed survivors == batch."""
+    import shutil
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", src / "part-0.parquet"
+    )
+    batch_df = spark.read.parquet(str(src))
+    gates = [
+        Gate("nonempty", lambda df: F.length(F.trim("text")) > 0),
+        Gate("short", lambda df: F.length("text") < 800),
+    ]
+    pipe = CurationPipeline(gates)
+    want = {
+        r["doc_id"]
+        for r in pipe.apply(batch_df).where(F.col("fail_stage").isNull()).collect()
+    }
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src))
+    out = pipe.apply(stream).where(F.col("fail_stage").isNull()).select("doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pipe_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM pipe_stream").collect()}
+    assert got == want and want
