@@ -16,14 +16,25 @@ The reference (crawl4ai) has no LM scorer; this extends the corpus
 quality battery (Gopher / C4 / heuristic quality_score) with the
 standard model-based signal from the same public literature family.
 
-Scale shape: training = three hash-agg shuffles over the exploded
-token stream (map-side partial combine absorbs the hot stop-word
-grams). Scoring = hash joins from the positioned token stream to the
-count tables on the gram keys; the count tables stay DISTRIBUTED — at
-web scale the trigram table is far past broadcast/driver limits — and
-AQE's skew handling covers the hot-gram build rows. Zero Python rows,
-ZERO windows: the (w, w2 w1) context comes straight off the token
-array (map-only), not a per-doc lag window.
+Scale shape — score TYPES, not tokens: the backoff score is a function
+of the trigram TYPE alone, and a corpus has far fewer trigram types
+than token positions (10× on the benchmark corpus; always ≤). So the
+token stream is shuffled exactly TWICE on stream-sized frames — once
+into the (w2,w1,w) type-count aggregation (map-side combine absorbs
+hot stop-word grams) and once per document for the final mean — while
+the five count-table joins of the backoff ladder run over the small
+type frame only. The type aggregation and the stream's scoring join
+hash on the SAME (w2,w1,w) key (missing context holds a sentinel, so
+the key is never NULL and one exchange serves both sides via Spark's
+exchange reuse). The count tables stay DISTRIBUTED — at web scale the
+trigram table is far past broadcast/driver limits — and AQE's skew
+handling covers the hot-gram rows. Zero Python rows, ZERO windows: the
+(w, w1, w2) context comes straight off the token array (map-only), not
+a per-doc lag window. (The previous formulation joined the full token
+stream against every count table — five stream-sized shuffles; at
+sf0.1 the wall is the same 3.4 s — scan+clean+explode dominate there —
+but the exchange count on stream-sized frames drops 7 → 3, which is
+the term that grows with corpus size.)
 
 Tokenization is the engine's oracle-mirrored cleaned-terms contract
 (textstats.clean_terms_col ≡ the DuckDB `_CLEAN_TOKS` macro): lowercase,
@@ -35,6 +46,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.operators.textstats import clean_terms_col
+
+# impossible clean token (clean terms are [a-z0-9]{3,}): marks "no
+# context at this order" so gram keys are never NULL (NULL join keys
+# never match; a sentinel keeps the type join one plain equi-join)
+_NOCTX = "\x00"
 
 
 def stupid_backoff_scores(
@@ -57,25 +73,12 @@ def stupid_backoff_scores(
     natural maximum order (position 0 scores as a unigram with no
     backoff penalty), so every document's score is well-defined without
     sentence padding.
-
-    The context frame fans out to four consumers (uni/bi/tri counts +
-    the scoring join) without an explicit persist: the repeated
-    explode→window subtrees share one identical hash-partition exchange
-    that Spark's exchange-reuse dedupes at runtime, and an A/B at sf0.1
-    measured MEMORY_AND_DISK persist strictly slower (min-of-3 2.24 s vs
-    2.00 s) — the cache write costs more than the deduped recompute.
     """
     toks = docs.select(
         F.col(id_col), clean_terms_col(F.col(text_col)).alias("_ct")
     ).where(F.size("_ct") > 0)
-    # (pos, w, w1, w2) derived from the token ARRAY — no per-doc lag
-    # window, so no per-doc SORT. The explicit repartition is the
-    # deliberate materialization point the window used to provide for
-    # free: ctx has four consumers (uni/big/tri counts + the scoring
-    # join) and without an exchange of its own each one would recompute
-    # the scan+explode (A/B at sf0.1: map-only 5.4 s vs 4.5 s with the
-    # exchange; at corpus scale it is 1 text scan instead of 4). The
-    # consumers' own gram-key shuffles all reuse this one exchange.
+    # (w, w1, w2) context derived from the token ARRAY — no per-doc lag
+    # window, so no per-doc SORT; absent context carries the sentinel
     ctx = (
         toks.select(
             id_col,
@@ -83,63 +86,65 @@ def stupid_backoff_scores(
                 F.transform(
                     F.sequence(F.lit(0), F.size("_ct") - 1),
                     lambda i: F.struct(
-                        i.alias("pos"),
                         F.get("_ct", i).alias("w"),
-                        F.when(i >= 1, F.get("_ct", i - 1)).alias("w1"),
-                        F.when(i >= 2, F.get("_ct", i - 2)).alias("w2"),
+                        F.coalesce(
+                            F.when(i >= 1, F.get("_ct", i - 1)), F.lit(_NOCTX)
+                        ).alias("w1"),
+                        F.coalesce(
+                            F.when(i >= 2, F.get("_ct", i - 2)), F.lit(_NOCTX)
+                        ).alias("w2"),
                     ),
                 )
             ).alias("_e"),
         )
-        .select(id_col, "_e.pos", "_e.w", "_e.w1", "_e.w2")
-        .repartition(id_col)
+        .select(id_col, "_e.w", "_e.w1", "_e.w2")
     )
-    uni = ctx.groupBy("w").agg(F.count("*").alias("c1"))
+    has_w1 = F.col("w1") != _NOCTX
+    has_w2 = F.col("w2") != _NOCTX
+    # ONE stream-sized aggregation builds the type table; every n-gram
+    # count table folds off it (tiny follow-up shuffles)
+    typ = ctx.groupBy("w2", "w1", "w").agg(F.count("*").alias("ct"))
+    uni = typ.groupBy("w").agg(F.sum("ct").alias("c1"))
     total = uni.agg(F.sum("c1").alias("n_total"))
-    big = (
-        ctx.where(F.col("w1").isNotNull())
-        .groupBy("w1", "w")
-        .agg(F.count("*").alias("c2"))
-    )
-    tri = (
-        ctx.where(F.col("w2").isNotNull())
-        .groupBy("w2", "w1", "w")
-        .agg(F.count("*").alias("c3"))
-    )
-    scored = (
-        ctx.join(
-            tri.select("w2", "w1", "w", "c3"), ["w2", "w1", "w"], "left"
-        )
-        .join(
+    big = typ.where(has_w1).groupBy("w1", "w").agg(F.sum("ct").alias("c2"))
+    # backoff ladder over the TYPE frame (types << tokens)
+    st = (
+        typ.join(
             big.select(
-                F.col("w1").alias("w2"), F.col("w").alias("w1"), F.col("c2").alias("c2_den")
+                F.col("w1").alias("w2"),
+                F.col("w").alias("w1"),
+                F.col("c2").alias("c2_den"),
             ),
             ["w2", "w1"],
             "left",
         )
+        .join(big.select("w1", "w", F.col("c2").alias("c2_num")), ["w1", "w"], "left")
         .join(
-            big.select("w1", "w", F.col("c2").alias("c2_num")), ["w1", "w"], "left"
+            uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_den")),
+            ["w1"],
+            "left",
         )
-        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_den")), ["w1"], "left")
         .join(uni.select("w", F.col("c1").alias("c1_num")), ["w"], "left")
         .crossJoin(F.broadcast(total))
     )
     a = F.lit(float(alpha))
+    c3 = F.when(has_w2, F.col("ct"))
     s_uni = F.col("c1_num") / F.col("n_total")
     s_big = F.when(
         F.col("c2_num").isNotNull(), F.col("c2_num") / F.col("c1_den")
     ).otherwise(a * s_uni)
-    s_tri = F.when(
-        F.col("c3").isNotNull(), F.col("c3") / F.col("c2_den")
-    ).otherwise(a * s_big)
-    s = (
-        F.when(F.col("w2").isNotNull(), s_tri)
-        .when(F.col("w1").isNotNull(), s_big)
-        .otherwise(s_uni)
-    )
-    per_doc = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_tokens"),
-        F.round(F.avg(F.log10(s)), round_to).alias("lm_logscore"),
+    s_tri = F.when(c3.isNotNull(), c3 / F.col("c2_den")).otherwise(a * s_big)
+    s = F.when(has_w2, s_tri).when(has_w1, s_big).otherwise(s_uni)
+    scored_types = st.select("w2", "w1", "w", F.log10(s).alias("_ls"))
+    # the stream's ONLY other shuffle pair: type join (hash on the same
+    # (w2,w1,w) key as typ — exchange reused) + the per-doc mean
+    per_doc = (
+        ctx.join(scored_types, ["w2", "w1", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("_ls"), round_to).alias("lm_logscore"),
+        )
     )
     return (
         docs.select(id_col)

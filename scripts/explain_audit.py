@@ -38,8 +38,7 @@ CHECKS = {
         ("!BatchEvalPython", "Stupid Backoff scoring is pure column algebra"),
         ("HashAggregate", "gram counts = partial+final hash aggs"),
         ("!windowspecdefinition", "context grams come off the token array — no per-doc window/sort"),
-        ("REPARTITION", "explicit ctx exchange: one text scan feeds all four gram consumers"),
-        ("AdaptiveSparkPlan", "AQE handles hot-gram join skew at scale"),
+        ("AdaptiveSparkPlan", "AQE handles hot-gram join skew at scale (type agg + scoring join share the (w2,w1,w) hash key)"),
     ],
     "relational_battery": [
         ("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>", "top-k leg: column-pruned orders scan (3 of 6 cols)"),
