@@ -40,7 +40,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["Gate", "Keeper", "CurationPipeline"]
+__all__ = ["Gate", "Keeper", "CurationPipeline", "gopher_stage", "c4_gate"]
 
 
 @dataclass(frozen=True)
@@ -152,3 +152,57 @@ class CurationPipeline:
         finally:
             tagged.unpersist()
         return curated, lineage
+
+
+def gopher_stage(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict | None = None,
+) -> Keeper:
+    """The Gopher A1 quality/repetition battery
+    (:func:`quality_filters.gopher_filter`) as a pipeline stage. A
+    Keeper, not a Gate: the repetition signals aggregate over exploded
+    line/gram streams, so the verdict is set-computed — the stage runs
+    the battery over the alive rows only and keeps ``gopher_pass``."""
+    from crawl4ai_spark.operators.quality_filters import gopher_filter
+
+    def keep(alive: DataFrame) -> DataFrame:
+        return (
+            gopher_filter(alive, id_col=id_col, text_col=text_col, thresholds=thresholds)
+            .where(F.col("gopher_pass"))
+            .select(F.col(id_col))
+        )
+
+    return Keeper("gopher_quality", keep)
+
+
+def c4_gate(
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+) -> Gate:
+    """The C4 §2.2 document gate as a row-wise pipeline Gate (the keep
+    verdict of :func:`quality_filters.c4_line_filter`, recomputed as one
+    column expression so consecutive gates still fold into a single
+    projection; equality with the battery's ``c4_keep`` is pinned by
+    ``tests/test_pipeline.py``). Line-level CLEANING is a transform, not
+    a filter — run ``c4_line_filter`` for the cleaned text itself."""
+    from crawl4ai_spark.operators.quality_filters import _C4_TERMINALS, _lines
+
+    def pred(df: DataFrame) -> Column:
+        text = F.coalesce(F.col(text_col), F.lit(""))
+        kept = F.filter(
+            _lines(text),
+            lambda l: F.substring(l, -1, 1).isin(list(_C4_TERMINALS))
+            & (F.size(F.split(l, r"\s+")) >= min_line_words)
+            & ~F.lower(l).contains("javascript"),
+        )
+        clean = F.array_join(kept, "\n")
+        return (
+            (~F.lower(text).contains("lorem ipsum"))
+            & (~text.contains("{"))
+            & (F.regexp_count(clean, F.lit(r"[.!?]")) >= min_sentences)
+            & (F.size(kept) > 0)
+        )
+
+    return Gate("c4", pred)

@@ -226,3 +226,51 @@ def test_gate_only_pipeline_works_on_streams(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM pipe_stream").collect()}
     assert got == want and want
+
+
+def test_prebuilt_stages_match_their_batteries(spark):
+    """gopher_stage/c4_gate must select exactly the ids the standalone
+    batteries pass — pins the adapters against drift. (Constructed
+    corpus: the sf testdata has no sentence punctuation, so nothing
+    there can pass C4 at any threshold.)"""
+    from crawl4ai_spark.operators.quality_filters import c4_line_filter, gopher_filter
+    from crawl4ai_spark.pipeline import c4_gate, gopher_stage
+
+    rows = [
+        (0, "This line has enough words to pass.\nAnd a second proper sentence here!\nA third one follows naturally.\nMore sentences keep arriving today.\nThe fifth sentence closes it out."),
+        (1, "short.\nno."),                           # lines under min words
+        (2, "This has a brace { and fails wholesale.\nOther sentences do not matter here.\nEven good ones like this.\nOr this one.\nOr this."),
+        (3, "lorem ipsum dolor sit amet is boilerplate.\nReal sentences follow it.\nAnd more.\nAnd more.\nAnd more."),
+        (4, "No terminal punctuation on this line\nnor on this one\nnor here"),
+        (5, "Mixed content works fine sometimes.\njavascript must be removed here.\nBut the rest is acceptable prose.\nFour sentences then remain in place.\nHere is the fifth and final one.\nAnd a sixth for safety."),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    tagged = CurationPipeline([c4_gate()]).apply(docs)
+    got = {r["doc_id"] for r in tagged.where(F.col("fail_stage").isNull()).collect()}
+    want = {
+        r["doc_id"] for r in c4_line_filter(docs).where(F.col("c4_keep")).collect()
+    }
+    assert got == want
+    assert {0, 5} <= want and {1, 2, 3, 4, 6} & want == set()
+
+    # gopher keeper == battery pass set on the real testdata text
+    small = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 120)
+    )
+    tagged2 = CurationPipeline([gopher_stage()]).apply(small)
+    got2 = {r["doc_id"] for r in tagged2.where(F.col("fail_stage").isNull()).collect()}
+    want2 = {
+        r["doc_id"] for r in gopher_filter(small).where(F.col("gopher_pass")).collect()
+    }
+    assert got2 == want2
+
+    # the two compose: a c4-dead doc is tagged by the gate BEFORE the
+    # gopher keeper's battery ever sees it
+    both = CurationPipeline([c4_gate(), gopher_stage()]).apply(docs)
+    fails = {r["doc_id"]: r["fail_stage"] for r in both.collect()}
+    for d in (1, 2, 3, 4, 6):
+        assert fails[d] == "c4"
